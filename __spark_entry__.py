@@ -1,38 +1,523 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry routes through the REAL engine (webindex.*) — the
+BM25 entries build the compressed inverted index and run the actual top-k
+path — and is checked against a self-contained DuckDB oracle in
+``oracle_sql()`` (row-count + schema + order-insensitive value-hash).
+
+Determinism conventions shared by both sides:
+  * tokens = regexp [a-z0-9]+ over lower(text)  (== webindex.textproc on
+    this ASCII corpus),
+  * BM25: k1=1.2 b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)), per-doc sum in
+    term-ascending order, ties -> doc_id asc,
+  * floats rounded to 4dp in the OUTPUT only (hash-stability across engines),
+  * counts cast to BIGINT on the Spark side (DuckDB count(*) is int64).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+K1, B = 1.2, 0.75
+_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# ---------------------------------------------------------------------------
+# engine plumbing (index built once per sf_dir and cached across queries)
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    from webindex.build import build_index
+
+    key = sf_dir
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).withColumn("url", F.col("doc_id").cast("string"))
+        _INDEX_CACHE[key] = build_index(
+            spark, docs, text_col="text", doc_id_method="provided", range_width=1 << 18
+        )
+    return _INDEX_CACHE[key]
+
+
+def _decoded_postings(index) -> DataFrame:
+    """Flatten compressed blocks back to (term, doc_id, tf) rows."""
+    import numpy as np
+    import pandas as pd
+
+    from webindex import codec
+
+    def fn(batches):
+        for pdf in batches:
+            terms, ids, tfs = [], [], []
+            for term, dbuf, tbuf, lbuf in zip(
+                pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
+            ):
+                d, t, _ = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
+                terms.append(np.full(len(d), term, dtype=object))
+                ids.append(d)
+                tfs.append(t)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms),
+                        "doc_id": np.concatenate(ids),
+                        "tf": np.concatenate(tfs),
+                    }
+                )
+
+    return index.postings.mapInPandas(fn, schema="term string, doc_id long, tf long")
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str, query: str, k: int) -> DataFrame:
+    from webindex.query import topk_wand
+
+    index = _index(spark, sf_dir)
+    hits = topk_wand(index, query, k)
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+    termlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+d AS (SELECT doc_id, len(toks) AS dl FROM tok),
+c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ({termlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (c.n - df.df + 0.5)/(df.df + 0.5))
+         * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl)) AS contrib
+  FROM tf JOIN df USING(term) JOIN d USING(doc_id) CROSS JOIN c
+),
+score AS (
+  SELECT doc_id, list_sum(list(contrib ORDER BY term)) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM score ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the compressed inverted index over sf0.001 pages
+    (synthesized html -> byte-identical extraction -> SPIMI -> blocks) and
+    run a block-max-WAND BM25 top-10 with urls."""
+    from webindex.build import build_index
+    from webindex.pagesgen import pages_from_documents
+    from webindex.query import topk_with_urls
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    index = build_index(spark, pages, text_col="html", doc_id_method="hash")
+    return topk_with_urls(index, "the data spark index", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from webindex.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash64,
+        simhash_near_pairs,
+    )
+    from webindex.simsearch import cosine_topk_bruteforce, cosine_topk_lsh
+    from webindex.textstats import fingerprint, lang_id, quality_score, token_count
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def doc_stats(spark, sf):
+        idx = _index(spark, sf)
+        return idx.doc_stats.select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+
+    def term_stats(spark, sf):
+        idx = _index(spark, sf)
+        return idx.term_stats.select("term", "df", F.round("idf", 4).alias("idf"))
+
+    def postings_tf(spark, sf):
+        return _decoded_postings(_index(spark, sf))
+
+    def corpus_stats(spark, sf):
+        idx = _index(spark, sf)
+        return spark.createDataFrame(
+            [(idx.n_docs, round(idx.avgdl, 4))], "n_docs long, avgdl double"
+        )
+
+    def bm25_topk(spark, sf):
+        return _bm25_topk(spark, sf, "spark merge", 10)
+
+    def bm25_topk_hot(spark, sf):
+        return _bm25_topk(spark, sf, "the data", 10)
+
+    def bm25_topk_rare(spark, sf):
+        return _bm25_topk(spark, sf, "group scan batch", 10)
+
+    # --- reference pipeline operators (SURVEY.md §2) over TPC-H-ish tables --
+
+    def time_range_agg(spark, sf):
+        # P1/P2 time-range predicate + A-group aggregation (pushdown on scan)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.filter(
+                (F.col("ts") >= "2024-01-05 00:00:00") & (F.col("ts") < "2024-02-01 00:00:00")
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+
+    def dedup_merge(spark, sf):
+        # A1 dedup-by-key with set-union merge semantics (lib.py:502-527)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.groupBy("user_id").agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    def argmax_largest_doc(spark, sf):
+        # A3 argmax-by-size ("biggest FAIR-DO", lib.py:652-685)
+        d = _docs(spark, sf)
+        toks = F.expr(_TOKS_SQL)
+        return (
+            d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+            .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+            .limit(1)
+        )
+
+    def lookup_join(spark, sf):
+        # J1 lookup join collapsed to a distributed equi-join + agg
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        return (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+
+    def union_categories(spark, sf):
+        # U1 union of category scans + distinct
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        a = ev.filter(F.col("event_type") == "click").select("user_id")
+        b = ev.filter(F.col("event_type") == "view").select("user_id")
+        return a.union(b).distinct()
+
+    def coalesce_fallback(spark, sf):
+        # P5 fallback chains -> coalesce()
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.select(
+            "event_id",
+            F.coalesce(F.nullif(F.col("props"), F.lit("")), F.col("event_type")).alias(
+                "resolved"
+            ),
+        )
+
+    # --- training-data pipeline ops over documents/embeddings ---------------
+
+    def q_exact_dedup(spark, sf):
+        return exact_dedup(_docs(spark, sf))
+
+    def q_minhash(spark, sf):
+        sigs = minhash_signatures(_docs(spark, sf), n_hashes=4)
+        return sigs.select(
+            "doc_id",
+            *[F.col("sig")[i].alias(f"h{i}") for i in range(4)],
+        )
+
+    def q_lsh_pairs(spark, sf):
+        sigs = minhash_signatures(_docs(spark, sf), n_hashes=8)
+        return lsh_candidate_pairs(sigs, n_bands=4)
+
+    def q_ngram_jaccard(spark, sf):
+        return ngram_jaccard_pairs(
+            _docs(spark, sf), threshold=0.12, verify_all_pairs=True
+        ).select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+    def q_simhash_pairs(spark, sf):
+        fps = simhash64(_docs(spark, sf))
+        return simhash_near_pairs(fps, max_hamming=10)
+
+    def q_token_count(spark, sf):
+        tc = token_count(_docs(spark, sf))
+        return tc.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+        )
+
+    def q_quality(spark, sf):
+        qs = quality_score(_docs(spark, sf))
+        return qs.select("doc_id", "diversity", "alpha_ratio", "quality")
+
+    def q_fingerprint(spark, sf):
+        return fingerprint(_docs(spark, sf))
+
+    def q_lang_id(spark, sf):
+        li = lang_id(_docs(spark, sf))
+        return li.select("doc_id", "pred_lang", F.col("lang_hits").cast("long").alias("lang_hits"))
+
+    def q_cosine_topk(spark, sf):
+        emb = _embeddings(spark, sf)
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        hits = cosine_topk_bruteforce(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+        return hits.select("vec_id", F.round("cos", 4).alias("cos"))
+
+    def q_cosine_topk_lsh(spark, sf):
+        emb = _embeddings(spark, sf)
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return cosine_topk_lsh(
+            emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=6, probe_hamming=6
+        ).select("vec_id", F.round("cos", 4).alias("cos"))
+
+    return {
+        "doc_stats": doc_stats,
+        "term_stats": term_stats,
+        "postings_tf": postings_tf,
+        "corpus_stats": corpus_stats,
+        "bm25_topk": bm25_topk,
+        "bm25_topk_hot": bm25_topk_hot,
+        "bm25_topk_rare": bm25_topk_rare,
+        "time_range_agg": time_range_agg,
+        "dedup_merge": dedup_merge,
+        "argmax_largest_doc": argmax_largest_doc,
+        "lookup_join": lookup_join,
+        "union_categories": union_categories,
+        "coalesce_fallback": coalesce_fallback,
+        "exact_dedup": q_exact_dedup,
+        "minhash_sig": q_minhash,
+        "lsh_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_pairs": q_simhash_pairs,
+        "token_count": q_token_count,
+        "quality_score": q_quality,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_lsh": q_cosine_topk_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS_SQL
+    sql: dict[str, str] = {}
+
+    sql["doc_stats"] = f"SELECT doc_id, len({toks})::BIGINT AS doc_len FROM documents"
+
+    sql["term_stats"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+c AS (SELECT count(*) AS n FROM tok),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term
+)
+SELECT term, df, round(ln(1.0 + (c.n - df + 0.5)/(df + 0.5)), 4) AS idf
+FROM df CROSS JOIN c
+"""
+
+    sql["postings_tf"] = f"""
+SELECT term, doc_id, count(*)::BIGINT AS tf
+FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+GROUP BY term, doc_id
+"""
+
+    sql["corpus_stats"] = f"""
+SELECT count(*)::BIGINT AS n_docs, round(avg(len({toks})), 4) AS avgdl FROM documents
+"""
+
+    sql["bm25_topk"] = _bm25_oracle_sql(["merge", "spark"], 10)
+    sql["bm25_topk_hot"] = _bm25_oracle_sql(["data", "the"], 10)
+    sql["bm25_topk_rare"] = _bm25_oracle_sql(["batch", "group", "scan"], 10)
+
+    sql["time_range_agg"] = """
+SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY event_type
+"""
+
+    sql["dedup_merge"] = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+"""
+
+    sql["argmax_largest_doc"] = f"""
+SELECT doc_id, len({toks})::BIGINT AS n_tokens
+FROM documents ORDER BY n_tokens DESC, doc_id ASC LIMIT 1
+"""
+
+    sql["lookup_join"] = """
+SELECT c_nationkey, count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+    sql["union_categories"] = """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id FROM events WHERE event_type = 'view'
+)
+"""
+
+    sql["coalesce_fallback"] = """
+SELECT event_id, coalesce(nullif(props, ''), event_type) AS resolved FROM events
+"""
+
+    sql["exact_dedup"] = f"""
+SELECT md5(array_to_string({toks}, ' ')) AS content_hash,
+       min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+"""
+
+    # minhash: sig_i = min over 3-gram shingles of md5('i:' || shingle)
+    shingle_cte = f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN []
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         END AS shingles
+  FROM tok
+)
+"""
+    sql["minhash_sig"] = (
+        shingle_cte
+        + """
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> md5('0:' || s))) AS h0,
+       list_min(list_transform(shingles, s -> md5('1:' || s))) AS h1,
+       list_min(list_transform(shingles, s -> md5('2:' || s))) AS h2,
+       list_min(list_transform(shingles, s -> md5('3:' || s))) AS h3
+FROM sh
+"""
+    )
+
+    sql["lsh_pairs"] = (
+        shingle_cte
+        + """
+, sig AS (
+  SELECT doc_id,
+         [list_min(list_transform(shingles, s -> md5('0:' || s))),
+          list_min(list_transform(shingles, s -> md5('1:' || s))),
+          list_min(list_transform(shingles, s -> md5('2:' || s))),
+          list_min(list_transform(shingles, s -> md5('3:' || s))),
+          list_min(list_transform(shingles, s -> md5('4:' || s))),
+          list_min(list_transform(shingles, s -> md5('5:' || s))),
+          list_min(list_transform(shingles, s -> md5('6:' || s))),
+          list_min(list_transform(shingles, s -> md5('7:' || s)))] AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(sig[band*2+1 : band*2+2], '|')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(band)
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+    )
+
+    sql["ngram_jaccard"] = (
+        shingle_cte
+        + """
+, ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       round(len(list_intersect(x.sh, y.sh))::DOUBLE
+             / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+FROM ds x JOIN ds y ON x.doc_id < y.doc_id
+WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.12
+"""
+    )
+
+    sql["token_count"] = f"""
+SELECT doc_id, len({toks})::BIGINT AS n_tokens,
+       len(list_distinct({toks}))::BIGINT AS n_unique_tokens
+FROM documents
+"""
+
+    _en_stop = "['the','and','of','to','in','is','it','that','for','was']"
+    sql["quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS tk, text FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(tk)::DOUBLE AS n,
+         len(list_distinct(tk))::DOUBLE AS uniq,
+         len(list_filter(tk, x -> list_contains({_en_stop}, x)))::DOUBLE AS n_stop,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE AS alnum,
+         greatest(length(text)::DOUBLE, 1.0) AS total
+  FROM t
+)
+SELECT doc_id,
+       round(CASE WHEN n > 0 THEN uniq / n ELSE 0 END, 6) AS diversity,
+       round(alnum / total, 6) AS alpha_ratio,
+       round(0.4 * least(n / 100.0, 1.0)
+             + 0.3 * (CASE WHEN n > 0 THEN uniq / n ELSE 0 END)
+             + 0.2 * (alnum / total)
+             + 0.1 * least(5.0 * (CASE WHEN n > 0 THEN n_stop / n ELSE 0 END), 1.0),
+             6) AS quality
+FROM m
+"""
+
+    sql["fingerprint"] = f"""
+SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fp FROM documents
+"""
+
+    # explicit double math, sequential i=1..dim — the SAME summation order as
+    # Spark's aggregate(zip_with(...)) so the doubles agree exactly
+    sql["cosine_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(1, len(embedding)),
+                                 i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                                      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nv,
+         sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                                      i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) AS nq
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id != 0
+)
+SELECT vec_id,
+       round(CASE WHEN nv > 0 AND nq > 0 THEN dot / (nv * nq) ELSE 0 END, 4) AS cos
+FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+    # lang_id, simhash_pairs, cosine_topk_lsh: non-SQL-expressible heuristics /
+    # approximate ops -> rows-only check (documented weaker gate).
+    return sql

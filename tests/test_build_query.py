@@ -1,0 +1,143 @@
+"""End-to-end Spark build + query vs oracle: posting-list content, BM25
+scores, rank-identity for k in {1,10,100}, WAND==exact, ties, empty queries
+(SURVEY.md §5.3)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webindex import codec
+from webindex.build import build_index
+from webindex.oracle import OracleIndex
+from webindex.pagesgen import make_pages_pdf
+from webindex.query import topk, topk_exact, topk_wand
+
+N_DOCS = 300
+
+QUERIES = [
+    "the",                # Zipf-head hot term
+    "w199",               # rare tail term
+    "zzz_absent",         # not in corpus
+    "spark index query",  # multi-term
+    "The DATA",           # case variant
+    "data data data",     # duplicate terms
+    "the w180 merge",     # hot + rare mix
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = make_pages_pdf(0, N_DOCS)
+    pdf.insert(0, "doc_id", np.arange(N_DOCS, dtype=np.int64))
+    pages = spark.createDataFrame(pdf).repartition(7)
+    # small range_width so multiple buckets exist even on 300 docs
+    index = build_index(
+        spark, pages, text_col="html", doc_id_method="provided", range_width=64
+    )
+    oracle = OracleIndex({i: pdf["text"][i] for i in range(N_DOCS)})
+    yield index, oracle
+    index.postings.sparkSession.catalog.clearCache()
+
+
+def test_corpus_stats_match(corpus):
+    index, oracle = corpus
+    assert index.n_docs == oracle.n_docs
+    assert abs(index.avgdl - oracle.avgdl) < 1e-9
+
+
+def test_term_stats_match(corpus):
+    index, oracle = corpus
+    rows = index.term_stats.collect()
+    assert len(rows) == len(oracle.postings)
+    for r in rows:
+        assert r["df"] == oracle.df(r["term"]), r["term"]
+        assert abs(r["idf"] - oracle.idf(r["term"])) < 1e-12
+
+
+def test_postings_content_match(corpus):
+    """Decode every block of a few terms; postings == oracle's exactly."""
+    index, oracle = corpus
+    for term in ("the", "data", "w199"):
+        rows = index.postings.filter(F.col("term") == term).orderBy("block_id").collect()
+        ids, tfs = [], []
+        for r in rows:
+            d, t, _ = codec.decode_block(bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["doc_lens"]))
+            ids.extend(d.tolist())
+            tfs.extend(t.tolist())
+        expect = oracle.postings.get(term, [])
+        assert ids == [d for d, _ in expect]
+        assert tfs == [tf for _, tf in expect]
+        assert ids == sorted(ids)
+
+
+def test_block_ids_follow_doc_ranges(corpus):
+    index, _ = corpus
+    rows = index.postings.filter(F.col("term") == "the").collect()
+    for r in rows:
+        # block lives entirely inside one range bucket (range_width=64)
+        assert r["min_doc"] // 64 == r["max_doc"] // 64
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_rank_identity_vs_oracle(corpus, k):
+    index, oracle = corpus
+    for q in QUERIES:
+        got = [(r["doc_id"], r["score"]) for r in topk_exact(index, q, k).collect()]
+        exp = oracle.topk(q, k)
+        assert [d for d, _ in got] == [d for d, _ in exp], f"docids diff for {q!r} k={k}"
+        for (_, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-6, f"score diff for {q!r}"
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_wand_equals_exact(corpus, k):
+    index, _ = corpus
+    for q in QUERIES:
+        w = [(r["doc_id"], round(r["score"], 10)) for r in topk_wand(index, q, k).collect()]
+        e = [(r["doc_id"], round(r["score"], 10)) for r in topk_exact(index, q, k).collect()]
+        assert w == e, f"WAND != exact for {q!r} k={k}"
+
+
+def test_empty_query(corpus):
+    index, _ = corpus
+    assert topk(index, "", 10).count() == 0
+    assert topk(index, "!!! ???", 10).count() == 0
+
+
+def test_parallelism_invariance(spark):
+    """Same corpus at 2 vs 13 input partitions -> byte-identical postings and
+    identical query results (deterministic doc ids + range-bucketed blocks).
+    Sandbox evidence for the north rule's N vs 4N cluster-size invariance."""
+    pdf = make_pages_pdf(0, 120)
+    pdf.insert(0, "doc_id", np.arange(120, dtype=np.int64))
+
+    def build(npart):
+        pages = spark.createDataFrame(pdf).repartition(npart)
+        idx = build_index(spark, pages, text_col="html",
+                          doc_id_method="provided", range_width=64)
+        post = {
+            (r["term"], r["block_id"]): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["doc_lens"]), r["max_impact"])
+            for r in idx.postings.collect()
+        }
+        hits = [(r["doc_id"], r["score"]) for r in topk(idx, "the data merge", 10).collect()]
+        return post, hits
+
+    p2, h2 = build(2)
+    p13, h13 = build(13)
+    assert p2 == p13
+    assert h2 == h13
+
+
+def test_hash_doc_ids_and_url_join(spark):
+    """Default doc_id path (xxhash64(url)) + topk_with_urls."""
+    from webindex.query import topk_with_urls
+
+    pdf = make_pages_pdf(0, 80)
+    pages = spark.createDataFrame(pdf)
+    idx = build_index(spark, pages, text_col="html", range_width=1 << 18)
+    rows = topk_with_urls(idx, "the data", 5).collect()
+    assert len(rows) == 5
+    assert all(r["url"].startswith("https://site") for r in rows)
+    # scores descending, ties by doc_id asc
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

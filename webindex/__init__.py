@@ -1,0 +1,28 @@
+"""webindex — a PySpark-native inverted-index build + BM25 top-k query engine.
+
+Re-implements, Spark-first and from scratch, the full-text index + query
+capability that the reference (kit-data-manager/nmr_FAIR-DOs) delegates to
+Elasticsearch (reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:169-173
+creates a mapping-less index => Lucene BM25 defaults, standard analyzer), plus
+the reference's pipeline operators (dedup-merge, lookup joins, time-window
+filters) and the large-scale training-data ops a 100 TB corpus needs
+(near-dup detection, similarity search, text quality analysis).
+
+Layout (SURVEY.md §7):
+  schema.py    canonical StructTypes for pages / doc_stats / term_stats /
+               postings / lineage
+  textproc.py  extract_text + tokenize — ONE implementation shared by the
+               pytest oracle and the Spark Arrow UDFs (byte-identity)
+  codec.py     delta-gap + varint posting blocks, per-block max-impact
+  bm25.py      BM25 config + scoring math (k1=1.2, b=0.75 Lucene defaults)
+  build.py     SPIMI-style distributed index build (mapInPandas local runs ->
+               salted term shuffle -> sort-merge -> compressed blocks)
+  query.py     top-k query path: exhaustive + block-max WAND
+  checkpoint.py lineage table + resumable build
+  pagesgen.py  deterministic synthetic `pages` corpus (FIXTURES.md §1)
+  dedup.py     exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup
+  simsearch.py brute-force + LSH-bucketed cosine top-k over embeddings
+  textstats.py language-id, quality scoring, token counts, fingerprints
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,308 @@
+"""Distributed inverted-index build (SPIMI-style), Spark-first.
+
+Replaces the reference's "bulk-index into Elasticsearch" stage
+(reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:204-232 — one bulk
+action per record, Lucene does tf/df/postings) with a native pipeline:
+
+    pages (Iceberg/Parquet scan, Catalyst pushdown on warc_ts/lang)
+      -> assign deterministic doc_ids                      [§ doc ids]
+      -> mapInPandas extract+tokenize+local tf aggregation [SPIMI map side]
+         (Arrow-batched; per-row work is ONE regex pass; html dropped here
+          so the shuffle never carries raw bytes)
+      -> runs(term, doc_id, tf, doc_len)   [persisted = checkpoint]
+      -> groupBy(term, bucket) applyInPandas -> compressed posting blocks
+      -> doc_stats / term_stats / corpus_stats
+    all written as partitioned Parquet (Iceberg-ready layout).
+
+Skew / salting (SURVEY.md §4.1): the shuffle key is (term, bucket) where
+bucket = doc_id // range_width. The bucket is a *deterministic salt*: a
+Zipf-head term ("the", df≈N) fans out over N/range_width reducers instead of
+one, while block boundaries remain pure functions of (term, doc_id range) —
+so the index is byte-identical at any parallelism (local[2] == local[32] ==
+1000 executors), and no per-term single-reducer merge pass exists anywhere.
+Rare terms get one bucket and zero overhead. This matters at 10^12 docs: a
+hash-salted build would still need a final per-term merge that must hold the
+hottest term's full posting list (~10^12 entries) on one node; range
+bucketing caps every task at range_width postings per term.
+
+Determinism: doc ids are derived from url only; blocks are functions of
+(term, doc ranges); floats are f64 with fixed formulas. Required for the
+north rule's rank-identity across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from webindex import codec, schema
+from webindex.bm25 import BM25Config, DEFAULT
+from webindex.textproc import extract_and_tokenize, tokenize
+
+# docs per range bucket; caps per-task postings for df=N terms. At 10^12 docs
+# the hottest term spreads over ~4M buckets/reducers.
+DEFAULT_RANGE_WIDTH = 1 << 18
+
+
+@dataclass
+class Index:
+    """Handles to the built index tables (DataFrames, possibly disk-backed)."""
+
+    postings: DataFrame
+    term_stats: DataFrame
+    doc_stats: DataFrame
+    n_docs: int
+    avgdl: float
+    conf: BM25Config = field(default_factory=lambda: DEFAULT)
+    range_width: int = DEFAULT_RANGE_WIDTH
+    lineage: DataFrame | None = None
+
+
+# --------------------------------------------------------------------------
+# doc id assignment (SURVEY.md §4.4 — must be cluster-size independent)
+# --------------------------------------------------------------------------
+
+def assign_doc_ids(pages: DataFrame, method: str = "hash") -> DataFrame:
+    """Add a deterministic  doc_id  derived only from data, never from
+    partitioning.
+
+    hash : xxhash64(url) — O(1), fully parallel, the 10^12-scale choice
+           (collision expectation ~3e-7 per pair; dedup-by-url upstream).
+    dense: row_number over url order — dense 0..N-1 ids; global sort, used
+           for small fixtures and exact-arithmetic tests.
+    """
+    if "doc_id" in pages.columns:
+        return pages
+    if method == "hash":
+        return pages.withColumn("doc_id", F.xxhash64(F.col("url")))
+    if method == "dense":
+        from pyspark.sql import Window
+
+        w = Window.orderBy("url")
+        return pages.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    raise ValueError(f"unknown doc_id method: {method}")
+
+
+# --------------------------------------------------------------------------
+# SPIMI map side: pages -> runs(term, doc_id, tf, doc_len)
+# --------------------------------------------------------------------------
+
+def _runs_iter(batches, text_col: str):
+    """mapInPandas fn: per-batch local tf aggregation (the SPIMI 'map').
+
+    One output row per (doc, distinct term); doc_len carried on every row so
+    the posting encoder never joins doc_stats. Emits doc_len=0 docs as no
+    rows (they can never match a query — same as Lucene)."""
+    from collections import Counter
+
+    for pdf in batches:
+        terms_out: list[str] = []
+        docs_out: list[int] = []
+        tfs_out: list[int] = []
+        dls_out: list[int] = []
+        doc_ids = pdf["doc_id"].to_numpy()
+        if text_col == "html":
+            texts = pdf["html"].tolist()
+            tokfn = extract_and_tokenize
+        else:
+            texts = pdf[text_col].tolist()
+            tokfn = tokenize
+        for doc_id, raw in zip(doc_ids, texts):
+            toks = tokfn(raw)
+            dl = len(toks)
+            if dl == 0:
+                continue
+            cnt = Counter(toks)
+            terms_out.extend(cnt.keys())
+            docs_out.extend([doc_id] * len(cnt))
+            tfs_out.extend(cnt.values())
+            dls_out.extend([dl] * len(cnt))
+        yield pd.DataFrame(
+            {
+                "term": pd.array(terms_out, dtype="string"),
+                "doc_id": np.asarray(docs_out, dtype=np.int64),
+                "tf": np.asarray(tfs_out, dtype=np.int32),
+                "doc_len": np.asarray(dls_out, dtype=np.int32),
+            }
+        )
+
+
+def build_runs(pages: DataFrame, text_col: str = "html") -> DataFrame:
+    """pages -> runs. `text_col='html'` exercises extract_text (byte-identity
+    invariant); 'text' skips extraction when the scan already has clean text.
+
+    Only (doc_id, text_col) are read => Catalyst prunes every other column
+    out of the parquet scan."""
+    pruned = pages.select("doc_id", text_col)
+    return pruned.mapInPandas(lambda it: _runs_iter(it, text_col), schema=schema.RUNS)
+
+
+# --------------------------------------------------------------------------
+# doc/term/corpus statistics
+# --------------------------------------------------------------------------
+
+def build_doc_stats(pages: DataFrame, runs: DataFrame) -> DataFrame:
+    """doc_stats(doc_id, url, doc_len). url comes from a pure projection of
+    pages (no re-tokenize); doc_len from runs with map-side partial agg.
+    Docs whose text tokenizes to nothing get doc_len=0 (kept for stats)."""
+    lens = runs.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+    urls = pages.select("doc_id", "url")
+    return (
+        urls.join(lens, "doc_id", "left")
+        .select(
+            "doc_id",
+            "url",
+            F.coalesce(F.col("doc_len"), F.lit(0)).cast("int").alias("doc_len"),
+        )
+    )
+
+
+def build_term_stats(runs: DataFrame, n_docs: int) -> DataFrame:
+    """term_stats(term, df, idf). runs has exactly one row per (term, doc)
+    => df = count(*). groupBy does map-side partial aggregation; the shuffled
+    payload is one long per term per map task."""
+    return runs.groupBy("term").agg(F.count(F.lit(1)).alias("df")).select(
+        "term",
+        "df",
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# posting-block encoding (the salted term shuffle + sort-merge)
+# --------------------------------------------------------------------------
+
+def build_postings(
+    runs: DataFrame,
+    avgdl: float,
+    conf: BM25Config = DEFAULT,
+    range_width: int = DEFAULT_RANGE_WIDTH,
+) -> DataFrame:
+    """runs -> compressed posting blocks.
+
+    Shuffle key (term, bucket): deterministic salt for hot terms (see module
+    docstring). Within each group we sort by doc_id (Spark's shuffle is the
+    external sort-merge of SPIMI runs; the in-group sort is numpy) and emit
+    delta+varint blocks with per-block max_impact for block-max WAND.
+
+    block_id = bucket * blocks_per_bucket + local index — globally ordered by
+    doc range and independent of parallelism."""
+    blocks_per_bucket = -(-range_width // conf.block_size)  # ceil
+    k1, b, block_size = conf.k1, conf.b, conf.block_size
+
+    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, bucket = key
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        ids = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dls = pdf["doc_len"].to_numpy()[order]
+        blocks = codec.encode_blocks(ids, tfs, dls, avgdl, k1, b, block_size)
+        return pd.DataFrame(
+            {
+                "term": term,
+                "block_id": np.asarray(
+                    [int(bucket) * blocks_per_bucket + blk["block_id"] for blk in blocks],
+                    dtype=np.int32,
+                ),
+                "doc_ids": [blk["doc_ids"] for blk in blocks],
+                "tfs": [blk["tfs"] for blk in blocks],
+                "doc_lens": [blk["doc_lens"] for blk in blocks],
+                "n_docs": np.asarray([blk["n_docs"] for blk in blocks], dtype=np.int32),
+                "min_doc": np.asarray([blk["min_doc"] for blk in blocks], dtype=np.int64),
+                "max_doc": np.asarray([blk["max_doc"] for blk in blocks], dtype=np.int64),
+                "max_impact": np.asarray([blk["max_impact"] for blk in blocks], dtype=np.float64),
+            }
+        )
+
+    bucketed = runs.withColumn(
+        "bucket", F.floor(F.col("doc_id") / F.lit(range_width)).cast("long")
+    )
+    return bucketed.groupBy("term", "bucket").applyInPandas(
+        encode_group, schema=schema.POSTINGS
+    )
+
+
+# --------------------------------------------------------------------------
+# full build
+# --------------------------------------------------------------------------
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    conf: BM25Config = DEFAULT,
+    *,
+    text_col: str = "html",
+    doc_id_method: str = "hash",
+    range_width: int = DEFAULT_RANGE_WIDTH,
+    out_dir: str | None = None,
+    runs_persist: bool = True,
+) -> Index:
+    """End-to-end build. If out_dir is given, index tables are written as
+    partitioned Parquet (Iceberg-ready layout) and re-read lazily; otherwise
+    everything stays as in-memory DataFrames (tests).
+
+    Two jobs: (1) runs + stats (one tokenize pass, persisted so job 2 never
+    re-tokenizes), (2) the (term,bucket) shuffle into compressed blocks.
+    """
+    pages = assign_doc_ids(pages, doc_id_method)
+    runs = build_runs(pages, text_col=text_col)
+    if runs_persist:
+        runs = runs.persist()
+
+    doc_stats = build_doc_stats(pages, runs)
+    agg = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
+
+    term_stats = build_term_stats(runs, n_docs)
+    postings = build_postings(runs, avgdl, conf, range_width)
+
+    if out_dir:
+        postings.write.mode("overwrite").parquet(f"{out_dir}/postings")
+        term_stats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
+        doc_stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+        spark.createDataFrame(
+            [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
+        ).write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")
+        postings = spark.read.parquet(f"{out_dir}/postings")
+        term_stats = spark.read.parquet(f"{out_dir}/term_stats")
+        doc_stats = spark.read.parquet(f"{out_dir}/doc_stats")
+        if runs_persist:
+            runs.unpersist()
+    else:
+        # materialize the index once — queries must never re-run the build
+        postings = postings.persist()
+        term_stats = term_stats.persist()
+        doc_stats = doc_stats.persist()
+        postings.count()
+        term_stats.count()
+        doc_stats.count()
+        if runs_persist:
+            runs.unpersist()
+
+    return Index(
+        postings=postings,
+        term_stats=term_stats,
+        doc_stats=doc_stats,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        conf=conf,
+        range_width=range_width,
+    )
+
+
+def load_index(spark: SparkSession, out_dir: str, conf: BM25Config = DEFAULT) -> Index:
+    stats = spark.read.parquet(f"{out_dir}/corpus_stats").collect()[0]
+    return Index(
+        postings=spark.read.parquet(f"{out_dir}/postings"),
+        term_stats=spark.read.parquet(f"{out_dir}/term_stats"),
+        doc_stats=spark.read.parquet(f"{out_dir}/doc_stats"),
+        n_docs=int(stats["n_docs"]),
+        avgdl=float(stats["avgdl"]),
+        conf=conf,
+    )

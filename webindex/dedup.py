@@ -1,0 +1,242 @@
+"""Document deduplication operators for web-scale corpus curation.
+
+Generalizes the reference's dedup-by-key merge (reference:
+src/nmr_FAIR_DOs/lib.py:502-527 groups records by PID and set-merges
+duplicates; pid_record.py:92-109 value-level set semantics) to the dedup
+family a 100 TB training-data pipeline needs:
+
+  exact_dedup        hash-groupBy on canonicalized content (A1 analogue)
+  minhash_signatures shingle -> k independent min-hashes (portable md5-based
+                     hash so the DuckDB oracle can reproduce bit-identically)
+  lsh_candidate_pairs banding -> bucket self-join -> candidate pairs
+  ngram_jaccard_pairs exact Jaccard verification on LSH candidates only
+                     (never the O(n^2) cross join at scale)
+  simhash64          64-bit SimHash fingerprints + near-dup pairs by
+                     Hamming distance
+
+Scale notes: every op is shuffle-minimal — exact dedup is one groupBy on a
+64-hex key; LSH shuffles (band, bucket-hash) pairs; the self-join is on
+bucket ids whose sizes are capped (hot buckets dropped with a logged cap,
+standard practice — a 10^6-doc bucket means boilerplate, not near-dups).
+Verification joins only candidate pairs. No per-row Python UDFs: everything
+is built-in F.* (JVM codegen) except SimHash which is an Arrow pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+DEFAULT_SHINGLE = 3
+DEFAULT_MINHASHES = 16
+DEFAULT_BANDS = 4  # rows per band = DEFAULT_MINHASHES / DEFAULT_BANDS
+MAX_BUCKET = 1000  # LSH bucket size cap (skew guard)
+
+_TOKENS = "regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
+
+
+def tokens_col(col: str = "text") -> F.Column:
+    """JVM-side tokenization (matches textproc.tokenize on ASCII text)."""
+    return F.expr(_TOKENS.format(col=col))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact content dedup: md5 of canonicalized (token-joined) text.
+    Returns one row per distinct content: (content_hash, keep_id, n_dups) —
+    keep_id is the smallest doc id (deterministic winner)."""
+    canon = F.concat_ws(" ", tokens_col(text_col))
+    return (
+        docs.select(F.col(id_col), F.md5(canon).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = DEFAULT_SHINGLE) -> F.Column:
+    """Word n-gram shingles as array<string> (empty-safe). Built-in transform
+    over token sequence — no UDF."""
+    toks = tokens_col(text_col)
+    return F.when(F.size(toks) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_MINHASHES,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — sig[i] = min over shingles of
+    md5(i || ':' || shingle). md5-hex min is a valid uniform min-hash and is
+    bit-reproducible in any engine (the DuckDB oracle recomputes it)."""
+    sh = shingles_col(text_col, shingle).alias("shingles")
+    base = docs.select(F.col(id_col).alias("doc_id"), sh)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                )
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    ).alias("sig")
+    return base.select("doc_id", sig)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int = DEFAULT_BANDS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Banding: split each signature into n_bands contiguous slices; docs
+    sharing any band slice become a candidate pair (a < b, distinct).
+
+    Skew guard: buckets larger than max_bucket are dropped (they would create
+    O(size^2) pairs; at web scale those are boilerplate clusters handled by
+    exact_dedup first)."""
+    rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bnd: F.md5(
+                    F.concat_ws(
+                        "|", F.slice("sig", bnd * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    sized = bands.withColumn(
+        "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bsize") <= max_bucket)
+    a = sized.select("band", "bucket", F.col("doc_id").alias("a"))
+    b = sized.select("band", "bucket", F.col("doc_id").alias("b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = DEFAULT_SHINGLE,
+    n_hashes: int = DEFAULT_MINHASHES,
+    n_bands: int = DEFAULT_BANDS,
+    verify_all_pairs: bool = False,
+) -> DataFrame:
+    """Near-dup pairs with exact n-gram Jaccard >= threshold.
+
+    Scale path: LSH candidates -> exact verification join (only candidates
+    carry shingle sets through the shuffle). verify_all_pairs=True switches to
+    the O(n^2) cross join — only for tiny oracle comparisons."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles_col(text_col, shingle)).alias("sh"),
+    )
+    if verify_all_pairs:
+        pairs = (
+            sh.alias("x")
+            .join(sh.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("a"),
+                F.col("y.doc_id").alias("b"),
+                F.col("x.sh").alias("sh_a"),
+                F.col("y.sh").alias("sh_b"),
+            )
+        )
+    else:
+        sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle)
+        cands = lsh_candidate_pairs(sigs, n_bands)
+        pairs = (
+            cands.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+            .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+        )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (Arrow pandas UDF — bit manipulation is genuinely non-relational)
+# --------------------------------------------------------------------------
+
+def _simhash_batch(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over a token-array series; md5-derived per-token hash
+    so the fingerprint is engine-independent and deterministic."""
+    import hashlib
+
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for row_i, toks in enumerate(tokens):
+        if toks is None or len(toks) == 0:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        for tok, cnt in zip(vals, counts):
+            h = int.from_bytes(hashlib.md5(str(tok).encode()).digest()[:8], "big")
+            bits = (h >> np.arange(64)) & 1
+            acc += np.where(bits == 1, cnt, -cnt)
+        fp = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        out[row_i] = np.uint64(fp).astype(np.int64)
+    return pd.Series(out)
+
+
+simhash_udf = F.pandas_udf(_simhash_batch, T.LongType())
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: long) fingerprints."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), simhash_udf(tokens_col(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: block on 4 x 16-bit chunks — any pair within Hamming<=3 of a
+    64-bit hash must agree exactly on at least one of 4 chunks (pigeonhole),
+    so the join fans out 4x instead of n^2."""
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "chunk_idx", "chunk")
+    b = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "chunk_idx", "chunk")
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

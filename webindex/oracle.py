@@ -1,0 +1,66 @@
+"""Single-process reference oracle: tokenize -> postings -> BM25 -> top-k.
+
+Pure Python/numpy/pandas, no Spark. This implements the published
+Lucene/ES-default semantics the reference relies on by creating a mapping-less
+index (reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:169-173) and
+reading relevance-ordered hits (elasticsearch.py:280-286). It is "the
+reference engine" for rank-identity tests (SURVEY.md §5.1): the Spark engine
+must produce identical top-k doc_ids and scores within 1e-6.
+
+Shares textproc with the Spark path => byte-identical analysis by
+construction. Determinism rules identical to bm25.py: float64, per-doc sum in
+term-ascending order, ties -> doc_id asc.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from webindex.bm25 import BM25Config, DEFAULT
+from webindex.textproc import tokenize
+
+
+class OracleIndex:
+    def __init__(self, docs: dict[int, str], conf: BM25Config = DEFAULT):
+        """docs: {doc_id: text} (already-extracted text)."""
+        self.conf = conf
+        self.doc_lens: dict[int, int] = {}
+        # postings[term] = sorted list of (doc_id, tf)
+        self.postings: dict[str, list[tuple[int, int]]] = {}
+        for doc_id in sorted(docs):
+            toks = tokenize(docs[doc_id])
+            self.doc_lens[doc_id] = len(toks)
+            for term, tf in sorted(Counter(toks).items()):
+                self.postings.setdefault(term, []).append((doc_id, tf))
+        self.n_docs = len(docs)
+        total = float(sum(self.doc_lens.values()))
+        self.avgdl = total / self.n_docs if self.n_docs else 0.0
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def idf(self, term: str) -> float:
+        return self.conf.idf(self.df(term), self.n_docs)
+
+    def score_all(self, query: str) -> dict[int, float]:
+        """Exhaustive BM25 scores for all matching docs.
+
+        Per-doc contributions are accumulated in term-ascending order
+        (duplicate query terms count once — Lucene multi_match dedups terms
+        per field; matches our engine)."""
+        terms = sorted(set(tokenize(query)))
+        scores: dict[int, float] = {}
+        for term in terms:
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            idf = self.idf(term)
+            for doc_id, tf in plist:
+                contrib = idf * self.conf.impact(tf, self.doc_lens[doc_id], self.avgdl)
+                scores[doc_id] = scores.get(doc_id, 0.0) + contrib
+        return scores
+
+    def topk(self, query: str, k: int) -> list[tuple[int, float]]:
+        scores = self.score_all(query)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]

@@ -1,0 +1,87 @@
+"""Canonical schemas for all engine tables.
+
+Input (authoritative, BASELINE.json input_hint):
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Index tables (SURVEY.md §1.2). In production these are Iceberg tables
+partitioned as noted; in this sandbox (no Iceberg runtime jar is baked in) we
+write the same layouts as hive-partitioned Parquet via a format switch in
+build.py — the table schemas, partition keys and MERGE semantics are
+Iceberg-ready.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# doc_stats: partitioned by bucket(doc_id) in prod.
+DOC_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("doc_len", T.IntegerType(), False),
+    ]
+)
+
+TERM_STATS = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("idf", T.DoubleType(), False),
+    ]
+)
+
+# postings: one row per (term, block); partitioned/bucketed by term in prod so
+# a query's term-IN filter prunes files.
+POSTINGS = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("doc_ids", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("doc_lens", T.BinaryType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("min_doc", T.LongType(), False),
+        T.StructField("max_doc", T.LongType(), False),
+        T.StructField("max_impact", T.DoubleType(), False),
+    ]
+)
+
+# intermediate SPIMI runs: partition-local postings before the term shuffle.
+RUNS = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("doc_len", T.IntegerType(), False),
+    ]
+)
+
+LINEAGE = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("docs", T.LongType(), False),
+        T.StructField("postings", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), False),
+        T.StructField("elapsed_s", T.DoubleType(), False),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+CORPUS_STATS = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("avgdl", T.DoubleType(), False),
+        T.StructField("total_postings", T.LongType(), False),
+    ]
+)

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, plus an LSH-bucketed
+variant (random-hyperplane signs) as the scale path — at 10^12 vectors the
+cross join is impossible; sign-LSH reduces candidates by 2^n_planes.
+
+The dot products stay JVM-side via F.zip_with + F.aggregate (codegen'd,
+no Python). Deterministic: hyperplanes derive from a seeded RNG; summation is
+left-to-right sequential inside aggregate() in both query and corpus order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cos) top-k by cosine vs one query vector. The query vector is
+    a literal array (broadcast by construction — no shuffle except TakeOrdered).
+    Ties broken by vec_id asc."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    v = F.col(vec_col)
+    cos = F.when(
+        (_norm(v) > 0) & (F.lit(qn) > 0), _dot(v, q) / (_norm(v) * F.lit(qn))
+    ).otherwise(F.lit(0.0))
+    return (
+        vectors.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Sign-LSH bucket id: bit i = sign(v . plane_i). Pure column expr."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(F.when(_dot(F.col(vec_col), p) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors whose LSH bucket is within
+    probe_hamming bits of the query's bucket (multi-probe). At scale the
+    bucket column is precomputed+partitioned; here it's inline."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) >= 0)
+    probes = [
+        b
+        for b in range(1 << n_planes)
+        if bin(b ^ qbucket).count("1") <= probe_hamming
+    ]
+    bucketed = vectors.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
+
+
+def all_pairs_above(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket self-join (same bucket)
+    then exact cosine filter. The n^2 explosion is contained per-bucket."""
+    planes_arr = None
+    # derive dim from one row
+    first = vectors.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    planes_arr = hyperplanes(dim, n_planes, seed)
+    bucketed = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_col(vec_col, planes_arr).alias("bucket"),
+    )
+    a = bucketed.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.select("a", "b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
