@@ -203,8 +203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def argmax_largest_doc(spark, sf):
         # A3 argmax-by-size ("biggest FAIR-DO", lib.py:652-685)
+        from webindex.dedup import tokens_col
+
         d = _docs(spark, sf)
-        toks = F.expr(_TOKS_SQL)
+        toks = tokens_col("text")
         return (
             d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
             .orderBy(F.desc("n_tokens"), F.asc("doc_id"))

@@ -1,0 +1,124 @@
+"""Benchmark harness (driver contract): runs the headline workloads at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workloads:
+  build_docs      index build over the sf dir's documents corpus (html path:
+                  extraction + tokenize + SPIMI + compress, written to disk)
+  build_synth40k  index build over a 40k-doc deterministic synthetic pages
+                  table (bigger corpus => the shuffle/encode path dominates)
+  query_p50/p95   BM25 block-max-WAND top-10 latency over the synth index
+                  (10-query reference set: hot/rare/multi/absent)
+  dedup_minhash   MinHash-LSH candidate pairs over documents
+  cosine_topk     brute-force cosine top-10 over embeddings
+Throughputs (docs/sec) for the builds are included as extra keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+QUERY_SET = [
+    "the", "data", "the data spark", "w199 merge", "index query search",
+    "w180", "rank score", "the w150", "web page text", "absentterm42",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from webindex.build import build_index
+    from webindex.pagesgen import generate_pages_df, pages_from_documents
+    from webindex.query import topk_wand
+    from webindex.session import get_spark
+
+    spark = get_spark(app="webindex-bench", master=f"local[{cpus}]", driver_mem="48g")
+    timings: dict[str, float] = {}
+    workdir = tempfile.mkdtemp(prefix="webindex_bench_")
+
+    try:
+        # -- build over the driver-provided corpus (html extraction path) ----
+        pages = pages_from_documents(spark, sf_dir)
+        n_docs_sf = pages.count()
+        t0 = time.monotonic()
+        build_index(
+            spark, pages, text_col="html", doc_id_method="hash",
+            out_dir=f"{workdir}/idx_docs",
+        )
+        timings["build_docs"] = time.monotonic() - t0
+        timings["build_docs_docs_per_sec"] = round(n_docs_sf / timings["build_docs"], 1)
+
+        # -- build over a 40k synthetic pages table ---------------------------
+        n_synth = 40_000
+        synth = generate_pages_df(spark, n_synth)
+        t0 = time.monotonic()
+        idx = build_index(
+            spark, synth, text_col="html", doc_id_method="hash",
+            out_dir=f"{workdir}/idx_synth",
+        )
+        timings["build_synth40k"] = time.monotonic() - t0
+        timings["build_synth40k_docs_per_sec"] = round(n_synth / timings["build_synth40k"], 1)
+
+        # -- query latency over the synth index -------------------------------
+        lat = []
+        for q in QUERY_SET:
+            t0 = time.monotonic()
+            topk_wand(idx, q, 10).collect()
+            lat.append(time.monotonic() - t0)
+        lat.sort()
+        timings["query_p50"] = lat[len(lat) // 2]
+        timings["query_p95"] = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+        timings["query_mean"] = sum(lat) / len(lat)
+
+        # -- dedup + simsearch -------------------------------------------------
+        from webindex.dedup import lsh_candidate_pairs, minhash_signatures
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.monotonic()
+        sigs = minhash_signatures(docs, n_hashes=16)
+        lsh_candidate_pairs(sigs, n_bands=4).count()
+        timings["dedup_minhash"] = time.monotonic() - t0
+
+        from pyspark.sql import functions as F
+
+        from webindex.simsearch import cosine_topk_bruteforce
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        t0 = time.monotonic()
+        cosine_topk_bruteforce(emb, qvec, k=10).collect()
+        timings["cosine_topk"] = time.monotonic() - t0
+
+        total = sum(
+            v for k, v in timings.items() if not k.endswith("docs_per_sec")
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "webindex headline: index build + BM25 WAND top-k + dedup + simsearch",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": {k: round(v, 3) for k, v in timings.items()},
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

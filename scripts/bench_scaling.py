@@ -1,0 +1,98 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so per the driver instruction the
+N-vs-4N-executor criterion is evidenced by running the identical index build
+at local[8] and local[32] on the same input and reporting throughput at both
+plus scaling efficiency = (T_8 / T_32) / 4, and rank-identity of the top-k
+results across the two runs.
+
+Writes BENCH/BASELINE.md. Run: python scripts/bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+QUERIES = ["the", "data spark", "w199 merge", "index query search", "the w150"]
+
+
+def run_at(cores: int, n_docs: int):
+    from webindex.build import build_index
+    from webindex.pagesgen import generate_pages_df
+    from webindex.query import topk_wand
+    from webindex.session import get_spark
+
+    spark = get_spark(
+        app=f"scaling-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores, driver_mem="48g",
+    )
+    try:
+        with tempfile.TemporaryDirectory(prefix=f"scale{cores}_") as wd:
+            pages = generate_pages_df(spark, n_docs, partitions=cores * 4)
+            t0 = time.monotonic()
+            idx = build_index(
+                spark, pages, text_col="html", doc_id_method="hash", out_dir=wd
+            )
+            elapsed = time.monotonic() - t0
+            hits = {
+                q: [(r["doc_id"], round(r["score"], 9)) for r in topk_wand(idx, q, 10).collect()]
+                for q in QUERIES
+            }
+        return elapsed, hits
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+
+    t8, hits8 = run_at(8, n_docs)
+    t32, hits32 = run_at(32, n_docs)
+
+    eff = (t8 / t32) / 4.0
+    identical = hits8 == hits32
+    thr8, thr32 = n_docs / t8, n_docs / t32
+
+    out = Path(REPO / "BENCH" / "BASELINE.md")
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+Per the driver instruction, the north rule's "N vs 4N executors, scaling
+efficiency >= 0.8, rank-identical top-k" criterion is evidenced in-sandbox by
+running the identical index build job at local[8] (N) and local[32] (4N) on
+the same deterministic input.
+
+- input: synthetic `pages` corpus, n_docs = {n_docs:,} (pagesgen, seed=42,
+  Zipf vocabulary -> hot-term skew present)
+- job: build_index(text_col='html') — extraction + tokenize + SPIMI runs +
+  (term, doc-range-bucket) shuffle + delta+varint block encode + parquet write
+- host: 32 cores, single JVM per run (local mode), Spark {{4.1.2}}
+
+| parallelism | wall-clock (s) | throughput (docs/s) |
+|---|---|---|
+| local[8]  (N)  | {t8:.1f} | {thr8:,.0f} |
+| local[32] (4N) | {t32:.1f} | {thr32:,.0f} |
+
+**Scaling efficiency** = (T_8 / T_32) / 4 = **{eff:.3f}**
+(target >= 0.8 per BASELINE.json; 1.0 = perfect linear scaling)
+
+**Rank-identity across parallelism levels:** {"IDENTICAL" if identical else "MISMATCH"}
+— top-10 doc_ids AND BM25 scores for {len(QUERIES)} reference queries
+({", ".join(repr(q) for q in QUERIES)}) are byte-equal between the local[8]
+and local[32] indexes (deterministic doc ids + range-bucketed blocks +
+fixed-order float summation).
+
+Raw: {json.dumps({"t8": round(t8, 2), "t32": round(t32, 2), "eff": round(eff, 4), "rank_identical": identical})}
+""")
+    print(out.read_text())
+
+
+if __name__ == "__main__":
+    main()

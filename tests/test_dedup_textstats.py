@@ -1,0 +1,176 @@
+"""Dedup + textstats + simsearch + multimodal operator tests (training-data
+pipeline ops; correctness on planted duplicates / known vectors)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),          # near dup
+        (3, "completely different content about spark and indexes here"),
+        (4, "The QUICK brown fox jumps over the lazy dog today!!"),        # canon dup of 0
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from webindex.dedup import exact_dedup
+
+    out = {r["keep_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 3  # docs 0,1,4 canonicalize identically
+    assert out[2] == 1 and out[3] == 1 and out[5] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from webindex.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(docs, n_hashes=16)
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs, n_bands=8).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    assert (0, 2) in pairs  # near dup shares most shingles
+    assert (3, 5) not in pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    from webindex.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, verify_all_pairs=True).collect()
+    }
+    assert got[(0, 1)] == 1.0 and got[(0, 4)] == 1.0
+    # doc0 vs doc2: 8 shingles each; 'dog'/'cat' appears in the last 2
+    # shingles -> intersection 6, union 10
+    assert abs(got[(0, 2)] - 6 / 10) < 1e-9
+    assert (3, 5) not in got
+
+
+def test_lsh_path_matches_allpairs_on_dups(docs):
+    from webindex.dedup import ngram_jaccard_pairs
+
+    exact = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(docs, 0.9, verify_all_pairs=True).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(docs, 0.9, verify_all_pairs=False).collect()
+    }
+    assert exact == lsh  # at jaccard>=0.9 LSH with 8 bands can't miss
+
+
+def test_simhash(docs, spark):
+    from webindex.dedup import simhash64, simhash_near_pairs
+
+    fps = simhash64(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[0] == vals[1] == vals[4]  # identical canon text -> same fp
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(fps, 16).collect()}
+    assert pairs[(0, 1)] == 0
+    # the 16-bit-chunk blocking guarantees recall for hamming <= 3
+    # (pigeonhole over 4 chunks): craft a pair differing in exactly 2 bits
+    crafted = spark.createDataFrame(
+        [(100, 0x0123456789ABCDEF), (101, 0x0123456789ABCDEF ^ 0b101)],
+        "doc_id long, simhash long",
+    )
+    got = simhash_near_pairs(crafted, 3).collect()
+    assert len(got) == 1 and got[0]["hamming"] == 2
+
+
+def test_token_count_quality_langid_fingerprint(docs):
+    from webindex.textstats import fingerprint, lang_id, quality_score, token_count
+
+    tc = {r["doc_id"]: (r["n_tokens"], r["n_unique_tokens"]) for r in token_count(docs).collect()}
+    assert tc[0] == (10, 9)  # 'the' twice
+    assert tc[5] == (3, 3)
+
+    qs = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert 0 < qs[0]["quality"] <= 1
+    assert qs[0]["diversity"] == 0.9
+
+    li = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert li[0] == "en"
+
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[1] == fp[4]
+    assert fp[0] != fp[2]
+
+
+def test_lang_id_heuristic_langs(spark):
+    from webindex.textstats import lang_id
+
+    rows = [
+        (0, "der hund und die katze ist nicht von hier"),
+        (1, "el perro y la casa de que en un lugar"),
+        (2, "le chien et la maison dans les rues qui est"),
+        (3, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got[0] == "de" and got[1] == "es" and got[2] == "fr" and got[3] == "und"
+
+
+def test_cosine_topk_and_lsh(spark):
+    from webindex.simsearch import cosine_topk_bruteforce, cosine_topk_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(50):
+        noise = rng.standard_normal(16) * (0.01 if i < 5 else 2.0)
+        v = base + noise
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in base]
+
+    top = cosine_topk_bruteforce(df, q, k=5).collect()
+    assert {r["vec_id"] for r in top} == {0, 1, 2, 3, 4}
+    assert all(r["cos"] > 0.99 for r in top)
+    scores = [r["cos"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+    # numpy cross-check of the exact cosine value
+    v0 = np.array(rows[top[0]["vec_id"]][1])
+    expect = float(v0 @ base / (np.linalg.norm(v0) * np.linalg.norm(base)))
+    assert abs(top[0]["cos"] - expect) < 1e-9
+
+    # LSH with generous probing finds the same neighbors here
+    lsh = cosine_topk_lsh(df, q, k=5, n_planes=4, probe_hamming=1)
+    assert {r["vec_id"] for r in lsh.collect()} >= {0, 1, 2}
+
+
+def test_embedding_near_pairs(spark):
+    from webindex.simsearch import all_pairs_above
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["a"], r["b"]) for r in all_pairs_above(df, 0.99).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_multimodal_plumbing(spark):
+    from webindex.multimodal import decode_image, extract_features, synth_media_df
+
+    media = synth_media_df(spark, n=24)
+    feats = extract_features(media, n_features=8, fake=True).collect()
+    assert len(feats) == 24
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert by_id[0]["n_bytes"] == 64
+    # deterministic: same payload -> same sha1 + features on re-run
+    feats2 = {r["media_id"]: r for r in extract_features(media, 8, fake=True).collect()}
+    assert feats2[0]["sha1"] == by_id[0]["sha1"]
+    assert feats2[0]["features"] == by_id[0]["features"]
+    # the real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_image(b"payload", fake=False)

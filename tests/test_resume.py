@@ -1,0 +1,63 @@
+"""Resumability (SURVEY.md §5.4): kill the build after some chunks, restart,
+assert the final index equals a clean run's; lineage metrics recorded."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webindex.checkpoint import build_index_resumable, build_runs_checkpointed, read_lineage
+from webindex.pagesgen import make_pages_pdf
+
+
+def _postings_map(idx):
+    return {
+        (r["term"], r["block_id"]): (bytes(r["doc_ids"]), bytes(r["tfs"]), r["max_impact"])
+        for r in idx.postings.collect()
+    }
+
+
+def test_resume_matches_clean_run(spark, tmp_path):
+    pdf = make_pages_pdf(0, 150)
+    pages = spark.createDataFrame(pdf)
+
+    clean = build_index_resumable(
+        spark, pages, str(tmp_path / "clean"), n_buckets=8, chunk_buckets=2
+    )
+
+    # interrupted run: the job "dies" after 2 of 4 chunks (max_chunks budget
+    # = how a mid-build crash looks to the lineage table)
+    workdir = str(tmp_path / "resumed")
+    build_runs_checkpointed(
+        spark, pages, workdir, n_buckets=8, chunk_buckets=2, max_chunks=2
+    )
+    lineage1 = read_lineage(spark, workdir)
+    done1 = {r["partition_id"] for r in lineage1.filter(F.col("status") == "done").collect()}
+    assert len(done1) == 4  # exactly the first two chunks' buckets
+
+    # resume with the FULL input; finished buckets are skipped
+    resumed = build_index_resumable(
+        spark, pages, workdir, n_buckets=8, chunk_buckets=2
+    )
+
+    assert _postings_map(resumed) == _postings_map(clean)
+    assert resumed.n_docs == clean.n_docs
+    assert abs(resumed.avgdl - clean.avgdl) < 1e-12
+
+    # lineage has one done row per bucket with metrics
+    lin = resumed.lineage.filter(F.col("status") == "done").collect()
+    assert {r["partition_id"] for r in lin} == set(range(8))
+    assert all(r["elapsed_s"] >= 0 for r in lin)
+    total_docs = sum(r["docs"] for r in lin)
+    assert total_docs == 150
+
+
+def test_second_resume_is_noop_fast(spark, tmp_path):
+    pdf = make_pages_pdf(0, 60)
+    pages = spark.createDataFrame(pdf)
+    workdir = str(tmp_path / "w")
+    build_runs_checkpointed(spark, pages, workdir, n_buckets=4, chunk_buckets=2)
+    lin1 = read_lineage(spark, workdir).count()
+    runs = build_runs_checkpointed(spark, pages, workdir, n_buckets=4, chunk_buckets=2)
+    lin2 = read_lineage(spark, workdir).count()
+    assert lin1 == lin2  # no new lineage rows — everything skipped
+    assert runs.count() > 0

@@ -194,7 +194,7 @@ def build_postings(
     blocks_per_bucket = -(-range_width // conf.block_size)  # ceil
     k1, b, block_size = conf.k1, conf.b, conf.block_size
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, bucket = key
         order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
         ids = pdf["doc_id"].to_numpy()[order]

@@ -64,10 +64,15 @@ def build_runs_checkpointed(
     chunk_buckets: int = 4,
     text_col: str = "html",
     doc_id_method: str = "hash",
+    max_chunks: int | None = None,
 ) -> DataFrame:
     """Tokenize pages into runs, resumably (see module docstring). Returns
     the runs DataFrame read back from <workdir>/runs (byte-identical across
-    resumes). doc_stats' url map is written alongside as <workdir>/doc_urls."""
+    resumes). doc_stats' url map is written alongside as <workdir>/doc_urls.
+
+    max_chunks bounds the work done in THIS invocation (budgeted/incremental
+    processing; also how tests simulate a mid-build crash) — remaining chunks
+    are picked up by the next call."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pages = assign_doc_ids(pages, doc_id_method).withColumn(
         "build_bucket", bucket_col(F.col("doc_id"), n_buckets)
@@ -81,10 +86,14 @@ def build_runs_checkpointed(
         .collect()
     }
 
+    chunks_run = 0
     for lo in range(0, n_buckets, chunk_buckets):
         chunk = [b for b in range(lo, min(lo + chunk_buckets, n_buckets)) if b not in done]
         if not chunk:
             continue
+        if max_chunks is not None and chunks_run >= max_chunks:
+            break
+        chunks_run += 1
         t0 = time.monotonic()
         chunk_pages = pages.filter(F.col("build_bucket").isin(chunk))
         runs = build_runs(chunk_pages, text_col=text_col).withColumn(

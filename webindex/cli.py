@@ -1,0 +1,55 @@
+"""spark-submit entrypoints (north rule: runs via spark-submit --py-files).
+
+Usage:
+  spark-submit --py-files webindex.zip -m webindex.cli build  <pages_path> <workdir>
+  spark-submit --py-files webindex.zip -m webindex.cli query  <workdir> <query> [k]
+  spark-submit --py-files webindex.zip -m webindex.cli resume <pages_path> <workdir>
+
+The package is pure Python (numpy/pandas on executors only inside Arrow
+UDFs), so `zip -r webindex.zip webindex` + --py-files is the whole deploy.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from webindex.bm25 import DEFAULT
+from webindex.session import get_spark
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    cmd = argv[1]
+    spark = get_spark(app=f"webindex-{cmd}")
+
+    if cmd == "build":
+        from webindex.build import build_index
+
+        pages = spark.read.parquet(argv[2])
+        idx = build_index(spark, pages, DEFAULT, text_col="html", out_dir=argv[3])
+        print(f"built: {idx.n_docs} docs, avgdl={idx.avgdl:.2f} -> {argv[3]}")
+    elif cmd == "resume":
+        from webindex.checkpoint import build_index_resumable
+
+        pages = spark.read.parquet(argv[2])
+        idx = build_index_resumable(spark, pages, argv[3])
+        print(f"built (resumable): {idx.n_docs} docs -> {argv[3]}/index")
+    elif cmd == "query":
+        from webindex.build import load_index
+        from webindex.query import topk_with_urls
+
+        idx = load_index(spark, argv[2])
+        k = int(argv[4]) if len(argv) > 4 else 10
+        for row in topk_with_urls(idx, argv[3], k).collect():
+            print(f"{row['score']:.6f}\t{row['doc_id']}\t{row['url']}")
+    else:
+        print(__doc__)
+        return 2
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

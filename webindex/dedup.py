@@ -80,17 +80,16 @@ def minhash_signatures(
     bit-reproducible in any engine (the DuckDB oracle recomputes it)."""
     sh = shingles_col(text_col, shingle).alias("shingles")
     base = docs.select(F.col(id_col).alias("doc_id"), sh)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-                )
-            ).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    ).alias("sig")
+
+    def _minhash(i: int) -> F.Column:
+        # NB: the lambda must be unary — PySpark treats a 2-arg lambda as
+        # (element, array_index), which would silently replace the prefix.
+        prefix = F.lit(f"{i}:")
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(prefix, s)))
+        )
+
+    sig = F.array(*[_minhash(i) for i in range(n_hashes)]).alias("sig")
     return base.select("doc_id", sig)
 
 
@@ -193,10 +192,13 @@ def _simhash_batch(tokens: pd.Series) -> pd.Series:
             continue
         acc = np.zeros(64, dtype=np.int64)
         vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        shifts = np.arange(64, dtype=np.uint64)
         for tok, cnt in zip(vals, counts):
-            h = int.from_bytes(hashlib.md5(str(tok).encode()).digest()[:8], "big")
-            bits = (h >> np.arange(64)) & 1
-            acc += np.where(bits == 1, cnt, -cnt)
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(str(tok).encode()).digest()[:8], "big")
+            )
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, int(cnt), -int(cnt))
         fp = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
         out[row_i] = np.uint64(fp).astype(np.int64)
     return pd.Series(out)
