@@ -300,6 +300,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=6, probe_hamming=6
         ).select("vec_id", F.round("cos", 4).alias("cos"))
 
+    # --- scalar function library (SURVEY.md §2.7 F-group) -------------------
+
+    def fn_base64(spark, sf):
+        from webindex.functions import decode_base64, encode_base64
+
+        d = _docs(spark, sf)
+        enc = encode_base64("source")
+        return d.select("doc_id", enc.alias("b64"), decode_base64(enc).alias("roundtrip"))
+
+    def fn_parse_datetime(spark, sf):
+        from webindex.functions import parse_datetime
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        # render ts in a per-row format, then parse back via the fallback chain
+        rendered = (
+            F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+            .when(F.col("event_id") % 3 == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+            .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+        )
+        return ev.select(
+            "event_id",
+            parse_datetime(rendered).cast("string").alias("parsed"),
+        )
+
+    def fn_normalize_url(spark, sf):
+        from webindex.functions import normalize_url
+
+        d = _docs(spark, sf)
+        raw = F.concat(
+            F.lit("HTTPS://www."), F.col("source"), F.lit(".Example/Licenses/page.HTML")
+        )
+        return d.select("doc_id", normalize_url(raw).alias("norm"))
+
+    # --- relationship resolution (J1/J2 retry join + J3 edges) --------------
+
+    def _resolve_inputs(spark, sf):
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        # simulate the reference's 'presumed pid' misses: odd orders carry a
+        # broken primary key and must resolve via the alternate (name) key;
+        # every 97th order is unresolvable -> quarantine
+        updates = orders.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit(-2))
+            .when(F.col("o_orderkey") % 2 == 1, F.lit(-1))
+            .otherwise(F.col("o_custkey"))
+            .alias("presumed_key"),
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.lit("Customer#999999999")
+            )
+            .otherwise(
+                F.concat(F.lit("Customer#"), F.lpad(F.col("o_custkey").cast("string"), 9, "0"))
+            )
+            .alias("presumed_name"),
+        )
+        return updates, cust
+
+    def resolve_retry(spark, sf):
+        from webindex.relations import resolve_with_retry
+
+        updates, cust = _resolve_inputs(spark, sf)
+        resolved, _ = resolve_with_retry(
+            updates, cust,
+            primary_key=("presumed_key", "c_custkey"),
+            alternate_key=("presumed_name", "c_name"),
+            target_cols=["c_nationkey"],
+        )
+        return resolved.select("o_orderkey", "c_nationkey", "resolved_by")
+
+    def resolve_retry_quarantine(spark, sf):
+        from webindex.relations import resolve_with_retry
+
+        updates, cust = _resolve_inputs(spark, sf)
+        _, quarantine = resolve_with_retry(
+            updates, cust,
+            primary_key=("presumed_key", "c_custkey"),
+            alternate_key=("presumed_name", "c_name"),
+            target_cols=["c_nationkey"],
+        )
+        return quarantine.select("o_orderkey", "presumed_key", "presumed_name")
+
+    def bidir_edges(spark, sf):
+        from webindex.relations import bidirectional_edges
+
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        edges = orders.orderBy("o_orderkey").limit(200).select(
+            F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst")
+        )
+        return bidirectional_edges(edges)
+
     return {
         "doc_stats": doc_stats,
         "term_stats": term_stats,
@@ -325,6 +415,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "fn_base64": fn_base64,
+        "fn_parse_datetime": fn_parse_datetime,
+        "fn_normalize_url": fn_normalize_url,
+        "resolve_retry": resolve_retry,
+        "resolve_retry_quarantine": resolve_retry_quarantine,
+        "bidir_edges": bidir_edges,
     }
 
 
@@ -518,6 +614,88 @@ s AS (
 SELECT vec_id,
        round(CASE WHEN nv > 0 AND nq > 0 THEN dot / (nv * nq) ELSE 0 END, 4) AS cos
 FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+    sql["fn_base64"] = """
+SELECT doc_id, to_base64(encode(source)) AS b64, source AS roundtrip FROM documents
+"""
+
+    sql["fn_parse_datetime"] = """
+SELECT event_id,
+       CASE
+         WHEN event_id % 3 = 0 THEN strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+         WHEN event_id % 3 = 1 THEN strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')
+         ELSE strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d')
+       END::VARCHAR AS parsed
+FROM events
+"""
+
+    sql["fn_normalize_url"] = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower('https://www.' || source || '.example/licenses/page.html'),
+                                  '\\s+', '', 'g'),
+                   '^https?://', ''),
+                 '^www\\.', ''),
+               'legalcode$', ''),
+             '\\.(json|html|txt|md|xml|rdf)$', ''),
+           '\\blicenses\\b', 'license'),
+         '/+$', '') AS norm
+FROM documents
+"""
+
+    _updates_cte = """
+WITH updates AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN -2
+              WHEN o_orderkey % 2 = 1 THEN -1
+              ELSE o_custkey END AS presumed_key,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'Customer#999999999'
+              ELSE 'Customer#' || lpad(o_custkey::VARCHAR, 9, '0') END AS presumed_name
+  FROM orders
+)
+"""
+    sql["resolve_retry"] = (
+        _updates_cte
+        + """
+, p1 AS (
+  SELECT u.*, c.c_nationkey AS nk1 FROM updates u
+  LEFT JOIN customer c ON u.presumed_key = c.c_custkey
+),
+p2 AS (
+  SELECT p1.*, c.c_nationkey AS nk2 FROM p1
+  LEFT JOIN customer c ON p1.nk1 IS NULL AND p1.presumed_name = c.c_name
+)
+SELECT o_orderkey,
+       coalesce(nk1, nk2) AS c_nationkey,
+       CASE WHEN nk1 IS NOT NULL THEN 'primary' ELSE 'alternate' END AS resolved_by
+FROM p2 WHERE coalesce(nk1, nk2) IS NOT NULL
+"""
+    )
+
+    sql["resolve_retry_quarantine"] = (
+        _updates_cte
+        + """
+SELECT u.o_orderkey, u.presumed_key, u.presumed_name
+FROM updates u
+LEFT JOIN customer c1 ON u.presumed_key = c1.c_custkey
+LEFT JOIN customer c2 ON u.presumed_name = c2.c_name
+WHERE c1.c_custkey IS NULL AND c2.c_custkey IS NULL
+"""
+    )
+
+    sql["bidir_edges"] = """
+WITH e AS (
+  SELECT o_custkey AS src, o_orderkey AS dst FROM orders ORDER BY o_orderkey LIMIT 200
+)
+SELECT src, dst, 'forward' AS direction FROM e
+UNION ALL
+SELECT dst AS src, src AS dst, 'reverse' AS direction FROM e
 """
 
     # lang_id, simhash_pairs, cosine_topk_lsh: non-SQL-expressible heuristics /

@@ -61,8 +61,13 @@ def main() -> None:
         timings["build_docs_docs_per_sec"] = round(n_docs_sf / timings["build_docs"], 1)
 
         # -- build over a 40k synthetic pages table ---------------------------
+        # (materialized to parquet first: we time the BUILD, not the python
+        # corpus generator)
         n_synth = 40_000
-        synth = generate_pages_df(spark, n_synth)
+        generate_pages_df(spark, n_synth).write.mode("overwrite").parquet(
+            f"{workdir}/pages_synth"
+        )
+        synth = spark.read.parquet(f"{workdir}/pages_synth")
         t0 = time.monotonic()
         idx = build_index(
             spark, synth, text_col="html", doc_id_method="hash",

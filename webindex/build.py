@@ -176,11 +176,44 @@ def build_term_stats(runs: DataFrame, n_docs: int) -> DataFrame:
 # posting-block encoding (the salted term shuffle + sort-merge)
 # --------------------------------------------------------------------------
 
+def bucket_expr(
+    doc_id_col: F.Column, n_docs: int, range_width: int, id_space: str
+) -> F.Column:
+    """Doc-range shard (the deterministic salt) sized to ~range_width docs.
+
+    dense: ids are 0..N-1 -> bucket = doc_id // range_width (contiguous).
+    hash : ids are xxhash64(url), uniform over the full int64 domain ->
+           bucket = top b bits (unsigned shift), with 2^b buckets chosen so
+           the EXPECTED docs per bucket is ~range_width. Plain floor-division
+           would give every doc its own bucket (ids span ±2^63) — millions of
+           singleton groups and one block per posting.
+
+    Both depend only on (doc_id, N) — never on partitioning — so the block
+    layout is identical at any cluster size."""
+    if id_space == "dense":
+        return F.floor(doc_id_col / F.lit(range_width)).cast("long")
+    if id_space != "hash":
+        raise ValueError(f"unknown id_space: {id_space}")
+    import math
+
+    n_buckets_target = max(1, n_docs // range_width)
+    b = max(0, math.ceil(math.log2(n_buckets_target)))
+    if b == 0:
+        return F.lit(0).cast("long")
+    return F.shiftrightunsigned(doc_id_col, 64 - b)
+
+
+_BLOCK_SHIFT = 24  # block_id = (bucket << 24) | local block index
+
+
 def build_postings(
     runs: DataFrame,
     avgdl: float,
     conf: BM25Config = DEFAULT,
     range_width: int = DEFAULT_RANGE_WIDTH,
+    *,
+    n_docs: int = 0,
+    id_space: str = "dense",
 ) -> DataFrame:
     """runs -> compressed posting blocks.
 
@@ -189,9 +222,8 @@ def build_postings(
     external sort-merge of SPIMI runs; the in-group sort is numpy) and emit
     delta+varint blocks with per-block max_impact for block-max WAND.
 
-    block_id = bucket * blocks_per_bucket + local index — globally ordered by
-    doc range and independent of parallelism."""
-    blocks_per_bucket = -(-range_width // conf.block_size)  # ceil
+    block_id = (bucket << 24) | local index — globally unique per term and
+    independent of parallelism."""
     k1, b, block_size = conf.k1, conf.b, conf.block_size
 
     def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -201,12 +233,13 @@ def build_postings(
         tfs = pdf["tf"].to_numpy()[order]
         dls = pdf["doc_len"].to_numpy()[order]
         blocks = codec.encode_blocks(ids, tfs, dls, avgdl, k1, b, block_size)
+        base = int(bucket) << _BLOCK_SHIFT
         return pd.DataFrame(
             {
                 "term": term,
+                "bucket": np.full(len(blocks), int(bucket), dtype=np.int64),
                 "block_id": np.asarray(
-                    [int(bucket) * blocks_per_bucket + blk["block_id"] for blk in blocks],
-                    dtype=np.int32,
+                    [base | blk["block_id"] for blk in blocks], dtype=np.int64
                 ),
                 "doc_ids": [blk["doc_ids"] for blk in blocks],
                 "tfs": [blk["tfs"] for blk in blocks],
@@ -219,7 +252,7 @@ def build_postings(
         )
 
     bucketed = runs.withColumn(
-        "bucket", F.floor(F.col("doc_id") / F.lit(range_width)).cast("long")
+        "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, id_space)
     )
     return bucketed.groupBy("term", "bucket").applyInPandas(
         encode_group, schema=schema.POSTINGS
@@ -238,6 +271,7 @@ def build_index(
     text_col: str = "html",
     doc_id_method: str = "hash",
     range_width: int = DEFAULT_RANGE_WIDTH,
+    id_space: str | None = None,
     out_dir: str | None = None,
     runs_persist: bool = True,
 ) -> Index:
@@ -248,6 +282,8 @@ def build_index(
     Two jobs: (1) runs + stats (one tokenize pass, persisted so job 2 never
     re-tokenizes), (2) the (term,bucket) shuffle into compressed blocks.
     """
+    if id_space is None:
+        id_space = "hash" if doc_id_method == "hash" else "dense"
     pages = assign_doc_ids(pages, doc_id_method)
     runs = build_runs(pages, text_col=text_col)
     if runs_persist:
@@ -260,12 +296,24 @@ def build_index(
     n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
 
     term_stats = build_term_stats(runs, n_docs)
-    postings = build_postings(runs, avgdl, conf, range_width)
+    postings = build_postings(
+        runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space
+    )
 
     if out_dir:
-        postings.write.mode("overwrite").parquet(f"{out_dir}/postings")
-        term_stats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
-        doc_stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+        # term-clustered layout: range-partition + sort by term so a query's
+        # IN(term,...) pushdown prunes FILES and ROW-GROUPS via parquet
+        # min/max stats (hash-shuffle order would force reading every file).
+        # Iceberg equivalent: WRITE ORDERED BY (term, block_id).
+        postings.repartitionByRange("term", "block_id").sortWithinPartitions(
+            "term", "block_id"
+        ).write.mode("overwrite").parquet(f"{out_dir}/postings")
+        term_stats.repartitionByRange("term").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/term_stats")
+        doc_stats.repartitionByRange("doc_id").sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/doc_stats")
         spark.createDataFrame(
             [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
         ).write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")

@@ -179,11 +179,21 @@ def build_index_resumable(
     n_docs, avgdl = int(agg["n"]), float(agg["a"] or 0.0)
 
     out = f"{workdir}/index"
-    build_postings(runs, avgdl, conf, range_width).write.mode("overwrite").parquet(
+    id_space = "hash" if doc_id_method == "hash" else "dense"
+    # term-clustered write (see build.build_index): file/row-group pruning
+    build_postings(
+        runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space
+    ).repartitionByRange("term", "block_id").sortWithinPartitions(
+        "term", "block_id"
+    ).write.mode("overwrite").parquet(
         f"{out}/postings"
     )
-    build_term_stats(runs, n_docs).write.mode("overwrite").parquet(f"{out}/term_stats")
-    doc_stats.write.mode("overwrite").parquet(f"{out}/doc_stats")
+    build_term_stats(runs, n_docs).repartitionByRange("term").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(f"{out}/term_stats")
+    doc_stats.repartitionByRange("doc_id").sortWithinPartitions("doc_id").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/doc_stats")
     spark.createDataFrame([(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS).write.mode(
         "overwrite"
     ).parquet(f"{out}/corpus_stats")

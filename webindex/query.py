@@ -5,30 +5,28 @@ src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-306 — multi_match query,
 BM25-ranked hits, top-1 read) to arbitrary k over our native index:
 
     query string -> tokenize (same analyzer as build)
-      -> term_stats lookup (idf per query term; tiny -> collected/broadcast)
-      -> candidate posting blocks (filter term IN (...) — partition/file
-         pruning on the term-partitioned postings table)
-      -> [WAND] bucket-level upper-bound pruning against threshold θ
-      -> decode blocks (numpy varint) + BM25 contributions
-      -> per-doc deterministic sum (term-ascending order, float64)
-      -> orderBy(score desc, doc_id asc).limit(k)  => TakeOrderedAndProject
+      -> term_stats lookup (df+idf per query term; one tiny job)
+      -> candidate posting blocks (filter term IN (...) — file/row-group
+         pruning on the term-clustered postings table)
+      -> groupBy(bucket) applyInPandas  [ONE fused stage]:
+           block-max WAND prune: skip the whole bucket when
+             UB(bucket) = Σ_t idf_t·max(max_impact) < θ
+           decode surviving blocks (numpy varint) -> BM25 contributions
+           per-doc sum in TERM-ASCENDING order (deterministic float64)
+           local top-k
+      -> global orderBy(score desc, doc_id asc).limit(k)  [k rows per bucket]
 
-Determinism: contributions are summed per doc in term-ascending order via
-sort_array(collect_list(struct(term, contrib))) + aggregate() — float addition
-order is fixed regardless of partitioning, so scores are bit-identical at any
-cluster size and equal to the oracle's.
+Buckets partition doc space (build.bucket_expr), so each doc's postings for
+ALL query terms land in the same bucket group — the per-bucket sum is the
+full score, local top-k is safe, and pruning a bucket can never corrupt a
+surviving doc's score. θ is seeded from the rarest query term: its k-th
+largest single-term contribution lower-bounds the final k-th best score
+(every doc containing it scores at least that). The seed job is skipped
+when df(rarest) <= k (θ would be 0).
 
-Block-max WAND, distributed (SURVEY.md §2.5 T3): classic BMW advances aligned
-cursors; a batch engine gets the same pruning from the range-bucketed layout:
-every posting block lives in a doc-range bucket (build.py), so the per-bucket
-upper bound  UB(bucket) = Σ_t idf_t · max(max_impact of t's blocks in bucket)
-is computable with one tiny groupBy over block *metadata* (no decode). Buckets
-with UB < θ cannot contain a top-k doc and are dropped before any decode; docs
-in surviving buckets are scored exactly (all their terms' blocks in that
-bucket survive together => no partial-score corruption). θ is seeded from the
-rarest query term: its k-th largest single-term contribution is a valid lower
-bound on the final k-th best score. Everything is metadata-scale — nothing is
-collected to the driver except k rows and per-term stats.
+Everything driver-side is metadata-scale: per-term stats and k rows.
+Determinism: float64, fixed summation order, ties -> doc_id asc — results
+are identical at any parallelism and equal to the pytest oracle's.
 """
 
 from __future__ import annotations
@@ -41,6 +39,13 @@ from webindex import codec
 from webindex.build import Index
 from webindex.textproc import tokenize
 
+_HIT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
 _DECODED = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -50,18 +55,20 @@ _DECODED = T.StructType(
 )
 
 
-def _query_terms(index: Index, query: str) -> dict[str, float]:
-    """{term: idf} for query terms present in the corpus (duplicates dedup'd,
-    matching Lucene's per-field term dedup in multi_match)."""
+def _query_terms(index: Index, query: str) -> dict[str, tuple[int, float]]:
+    """{term: (df, idf)} for query terms present in the corpus (duplicates
+    dedup'd, matching Lucene's per-field term dedup in multi_match). One
+    Spark job; df rides along so WAND's rarest-term choice is free."""
     terms = sorted(set(tokenize(query)))
     if not terms:
         return {}
     rows = index.term_stats.filter(F.col("term").isin(terms)).collect()
-    return {r["term"]: float(r["idf"]) for r in rows}
+    return {r["term"]: (int(r["df"]), float(r["idf"])) for r in rows}
 
 
-def _decode_score_iter(idf_map: dict[str, float], conf, avgdl: float):
-    """mapInPandas fn over posting-block rows -> (term, doc_id, contrib)."""
+def _decode_contribs_iter(idf_map: dict[str, float], conf, avgdl: float):
+    """mapInPandas fn over posting-block rows -> (term, doc_id, contrib).
+    Used by the θ-seed job (single term)."""
     k1, b = conf.k1, conf.b
 
     def fn(batches):
@@ -89,89 +96,95 @@ def _decode_score_iter(idf_map: dict[str, float], conf, avgdl: float):
     return fn
 
 
-def _sum_and_topk(contribs: DataFrame, k: int) -> DataFrame:
-    """Deterministic per-doc sum (term-asc order) then global top-k."""
-    scored = contribs.groupBy("doc_id").agg(
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("term", "contrib"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["contrib"],
-        ).alias("score")
+def _score_bucket_fn(idf_map: dict[str, float], conf, avgdl: float, k: int, theta: float):
+    """applyInPandas fn: one bucket's blocks (all query terms) -> local top-k.
+
+    Deterministic per-doc sum: rows sorted by (doc_id, term), summed with
+    np.add.reduceat — identical order to the oracle's term-ascending fold."""
+    k1, b = conf.k1, conf.b
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if theta > 0.0:
+            # block-max WAND bucket bound from metadata already in hand
+            ub = (
+                pdf.assign(_c=pdf["term"].map(idf_map) * pdf["max_impact"])
+                .groupby("term")["_c"]
+                .max()
+                .sum()
+            )
+            if ub < theta:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": np.int64, "score": np.float64}
+                )
+        term_rank = {t: i for i, t in enumerate(sorted(idf_map))}
+        ids_all, terms_all, contribs_all = [], [], []
+        for term, dbuf, tbuf, lbuf in zip(
+            pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
+        ):
+            ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
+            ids_all.append(ids)
+            terms_all.append(np.full(len(ids), term_rank[term], dtype=np.int32))
+            contribs_all.append(idf_map[term] * codec.bm25_impact(tfs, dls, avgdl, k1, b))
+        if not ids_all:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float64}
+            )
+        ids = np.concatenate(ids_all)
+        terms = np.concatenate(terms_all)
+        contribs = np.concatenate(contribs_all)
+        # sort by (doc_id, term): reduceat then sums per doc in term-asc order
+        order = np.lexsort((terms, ids))
+        ids, contribs = ids[order], contribs[order]
+        starts = np.concatenate(([0], np.nonzero(ids[1:] != ids[:-1])[0] + 1))
+        doc_ids = ids[starts]
+        scores = np.add.reduceat(contribs, starts)
+        # local top-k: score desc, doc_id asc
+        sel = np.lexsort((doc_ids, -scores))[:k]
+        return pd.DataFrame({"doc_id": doc_ids[sel], "score": scores[sel]})
+
+    return fn
+
+
+def _run_scored(index: Index, idf_map: dict[str, float], k: int, theta: float) -> DataFrame:
+    blocks = index.postings.filter(F.col("term").isin(list(idf_map)))
+    hits = blocks.groupBy("bucket").applyInPandas(
+        _score_bucket_fn(idf_map, index.conf, index.avgdl, k, theta), schema=_HIT
     )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def topk_exact(index: Index, query: str, k: int = 10) -> DataFrame:
-    """Exhaustive scoring of every candidate posting (the internal
-    cross-check for WAND; also the fallback for tiny term sets)."""
+    """Exhaustive scoring (θ=0: nothing pruned) — the WAND cross-check."""
     spark = index.postings.sparkSession
-    idf_map = _query_terms(index, query)
-    if not idf_map:
-        return spark.createDataFrame(
-            [], "doc_id long, score double"
-        )
-    blocks = index.postings.filter(F.col("term").isin(list(idf_map)))
-    contribs = blocks.mapInPandas(
-        _decode_score_iter(idf_map, index.conf, index.avgdl), schema=_DECODED
-    )
-    return _sum_and_topk(contribs, k)
+    stats = _query_terms(index, query)
+    if not stats:
+        return spark.createDataFrame([], _HIT)
+    idf_map = {t: idf for t, (_, idf) in stats.items()}
+    return _run_scored(index, idf_map, k, theta=0.0)
 
 
 def topk_wand(index: Index, query: str, k: int = 10) -> DataFrame:
-    """Block-max WAND top-k (distributed bucket-level pruning; see module
-    docstring). Result is always identical to topk_exact."""
+    """Block-max WAND top-k (bucket-level pruning fused into the scoring
+    stage; see module docstring). Always identical to topk_exact."""
     spark = index.postings.sparkSession
-    idf_map = _query_terms(index, query)
-    if not idf_map:
-        return spark.createDataFrame([], "doc_id long, score double")
-    terms = list(idf_map)
-    blocks = index.postings.filter(F.col("term").isin(terms))
+    stats = _query_terms(index, query)
+    if not stats:
+        return spark.createDataFrame([], _HIT)
+    idf_map = {t: idf for t, (_, idf) in stats.items()}
 
-    # θ seed: k-th largest single-term contribution of the rarest term.
-    rarest = (
-        index.term_stats.filter(F.col("term").isin(terms))
-        .orderBy(F.asc("df"), F.asc("term"))
-        .limit(1)
-        .collect()
-    )
     theta = 0.0
-    if rarest:
-        rterm = rarest[0]["term"]
-        seed_contribs = blocks.filter(F.col("term") == rterm).mapInPandas(
-            _decode_score_iter({rterm: idf_map[rterm]}, index.conf, index.avgdl),
-            schema=_DECODED,
-        )
-        kth = seed_contribs.orderBy(F.desc("contrib")).limit(k).collect()
-        if len(kth) == k:
-            theta = float(kth[-1]["contrib"])
-
-    # Bucket-level upper bounds from block METADATA only (no decode).
-    idf_expr = F.create_map(
-        *[x for t in terms for x in (F.lit(t), F.lit(idf_map[t]))]
-    )
-    meta = blocks.select(
-        F.floor(F.col("min_doc") / F.lit(index.range_width)).alias("bucket"),
-        "term",
-        (idf_expr[F.col("term")] * F.col("max_impact")).alias("ub_contrib"),
-    )
-    bucket_ub = (
-        meta.groupBy("bucket", "term")
-        .agg(F.max("ub_contrib").alias("term_ub"))
-        .groupBy("bucket")
-        .agg(F.sum("term_ub").alias("ub"))
-        .filter(F.col("ub") >= F.lit(theta))
-        .select("bucket")
-    )
-
-    surviving = blocks.join(
-        F.broadcast(bucket_ub),
-        F.floor(F.col("min_doc") / F.lit(index.range_width)) == F.col("bucket"),
-        "left_semi",
-    )
-    contribs = surviving.mapInPandas(
-        _decode_score_iter(idf_map, index.conf, index.avgdl), schema=_DECODED
-    )
-    return _sum_and_topk(contribs, k)
+    if len(stats) > 1:
+        # θ seed from the rarest term — worthwhile only if it has > k docs
+        rterm = min(stats, key=lambda t: (stats[t][0], t))
+        if stats[rterm][0] > k:
+            seed = index.postings.filter(F.col("term") == rterm).mapInPandas(
+                _decode_contribs_iter({rterm: idf_map[rterm]}, index.conf, index.avgdl),
+                schema=_DECODED,
+            )
+            kth = seed.orderBy(F.desc("contrib")).limit(k).collect()
+            if len(kth) == k:
+                theta = float(kth[-1]["contrib"])
+    return _run_scored(index, idf_map, k, theta)
 
 
 def topk(index: Index, query: str, k: int = 10, exact: bool = False) -> DataFrame:

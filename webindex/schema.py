@@ -42,11 +42,13 @@ TERM_STATS = T.StructType(
 )
 
 # postings: one row per (term, block); partitioned/bucketed by term in prod so
-# a query's term-IN filter prunes files.
+# a query's term-IN filter prunes files. `bucket` is the doc-range shard the
+# block lives in (build.bucket_expr); block_id = (bucket << 24) | local_idx.
 POSTINGS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
-        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("block_id", T.LongType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("doc_lens", T.BinaryType(), False),

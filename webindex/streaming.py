@@ -139,13 +139,19 @@ class IncrementalIndexer:
         out = f"{self.workdir}/index"
         # dedup run rows in case a url appeared in two batches (same doc_id)
         runs = runs.dropDuplicates(["term", "doc_id"])
-        build_postings(runs, avgdl, self.conf, self.range_width).write.mode(
-            "overwrite"
-        ).parquet(f"{out}/postings")
-        build_term_stats(runs, n_docs).write.mode("overwrite").parquet(
-            f"{out}/term_stats"
+        build_postings(
+            runs, avgdl, self.conf, self.range_width, n_docs=n_docs, id_space="hash"
+        ).repartitionByRange(
+            "term", "block_id"
+        ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
+            f"{out}/postings"
         )
-        doc_stats.write.mode("overwrite").parquet(f"{out}/doc_stats")
+        build_term_stats(runs, n_docs).repartitionByRange("term").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(f"{out}/term_stats")
+        doc_stats.repartitionByRange("doc_id").sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/doc_stats")
         spark.createDataFrame(
             [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
         ).write.mode("overwrite").parquet(f"{out}/corpus_stats")
