@@ -77,6 +77,7 @@ def main() -> None:
         timings["build_synth40k_docs_per_sec"] = round(n_synth / timings["build_synth40k"], 1)
 
         # -- query latency over the synth index -------------------------------
+        topk_wand(idx, "warmup run", 10).collect()  # python-worker/file-list warmup
         lat = []
         for q in QUERY_SET:
             t0 = time.monotonic()
@@ -90,7 +91,10 @@ def main() -> None:
         # -- dedup + simsearch -------------------------------------------------
         from webindex.dedup import lsh_candidate_pairs, minhash_signatures
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # single-file parquet reads as ONE partition — spread it first
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            spark.sparkContext.defaultParallelism
+        )
         t0 = time.monotonic()
         sigs = minhash_signatures(docs, n_hashes=16)
         lsh_candidate_pairs(sigs, n_bands=4).count()

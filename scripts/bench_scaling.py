@@ -35,10 +35,15 @@ def run_at(cores: int, n_docs: int):
     )
     try:
         with tempfile.TemporaryDirectory(prefix=f"scale{cores}_") as wd:
-            pages = generate_pages_df(spark, n_docs, partitions=cores * 4)
+            # materialize the corpus untimed — we measure the index build
+            generate_pages_df(spark, n_docs, partitions=128).write.mode(
+                "overwrite"
+            ).parquet(f"{wd}/pages")
+            pages = spark.read.parquet(f"{wd}/pages")
             t0 = time.monotonic()
             idx = build_index(
-                spark, pages, text_col="html", doc_id_method="hash", out_dir=wd
+                spark, pages, text_col="html", doc_id_method="hash",
+                out_dir=f"{wd}/idx",
             )
             elapsed = time.monotonic() - t0
             hits = {

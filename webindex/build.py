@@ -48,6 +48,14 @@ from webindex.textproc import extract_and_tokenize, tokenize
 DEFAULT_RANGE_WIDTH = 1 << 18
 
 
+def adaptive_range_width(n_docs: int) -> int:
+    """Bucket width when the caller doesn't pin one: ~128+ buckets for
+    mid-size corpora (query scoring parallelism), capped at DEFAULT_RANGE_WIDTH
+    for web scale. Depends ONLY on n_docs (data), never on cluster size —
+    block identity across parallelism levels is preserved."""
+    return max(1024, min(DEFAULT_RANGE_WIDTH, n_docs // 128))
+
+
 @dataclass
 class Index:
     """Handles to the built index tables (DataFrames, possibly disk-backed)."""
@@ -270,7 +278,7 @@ def build_index(
     *,
     text_col: str = "html",
     doc_id_method: str = "hash",
-    range_width: int = DEFAULT_RANGE_WIDTH,
+    range_width: int | None = None,
     id_space: str | None = None,
     out_dir: str | None = None,
     runs_persist: bool = True,
@@ -295,6 +303,8 @@ def build_index(
     ).collect()[0]
     n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
 
+    if range_width is None:
+        range_width = adaptive_range_width(n_docs)
     term_stats = build_term_stats(runs, n_docs)
     postings = build_postings(
         runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space

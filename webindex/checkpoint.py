@@ -150,7 +150,7 @@ def build_index_resumable(
     chunk_buckets: int = 4,
     text_col: str = "html",
     doc_id_method: str = "hash",
-    range_width: int = DEFAULT_RANGE_WIDTH,
+    range_width: int | None = None,
 ) -> Index:
     """Full build with checkpoint/resume on the scan stage, then the
     (term,bucket) shuffle into final index tables under <workdir>/index."""
@@ -179,6 +179,10 @@ def build_index_resumable(
     n_docs, avgdl = int(agg["n"]), float(agg["a"] or 0.0)
 
     out = f"{workdir}/index"
+    if range_width is None:
+        from webindex.build import adaptive_range_width
+
+        range_width = adaptive_range_width(n_docs)
     id_space = "hash" if doc_id_method == "hash" else "dense"
     # term-clustered write (see build.build_index): file/row-group pruning
     build_postings(

