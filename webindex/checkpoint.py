@@ -40,10 +40,6 @@ from webindex.build import (
 )
 
 
-def _bucket_of(col) -> F.Column:
-    return F.pmod(F.xxhash64(col), F.lit(0)).cast("int")  # placeholder
-
-
 def bucket_col(doc_id_col, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(doc_id_col.cast("long")), F.lit(n_buckets)).cast("int")
 

@@ -192,6 +192,51 @@ def topk(index: Index, query: str, k: int = 10, exact: bool = False) -> DataFram
     return topk_exact(index, query, k) if exact else topk_wand(index, query, k)
 
 
+def topk_best_fields(
+    indexes: dict[str, Index], query: str, k: int = 10, exact: bool = False
+) -> DataFrame:
+    """multi_match type=best_fields over several indexed fields — the
+    reference's actual query shape (reference:
+    src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-262 queries
+    [digitalObjectLocation, pid] with best_fields = Lucene dis_max):
+    doc score = MAX over fields of that field's BM25 score.
+
+    Each field has its own index (own postings/df/avgdl, like per-field
+    Lucene stats). Per-field top-k suffices: the global best-fields top-k is
+    contained in the union of per-field top-ks (max-merge preserves order).
+    Ties -> doc_id asc. Returns (doc_id, score, field)."""
+    spark = next(iter(indexes.values())).postings.sparkSession
+    parts = []
+    for field in sorted(indexes):
+        hits = topk(indexes[field], query, k, exact)
+        parts.append(hits.select("doc_id", "score", F.lit(field).alias("field")))
+    if not parts:
+        return spark.createDataFrame([], "doc_id long, score double, field string")
+    allhits = parts[0]
+    for p in parts[1:]:
+        allhits = allhits.unionByName(p)
+    # deterministic field attribution on score ties: lexicographically first
+    best = allhits.groupBy("doc_id").agg(F.max("score").alias("score"))
+    best = (
+        best.join(allhits, ["doc_id", "score"])
+        .groupBy("doc_id", "score")
+        .agg(F.min("field").alias("field"))
+    )
+    return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def lookup_doc(index: Index, doc_id: int) -> DataFrame:
+    """Point lookup (reference: tpm_connector.py:166-196 getPIDRecord).
+    doc_stats is doc_id-sorted parquet -> min/max pruning hits one file."""
+    return index.doc_stats.filter(F.col("doc_id") == doc_id)
+
+
+def lookup_url(index: Index, url: str) -> DataFrame:
+    """Reverse lookup by url (the reference's digitalObjectLocation probe,
+    lib.py:173-182)."""
+    return index.doc_stats.filter(F.col("url") == url)
+
+
 def topk_with_urls(index: Index, query: str, k: int = 10, exact: bool = False) -> DataFrame:
     hits = topk(index, query, k, exact)
     return (
