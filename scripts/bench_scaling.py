@@ -6,57 +6,64 @@ at local[8] and local[32] on the same input and reporting throughput at both
 plus scaling efficiency = (T_8 / T_32) / 4, and rank-identity of the top-k
 results across the two runs.
 
+Each parallelism level runs in a FRESH subprocess (one JVM per "cluster" —
+sequential sessions in one process contaminate each other: measured 3x
+slow-down for the second session from leftover python workers/GC).
+
 Writes BENCH/BASELINE.md. Run: python scripts/bench_scaling.py [n_docs]
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import tempfile
-import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-sys.path.insert(0, str(REPO))
 
 QUERIES = ["the", "data spark", "w199 merge", "index query search", "the w150"]
 
+_WORKER = r"""
+import json, sys, time, tempfile
+sys.path.insert(0, {repo!r})
+from webindex.build import build_index
+from webindex.pagesgen import generate_pages_df
+from webindex.query import topk_wand
+from webindex.session import get_spark
+
+cores, n_docs, queries = {cores}, {n_docs}, {queries!r}
+spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores, driver_mem="40g")
+with tempfile.TemporaryDirectory(prefix=f"scale{{cores}}_") as wd:
+    # corpus materialized untimed — we measure the index build
+    generate_pages_df(spark, n_docs, partitions=128).write.mode("overwrite").parquet(f"{{wd}}/pages")
+    pages = spark.read.parquet(f"{{wd}}/pages")
+    t0 = time.monotonic()
+    idx = build_index(spark, pages, text_col="html", doc_id_method="hash", out_dir=f"{{wd}}/idx")
+    elapsed = time.monotonic() - t0
+    hits = {{q: [(r["doc_id"], round(r["score"], 9)) for r in topk_wand(idx, q, 10).collect()]
+            for q in queries}}
+print("RESULT:" + json.dumps({{"elapsed": elapsed, "hits": hits}}))
+spark.stop()
+"""
+
 
 def run_at(cores: int, n_docs: int):
-    from webindex.build import build_index
-    from webindex.pagesgen import generate_pages_df
-    from webindex.query import topk_wand
-    from webindex.session import get_spark
-
-    spark = get_spark(
-        app=f"scaling-{cores}", master=f"local[{cores}]",
-        shuffle_partitions=cores, driver_mem="48g",
+    code = _WORKER.format(repo=str(REPO), cores=cores, n_docs=n_docs, queries=QUERIES)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
-    try:
-        with tempfile.TemporaryDirectory(prefix=f"scale{cores}_") as wd:
-            # materialize the corpus untimed — we measure the index build
-            generate_pages_df(spark, n_docs, partitions=128).write.mode(
-                "overwrite"
-            ).parquet(f"{wd}/pages")
-            pages = spark.read.parquet(f"{wd}/pages")
-            t0 = time.monotonic()
-            idx = build_index(
-                spark, pages, text_col="html", doc_id_method="hash",
-                out_dir=f"{wd}/idx",
-            )
-            elapsed = time.monotonic() - t0
-            hits = {
-                q: [(r["doc_id"], round(r["score"], 9)) for r in topk_wand(idx, q, 10).collect()]
-                for q in QUERIES
-            }
-        return elapsed, hits
-    finally:
-        spark.stop()
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT:"):
+            data = json.loads(line[len("RESULT:"):])
+            return data["elapsed"], data["hits"]
+    raise RuntimeError(f"worker at {cores} cores failed:\n{out.stderr[-2000:]}")
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
 
     t8, hits8 = run_at(8, n_docs)
     t32, hits32 = run_at(32, n_docs)
@@ -72,13 +79,13 @@ def main() -> None:
 Per the driver instruction, the north rule's "N vs 4N executors, scaling
 efficiency >= 0.8, rank-identical top-k" criterion is evidenced in-sandbox by
 running the identical index build job at local[8] (N) and local[32] (4N) on
-the same deterministic input.
+the same deterministic input, one fresh JVM per level.
 
 - input: synthetic `pages` corpus, n_docs = {n_docs:,} (pagesgen, seed=42,
-  Zipf vocabulary -> hot-term skew present)
+  Zipf vocabulary -> hot-term skew present), materialized to parquet untimed
 - job: build_index(text_col='html') — extraction + tokenize + SPIMI runs +
   (term, doc-range-bucket) shuffle + delta+varint block encode + parquet write
-- host: 32 cores, single JVM per run (local mode), Spark {{4.1.2}}
+- host: 32 cores, single JVM per run (local mode), PySpark 4.1.2
 
 | parallelism | wall-clock (s) | throughput (docs/s) |
 |---|---|---|
@@ -93,6 +100,11 @@ the same deterministic input.
 ({", ".join(repr(q) for q in QUERIES)}) are byte-equal between the local[8]
 and local[32] indexes (deterministic doc ids + range-bucketed blocks +
 fixed-order float summation).
+
+Caveat: local mode shares one host's memory bandwidth, page cache and shuffle
+disk across "executors", so local[8]->local[32] understates true multi-node
+scaling; the job has no single-reducer stage (the (term,bucket) salt bounds
+every task) and no driver-side loops, which is what the criterion tests.
 
 Raw: {json.dumps({"t8": round(t8, 2), "t32": round(t32, 2), "eff": round(eff, 4), "rank_identical": identical})}
 """)

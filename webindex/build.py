@@ -311,19 +311,23 @@ def build_index(
     )
 
     if out_dir:
-        # term-clustered layout: range-partition + sort by term so a query's
-        # IN(term,...) pushdown prunes FILES and ROW-GROUPS via parquet
-        # min/max stats (hash-shuffle order would force reading every file).
-        # Iceberg equivalent: WRITE ORDERED BY (term, block_id).
-        postings.repartitionByRange("term", "block_id").sortWithinPartitions(
-            "term", "block_id"
-        ).write.mode("overwrite").parquet(f"{out_dir}/postings")
-        term_stats.repartitionByRange("term").sortWithinPartitions("term").write.mode(
+        # term-clustered layout: each shuffle partition (already hash-keyed by
+        # (term,bucket) from the encode groupBy) is SORTED by term before the
+        # write, so parquet row-group min/max stats prune a query's
+        # IN(term,...) pushdown tightly. NB: repartitionByRange would give
+        # file-level pruning too, but its range-sampling job re-executes the
+        # whole encode (2x build cost, measured 5x slower end-to-end) — on
+        # Iceberg use WRITE ORDERED BY (term, block_id) which samples
+        # metadata, not the plan.
+        postings.sortWithinPartitions("term", "block_id").write.mode(
             "overwrite"
-        ).parquet(f"{out_dir}/term_stats")
-        doc_stats.repartitionByRange("doc_id").sortWithinPartitions("doc_id").write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/doc_stats")
+        ).parquet(f"{out_dir}/postings")
+        term_stats.sortWithinPartitions("term").write.mode("overwrite").parquet(
+            f"{out_dir}/term_stats"
+        )
+        doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+            f"{out_dir}/doc_stats"
+        )
         spark.createDataFrame(
             [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
         ).write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")

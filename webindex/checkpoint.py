@@ -180,20 +180,19 @@ def build_index_resumable(
 
         range_width = adaptive_range_width(n_docs)
     id_space = "hash" if doc_id_method == "hash" else "dense"
-    # term-clustered write (see build.build_index): file/row-group pruning
+    # term-sorted-within-partition write (see build.build_index for why not
+    # repartitionByRange): row-group pruning on term IN (...) filters
     build_postings(
         runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space
-    ).repartitionByRange("term", "block_id").sortWithinPartitions(
-        "term", "block_id"
-    ).write.mode("overwrite").parquet(
+    ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
         f"{out}/postings"
     )
-    build_term_stats(runs, n_docs).repartitionByRange("term").sortWithinPartitions(
-        "term"
-    ).write.mode("overwrite").parquet(f"{out}/term_stats")
-    doc_stats.repartitionByRange("doc_id").sortWithinPartitions("doc_id").write.mode(
+    build_term_stats(runs, n_docs).sortWithinPartitions("term").write.mode(
         "overwrite"
-    ).parquet(f"{out}/doc_stats")
+    ).parquet(f"{out}/term_stats")
+    doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+        f"{out}/doc_stats"
+    )
     spark.createDataFrame([(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS).write.mode(
         "overwrite"
     ).parquet(f"{out}/corpus_stats")

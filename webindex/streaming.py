@@ -146,17 +146,15 @@ class IncrementalIndexer:
         runs = runs.dropDuplicates(["term", "doc_id"])
         build_postings(
             runs, avgdl, self.conf, range_width, n_docs=n_docs, id_space="hash"
-        ).repartitionByRange(
-            "term", "block_id"
         ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
             f"{out}/postings"
         )
-        build_term_stats(runs, n_docs).repartitionByRange("term").sortWithinPartitions(
-            "term"
-        ).write.mode("overwrite").parquet(f"{out}/term_stats")
-        doc_stats.repartitionByRange("doc_id").sortWithinPartitions("doc_id").write.mode(
+        build_term_stats(runs, n_docs).sortWithinPartitions("term").write.mode(
             "overwrite"
-        ).parquet(f"{out}/doc_stats")
+        ).parquet(f"{out}/term_stats")
+        doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+            f"{out}/doc_stats"
+        )
         spark.createDataFrame(
             [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
         ).write.mode("overwrite").parquet(f"{out}/corpus_stats")
