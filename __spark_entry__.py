@@ -287,6 +287,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = lang_id(_docs(spark, sf))
         return li.select("doc_id", "pred_lang", F.col("lang_hits").cast("long").alias("lang_hits"))
 
+    def q_embedding_neardup(spark, sf):
+        # exact all-pairs cosine near-dup (the LSH variant in
+        # simsearch.all_pairs_above is the scale path; the oracle-checked
+        # entry is exact so the gate is strict)
+        from webindex.simsearch import _dot, _norm
+
+        emb = _embeddings(spark, sf).select(
+            F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+        )
+        emb2 = _embeddings(spark, sf).select(
+            F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+        )
+        pairs = emb.join(emb2, F.col("a") < F.col("b"))
+        cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        return pairs.select("a", "b", F.round(cos, 4).alias("cos")).filter(
+            F.col("cos") >= 0.35
+        )
+
     def q_cosine_topk(spark, sf):
         emb = _embeddings(spark, sf)
         qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -404,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_join": lookup_join,
         "union_categories": union_categories,
         "coalesce_fallback": coalesce_fallback,
+        "embedding_neardup": q_embedding_neardup,
         "exact_dedup": q_exact_dedup,
         "minhash_sig": q_minhash,
         "lsh_pairs": q_lsh_pairs,
@@ -698,6 +717,51 @@ UNION ALL
 SELECT dst AS src, src AS dst, 'reverse' AS direction FROM e
 """
 
-    # lang_id, simhash_pairs, cosine_topk_lsh: non-SQL-expressible heuristics /
-    # approximate ops -> rows-only check (documented weaker gate).
+    # exact cosine near-dup pairs: same sequential double math as cosine_topk
+    sql["embedding_neardup"] = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_sum(list_transform(generate_series(1, len(x.embedding)),
+                                 i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(x.embedding)),
+                                         i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(generate_series(1, len(y.embedding)),
+                                           i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))) AS cos
+  FROM v x JOIN v y ON x.vec_id < y.vec_id
+)
+SELECT a, b, round(cos, 4) AS cos FROM p WHERE round(cos, 4) >= 0.35
+"""
+
+    # lang_id: the stopword-overlap heuristic is plain SQL
+    _langs = {
+        "de": "['der','die','das','und','ist','von','zu','mit','den','nicht']",
+        "en": "['the','and','of','to','in','is','it','that','for','was']",
+        "es": "['el','la','de','que','y','en','un','por','con','para']",
+        "fr": "['le','la','de','et','les','des','est','dans','qui','pour']",
+    }
+    hit_cols = ",\n       ".join(
+        f"len(list_intersect(toks, {arr})) AS h_{lang}" for lang, arr in _langs.items()
+    )
+    sql["lang_id"] = f"""
+WITH t AS (SELECT doc_id, list_distinct({toks}) AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+       {hit_cols}
+  FROM t
+),
+m AS (SELECT doc_id, h_de, h_en, h_es, h_fr,
+             greatest(h_de, h_en, h_es, h_fr) AS mx FROM h)
+SELECT doc_id,
+       CASE WHEN mx = 0 THEN 'und'
+            WHEN h_de = mx THEN 'de'
+            WHEN h_en = mx THEN 'en'
+            WHEN h_es = mx THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       mx::BIGINT AS lang_hits
+FROM m
+"""
+
+    # simhash_pairs, cosine_topk_lsh: bit-level / approximate ops ->
+    # rows-only check (documented weaker gate).
     return sql

@@ -358,11 +358,21 @@ def build_index(
     )
 
 
-def load_index(spark: SparkSession, out_dir: str, conf: BM25Config = DEFAULT) -> Index:
+def load_index(
+    spark: SparkSession, out_dir: str, conf: BM25Config = DEFAULT, cache: bool = False
+) -> Index:
+    """cache=True pins postings/term_stats in executor memory (serving mode:
+    repeated queries skip the parquet read — term_stats is the hot lookup)."""
     stats = spark.read.parquet(f"{out_dir}/corpus_stats").collect()[0]
+    postings = spark.read.parquet(f"{out_dir}/postings")
+    term_stats = spark.read.parquet(f"{out_dir}/term_stats")
+    if cache:
+        postings = postings.persist()
+        term_stats = term_stats.persist()
+        term_stats.count()
     return Index(
-        postings=spark.read.parquet(f"{out_dir}/postings"),
-        term_stats=spark.read.parquet(f"{out_dir}/term_stats"),
+        postings=postings,
+        term_stats=term_stats,
         doc_stats=spark.read.parquet(f"{out_dir}/doc_stats"),
         n_docs=int(stats["n_docs"]),
         avgdl=float(stats["avgdl"]),
