@@ -88,6 +88,14 @@ def main() -> None:
         timings["query_p95"] = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
         timings["query_mean"] = sum(lat) / len(lat)
 
+        # batched query-log evaluation (one job for the whole set)
+        from webindex.query import topk_batch
+
+        t0 = time.monotonic()
+        topk_batch(idx, {f"q{i}": q for i, q in enumerate(QUERY_SET)}, 10).collect()
+        timings["query_batch_all"] = time.monotonic() - t0
+        timings["query_batch_qps"] = round(len(QUERY_SET) / timings["query_batch_all"], 1)
+
         # -- dedup + simsearch -------------------------------------------------
         from webindex.dedup import lsh_candidate_pairs, minhash_signatures
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from webindex import codec
 from webindex.build import Index
@@ -185,6 +185,95 @@ def topk_wand(index: Index, query: str, k: int = 10) -> DataFrame:
             if len(kth) == k:
                 theta = float(kth[-1]["contrib"])
     return _run_scored(index, idf_map, k, theta)
+
+
+def topk_batch(index: Index, queries: dict[str, str], k: int = 10) -> DataFrame:
+    """Evaluate MANY queries in one pass: (query_id, doc_id, score, rank).
+
+    One job scans the union of all queries' terms, decodes each block once,
+    and fans contributions out to every query containing the term — the
+    batch-engine way to run a query log / relevance eval set (per-query jobs
+    pay Spark's fixed job latency per query; this pays it once).
+
+    Exhaustive per query (θ pruning needs a per-query threshold; a shared
+    scan can't prune per-query without per-query seeds — exactness first).
+    Determinism identical to topk_exact per query."""
+    spark = index.postings.sparkSession
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+        ]
+    )
+    qterms = {qid: sorted(set(tokenize(q))) for qid, q in queries.items()}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], out_schema)
+    rows = index.term_stats.filter(F.col("term").isin(all_terms)).collect()
+    idf_map = {r["term"]: float(r["idf"]) for r in rows}
+    # term -> [query_id ...] membership (only terms present in the corpus)
+    term_queries: dict[str, list[str]] = {}
+    for qid, ts in qterms.items():
+        for t in ts:
+            if t in idf_map:
+                term_queries.setdefault(t, []).append(qid)
+    if not term_queries:
+        return spark.createDataFrame([], out_schema)
+    conf, avgdl = index.conf, index.avgdl
+    k1, b = conf.k1, conf.b
+    term_rank = {t: i for i, t in enumerate(sorted(idf_map))}
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_query: dict[str, list] = {}
+        decoded = {}
+        for term, dbuf, tbuf, lbuf in zip(
+            pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
+        ):
+            ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
+            contrib = idf_map[term] * codec.bm25_impact(tfs, dls, avgdl, k1, b)
+            for qid in term_queries.get(term, ()):
+                per_query.setdefault(qid, []).append(
+                    (np.full(len(ids), term_rank[term], dtype=np.int32), ids, contrib)
+                )
+        out_q, out_d, out_s, out_r = [], [], [], []
+        for qid in sorted(per_query):
+            chunks = per_query[qid]
+            terms = np.concatenate([c[0] for c in chunks])
+            ids = np.concatenate([c[1] for c in chunks])
+            contribs = np.concatenate([c[2] for c in chunks])
+            order = np.lexsort((terms, ids))
+            ids, contribs = ids[order], contribs[order]
+            starts = np.concatenate(([0], np.nonzero(ids[1:] != ids[:-1])[0] + 1))
+            doc_ids = ids[starts]
+            scores = np.add.reduceat(contribs, starts)
+            sel = np.lexsort((doc_ids, -scores))[:k]
+            out_q.extend([qid] * len(sel))
+            out_d.append(doc_ids[sel])
+            out_s.append(scores[sel])
+            out_r.append(np.arange(1, len(sel) + 1, dtype=np.int32))
+        if not out_q:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": [], "rank": []}).astype(
+                {"query_id": str, "doc_id": np.int64, "score": np.float64, "rank": np.int32}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": out_q,
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+                "rank": np.concatenate(out_r),
+            }
+        )
+
+    blocks = index.postings.filter(F.col("term").isin(list(term_queries)))
+    local = blocks.groupBy("bucket").applyInPandas(fn, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
 
 
 def topk(index: Index, query: str, k: int = 10, exact: bool = False) -> DataFrame:
