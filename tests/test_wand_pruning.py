@@ -1,0 +1,67 @@
+"""Interval-level block-max pruning engages and stays exact.
+
+Drives webindex.query._score_bucket_fn directly on real block rows so the
+pruning branch (theta>0) is observably exercised (not just equal-output)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from webindex.build import build_index
+from webindex.pagesgen import make_pages_pdf
+from webindex.query import _query_terms, _score_bucket_fn, topk_exact, topk_wand
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    pdf = make_pages_pdf(0, 256)
+    pdf.insert(0, "doc_id", np.arange(256, dtype=np.int64))
+    return build_index(
+        spark, spark.createDataFrame(pdf), text_col="text",
+        doc_id_method="provided", range_width=32,
+    )
+
+
+def _bucket_frames(idx, terms):
+    rows = idx.postings.filter(F.col("term").isin(terms)).toPandas()
+    return {b: g.reset_index(drop=True) for b, g in rows.groupby("bucket")}
+
+
+def test_prune_all_when_theta_unreachable(idx):
+    stats = _query_terms(idx, "the data")
+    idf_map = {t: i for t, (_, i) in stats.items()}
+    fn = _score_bucket_fn(idf_map, idx.conf, idx.avgdl, k=10, theta=1e9)
+    for pdf in _bucket_frames(idx, list(idf_map)).values():
+        assert len(fn(pdf)) == 0  # every interval UB < theta -> all pruned
+
+
+def test_partial_prune_keeps_survivors_exact(idx):
+    # rare + hot mix: intervals without the rare term have UB = hot-only,
+    # far below a theta anchored at the rare docs' scores -> real pruning
+    query = "w199 the"
+    stats = _query_terms(idx, query)
+    assert "w199" in stats, "fixture corpus must contain the rare tail term"
+    idf_map = {t: i for t, (_, i) in stats.items()}
+    frames = _bucket_frames(idx, list(idf_map))
+    exact_fn = _score_bucket_fn(idf_map, idx.conf, idx.avgdl, k=1000, theta=0.0)
+    all_scores = pd.concat([exact_fn(p) for p in frames.values()])
+    theta = float(all_scores["score"].max()) * 0.5
+    pruned_fn = _score_bucket_fn(idf_map, idx.conf, idx.avgdl, k=1000, theta=theta)
+    pruned = pd.concat([pruned_fn(p) for p in frames.values()])
+    # every >=theta doc survives with a bit-identical score...
+    keep = all_scores[all_scores["score"] >= theta].sort_values("doc_id")
+    got = pruned[pruned["score"] >= theta].sort_values("doc_id")
+    assert len(keep) >= 1
+    assert list(got["doc_id"]) == list(keep["doc_id"])
+    assert np.allclose(got["score"].to_numpy(), keep["score"].to_numpy(), atol=0)
+    # ...and hot-only docs were actually pruned
+    assert len(pruned) < len(all_scores)
+
+
+def test_wand_exact_agree_under_heavy_theta_conditions(idx):
+    # rare+hot mixes where theta seeding engages hardest
+    for q in ("w199 the", "w180 data the", "merge rank w150"):
+        w = [(r["doc_id"], round(r["score"], 10)) for r in topk_wand(idx, q, 5).collect()]
+        e = [(r["doc_id"], round(r["score"], 10)) for r in topk_exact(idx, q, 5).collect()]
+        assert w == e, q

@@ -103,35 +103,74 @@ def _score_bucket_fn(idf_map: dict[str, float], conf, avgdl: float, k: int, thet
     np.add.reduceat — identical order to the oracle's term-ascending fold."""
     k1, b = conf.k1, conf.b
 
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": np.int64, "score": np.float64}
+    )
+    term_rank = {t: i for i, t in enumerate(sorted(idf_map))}
+    n_terms = len(term_rank)
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep_mask = None  # block-level decode filter
+        bounds = None  # elementary interval bounds (kept intervals only)
+        interval_keep = None
         if theta > 0.0:
-            # block-max WAND bucket bound from metadata already in hand
-            ub = (
-                pdf.assign(_c=pdf["term"].map(idf_map) * pdf["max_impact"])
-                .groupby("term")["_c"]
-                .max()
-                .sum()
-            )
-            if ub < theta:
-                return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                    {"doc_id": np.int64, "score": np.float64}
-                )
-        term_rank = {t: i for i, t in enumerate(sorted(idf_map))}
+            # ---- block-max WAND, interval granularity -----------------------
+            # Elementary doc-range intervals from all blocks' [min,max] spans;
+            # UB(interval) = Σ_t max(idf_t·max_impact of t's blocks covering
+            # it). A doc in an interval with UB < θ cannot reach the top-k;
+            # every doc in a kept interval has ALL its blocks decoded (any
+            # block containing it overlaps its interval), so survivors get
+            # exact scores. Pure metadata math — no decode yet.
+            tmins = pdf["min_doc"].to_numpy(dtype=np.int64)
+            tmaxs = pdf["max_doc"].to_numpy(dtype=np.int64)
+            timps = pdf["term"].map(idf_map).to_numpy(dtype=np.float64) * pdf[
+                "max_impact"
+            ].to_numpy(dtype=np.float64)
+            tranks = pdf["term"].map(term_rank).to_numpy(dtype=np.int64)
+            bounds = np.unique(np.concatenate((tmins, tmaxs + 1)))
+            n_int = len(bounds) - 1
+            if n_int <= 0:
+                return empty
+            lo = np.searchsorted(bounds, tmins, side="right") - 1
+            hi = np.searchsorted(bounds, tmaxs, side="right") - 1
+            ub = np.zeros((n_terms, n_int), dtype=np.float64)
+            for bi in range(len(tmins)):  # blocks per bucket are few
+                t, s, e = tranks[bi], lo[bi], hi[bi]
+                seg = ub[t, s : e + 1]
+                np.maximum(seg, timps[bi], out=seg)
+            interval_keep = ub.sum(axis=0) >= theta
+            if not interval_keep.any():
+                return empty
+            # decode only blocks overlapping a kept interval
+            keep_mask = np.zeros(len(tmins), dtype=bool)
+            for bi in range(len(tmins)):
+                s, e = lo[bi], hi[bi]
+                if interval_keep[s : e + 1].any():
+                    keep_mask[bi] = True
+
         ids_all, terms_all, contribs_all = [], [], []
-        for term, dbuf, tbuf, lbuf in zip(
-            pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
-        ):
+        rows = zip(pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"])
+        for bi, (term, dbuf, tbuf, lbuf) in enumerate(rows):
+            if keep_mask is not None and not keep_mask[bi]:
+                continue
             ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
             ids_all.append(ids)
             terms_all.append(np.full(len(ids), term_rank[term], dtype=np.int32))
             contribs_all.append(idf_map[term] * codec.bm25_impact(tfs, dls, avgdl, k1, b))
         if not ids_all:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": np.int64, "score": np.float64}
-            )
+            return empty
         ids = np.concatenate(ids_all)
         terms = np.concatenate(terms_all)
         contribs = np.concatenate(contribs_all)
+        if interval_keep is not None:
+            # drop docs living in pruned intervals (their partial scores are
+            # incomplete AND provably below θ)
+            iv = np.searchsorted(bounds, ids, side="right") - 1
+            doc_keep = (iv >= 0) & (iv < len(interval_keep))
+            doc_keep[doc_keep] &= interval_keep[iv[doc_keep]]
+            if not doc_keep.any():
+                return empty
+            ids, terms, contribs = ids[doc_keep], terms[doc_keep], contribs[doc_keep]
         # sort by (doc_id, term): reduceat then sums per doc in term-asc order
         order = np.lexsort((terms, ids))
         ids, contribs = ids[order], contribs[order]
