@@ -6,7 +6,7 @@ and prints ONE JSON line:
 Workloads:
   build_docs      index build over the sf dir's documents corpus (html path:
                   extraction + tokenize + SPIMI + compress, written to disk)
-  build_synth40k  index build over a 40k-doc deterministic synthetic pages
+  build_synth100k index build over a 100k-doc deterministic synthetic pages
                   table (bigger corpus => the shuffle/encode path dominates)
   query_p50/p95   BM25 block-max-WAND top-10 latency over the synth index
                   (10-query reference set: hot/rare/multi/absent)
@@ -60,10 +60,10 @@ def main() -> None:
         timings["build_docs"] = time.monotonic() - t0
         timings["build_docs_docs_per_sec"] = round(n_docs_sf / timings["build_docs"], 1)
 
-        # -- build over a 40k synthetic pages table ---------------------------
+        # -- build over a 100k synthetic pages table --------------------------
         # (materialized to parquet first: we time the BUILD, not the python
         # corpus generator)
-        n_synth = 40_000
+        n_synth = 100_000
         generate_pages_df(spark, n_synth).write.mode("overwrite").parquet(
             f"{workdir}/pages_synth"
         )
@@ -73,8 +73,8 @@ def main() -> None:
             spark, synth, text_col="html", doc_id_method="hash",
             out_dir=f"{workdir}/idx_synth",
         )
-        timings["build_synth40k"] = time.monotonic() - t0
-        timings["build_synth40k_docs_per_sec"] = round(n_synth / timings["build_synth40k"], 1)
+        timings["build_synth100k"] = time.monotonic() - t0
+        timings["build_synth100k_docs_per_sec"] = round(n_synth / timings["build_synth100k"], 1)
 
         # -- query latency over the synth index -------------------------------
         topk_wand(idx, "warmup run", 10).collect()  # python-worker/file-list warmup
