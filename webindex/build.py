@@ -99,12 +99,19 @@ def assign_doc_ids(pages: DataFrame, method: str = "hash") -> DataFrame:
 # SPIMI map side: pages -> runs(term, doc_id, tf, doc_len)
 # --------------------------------------------------------------------------
 
+# sentinel term marking one row per document in the runs table (the
+# tokenizer can never emit it: \x00 is not a word character). Carries the
+# doc's length so doc/corpus stats are a cheap filter over runs instead of a
+# groupBy over every (term, doc) pair.
+DOC_MARKER = "\x00"
+
+
 def _runs_iter(batches, text_col: str):
     """mapInPandas fn: per-batch local tf aggregation (the SPIMI 'map').
 
-    One output row per (doc, distinct term); doc_len carried on every row so
-    the posting encoder never joins doc_stats. Emits doc_len=0 docs as no
-    rows (they can never match a query — same as Lucene)."""
+    One output row per (doc, distinct term) plus one DOC_MARKER row per doc
+    (including empty docs: dl=0); doc_len carried on every row so the posting
+    encoder never joins doc_stats."""
     from collections import Counter
 
     for pdf in batches:
@@ -122,6 +129,10 @@ def _runs_iter(batches, text_col: str):
         for doc_id, raw in zip(doc_ids, texts):
             toks = tokfn(raw)
             dl = len(toks)
+            terms_out.append(DOC_MARKER)
+            docs_out.append(doc_id)
+            tfs_out.append(0)
+            dls_out.append(dl)
             if dl == 0:
                 continue
             cnt = Counter(toks)
@@ -155,28 +166,43 @@ def build_runs(pages: DataFrame, text_col: str = "html") -> DataFrame:
 
 def build_doc_stats(pages: DataFrame, runs: DataFrame) -> DataFrame:
     """doc_stats(doc_id, url, doc_len). url comes from a pure projection of
-    pages (no re-tokenize); doc_len from runs with map-side partial agg.
-    Docs whose text tokenizes to nothing get doc_len=0 (kept for stats)."""
-    lens = runs.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+    pages (no re-tokenize); doc_len from the DOC_MARKER rows — a filter over
+    runs, NOT a groupBy over every (term, doc) pair. Empty docs included
+    (doc_len=0)."""
+    lens = runs.filter(F.col("term") == DOC_MARKER).select("doc_id", "doc_len")
     urls = pages.select("doc_id", "url")
-    return (
-        urls.join(lens, "doc_id", "left")
-        .select(
-            "doc_id",
-            "url",
-            F.coalesce(F.col("doc_len"), F.lit(0)).cast("int").alias("doc_len"),
-        )
+    return urls.join(lens, "doc_id", "left").select(
+        "doc_id",
+        "url",
+        F.coalesce(F.col("doc_len"), F.lit(0)).cast("int").alias("doc_len"),
     )
+
+
+def corpus_stats_agg(runs: DataFrame) -> tuple[int, float]:
+    """(n_docs, avgdl) from the DOC_MARKER rows — one cheap agg, no join."""
+    row = (
+        runs.filter(F.col("term") == DOC_MARKER)
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a"))
+        .collect()[0]
+    )
+    return int(row["n"]), float(row["a"] or 0.0)
 
 
 def build_term_stats(runs: DataFrame, n_docs: int) -> DataFrame:
     """term_stats(term, df, idf). runs has exactly one row per (term, doc)
     => df = count(*). groupBy does map-side partial aggregation; the shuffled
     payload is one long per term per map task."""
-    return runs.groupBy("term").agg(F.count(F.lit(1)).alias("df")).select(
-        "term",
-        "df",
-        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    return (
+        runs.filter(F.col("term") != DOC_MARKER)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            "df",
+            F.log(
+                F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
     )
 
 
@@ -259,7 +285,7 @@ def build_postings(
             }
         )
 
-    bucketed = runs.withColumn(
+    bucketed = runs.filter(F.col("term") != DOC_MARKER).withColumn(
         "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, id_space)
     )
     return bucketed.groupBy("term", "bucket").applyInPandas(
@@ -298,10 +324,7 @@ def build_index(
         runs = runs.persist()
 
     doc_stats = build_doc_stats(pages, runs)
-    agg = doc_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
+    n_docs, avgdl = corpus_stats_agg(runs)
 
     if range_width is None:
         range_width = adaptive_range_width(n_docs)

@@ -103,14 +103,16 @@ def build_runs_checkpointed(
         ).partitionBy("build_bucket").parquet(f"{workdir}/doc_urls")
         elapsed = time.monotonic() - t0
         # metrics per bucket from the committed files (docs, postings, bytes)
+        from webindex.build import DOC_MARKER
+
         written = spark.read.parquet(f"{workdir}/runs").filter(
             F.col("build_bucket").isin(chunk)
         )
         stats = (
             written.groupBy("build_bucket")
             .agg(
-                F.countDistinct("doc_id").alias("docs"),
-                F.count(F.lit(1)).alias("postings"),
+                F.count(F.when(F.col("term") == DOC_MARKER, 1)).alias("docs"),
+                F.count(F.when(F.col("term") != DOC_MARKER, 1)).alias("postings"),
                 F.sum(F.lit(14)).alias("bytes"),  # ~14B/run row (term amortized)
             )
             .collect()
@@ -160,8 +162,10 @@ def build_index_resumable(
         doc_id_method=doc_id_method,
     )
 
+    from webindex.build import DOC_MARKER, corpus_stats_agg
+
     doc_urls = spark.read.parquet(f"{workdir}/doc_urls")
-    lens = runs.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+    lens = runs.filter(F.col("term") == DOC_MARKER).select("doc_id", "doc_len")
     doc_stats = (
         doc_urls.select("doc_id", "url")
         .join(lens, "doc_id", "left")
@@ -171,8 +175,7 @@ def build_index_resumable(
             F.coalesce(F.col("doc_len"), F.lit(0)).cast("int").alias("doc_len"),
         )
     )
-    agg = doc_stats.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")).collect()[0]
-    n_docs, avgdl = int(agg["n"]), float(agg["a"] or 0.0)
+    n_docs, avgdl = corpus_stats_agg(runs)
 
     out = f"{workdir}/index"
     if range_width is None:

@@ -117,12 +117,16 @@ class IncrementalIndexer:
         """Merge all accumulated runs into fresh block tables (segment merge).
         Duplicate urls across batches keep the latest doc (dedup by doc_id —
         doc_id is url-derived so re-crawled pages collapse)."""
+        from webindex.build import DOC_MARKER, corpus_stats_agg
+
         spark = self.spark
-        runs = spark.read.parquet(f"{self.workdir}/runs")
+        runs = spark.read.parquet(f"{self.workdir}/runs").dropDuplicates(
+            ["term", "doc_id"]
+        )
         doc_urls = spark.read.parquet(f"{self.workdir}/doc_urls").dropDuplicates(
             ["doc_id"]
         )
-        lens = runs.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+        lens = runs.filter(F.col("term") == DOC_MARKER).select("doc_id", "doc_len")
         doc_stats = (
             doc_urls.join(lens, "doc_id", "left")
             .select(
@@ -131,10 +135,7 @@ class IncrementalIndexer:
                 F.coalesce(F.col("doc_len"), F.lit(0)).cast("int").alias("doc_len"),
             )
         )
-        agg = doc_stats.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")
-        ).collect()[0]
-        n_docs, avgdl = int(agg["n"]), float(agg["a"] or 0.0)
+        n_docs, avgdl = corpus_stats_agg(runs)
 
         out = f"{self.workdir}/index"
         range_width = self.range_width
@@ -142,8 +143,7 @@ class IncrementalIndexer:
             from webindex.build import adaptive_range_width
 
             range_width = adaptive_range_width(n_docs)
-        # dedup run rows in case a url appeared in two batches (same doc_id)
-        runs = runs.dropDuplicates(["term", "doc_id"])
+        # (re-crawled urls already collapsed by the dedup at read above)
         build_postings(
             runs, avgdl, self.conf, range_width, n_docs=n_docs, id_space="hash"
         ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
