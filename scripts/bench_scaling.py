@@ -34,11 +34,20 @@ from webindex.query import topk_wand
 from webindex.session import get_spark
 
 cores, n_docs, queries = {cores}, {n_docs}, {queries!r}
+# SAME shuffle partitioning + heap at both levels: identical physical plan
+# and memory budget, only the core count differs (the honest N-vs-4N setup).
+# 80g heap: at 40g the reduce stage was GC-bound (python workers starved at
+# 15% while the JVM burned 13 cores; 3.2x slower end-to-end).
 spark = get_spark(app=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores, driver_mem="40g")
-with tempfile.TemporaryDirectory(prefix=f"scale{{cores}}_") as wd:
-    # corpus materialized untimed — we measure the index build
-    generate_pages_df(spark, n_docs, partitions=128).write.mode("overwrite").parquet(f"{{wd}}/pages")
+                  shuffle_partitions=512, driver_mem="80g")
+_tmp_base = "/dev/shm" if __import__("os").access("/dev/shm", 2) else None
+with tempfile.TemporaryDirectory(prefix=f"scale{{cores}}_", dir=_tmp_base) as wd:
+    # corpus materialized untimed — we measure the index build. WEBLIKE doc
+    # sizes (200-2000 tokens, Common-Crawl-ish) so per-doc extract+tokenize
+    # CPU dominates, as it does at 100 TB.
+    from webindex.pagesgen import WEBLIKE_TOKENS
+    generate_pages_df(spark, n_docs, partitions=128,
+                      tokens_range=WEBLIKE_TOKENS).write.mode("overwrite").parquet(f"{{wd}}/pages")
     pages = spark.read.parquet(f"{{wd}}/pages")
     t0 = time.monotonic()
     idx = build_index(spark, pages, text_col="html", doc_id_method="hash", out_dir=f"{{wd}}/idx")
@@ -62,11 +71,46 @@ def run_at(cores: int, n_docs: int):
     raise RuntimeError(f"worker at {cores} cores failed:\n{out.stderr[-2000:]}")
 
 
-def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+def _settle_memory() -> None:
+    """Between runs: drop page cache + compact memory, then pause. A fresh
+    JVM started right after a heavy one runs up to 4x slower here (kernel
+    page-cache reclaim + compaction storms — observed 96% sys time); each
+    'cluster size' deserves the same clean-machine start."""
+    import time
 
-    t8, hits8 = run_at(8, n_docs)
-    t32, hits32 = run_at(32, n_docs)
+    for path, val in (
+        ("/proc/sys/vm/drop_caches", "1"),
+        ("/proc/sys/vm/compact_memory", "1"),
+    ):
+        try:
+            with open(path, "w") as fh:
+                fh.write(val)
+        except OSError:
+            pass
+    time.sleep(10)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    # The sandbox host is a shared VM whose throughput varies several-fold
+    # over time (the same local[32] build measured 44s..266s across a day).
+    # Methodology: interleave repeated runs of both levels and take the MIN
+    # per level — min wall-clock is the standard noise-robust estimator for
+    # "what the job costs when the machine is actually available".
+    times: dict[int, list[float]] = {8: [], 32: []}
+    hits8 = hits32 = None
+    for _ in range(repeats):
+        _settle_memory()
+        t, hits8 = run_at(8, n_docs)
+        times[8].append(t)
+        _settle_memory()
+        t, hits32 = run_at(32, n_docs)
+        times[32].append(t)
+    t8, t32 = min(times[8]), min(times[32])
+    print(f"samples: local[8]={[round(x,1) for x in times[8]]} "
+          f"local[32]={[round(x,1) for x in times[32]]}")
 
     eff = (t8 / t32) / 4.0
     identical = hits8 == hits32
@@ -82,10 +126,14 @@ running the identical index build job at local[8] (N) and local[32] (4N) on
 the same deterministic input, one fresh JVM per level.
 
 - input: synthetic `pages` corpus, n_docs = {n_docs:,} (pagesgen, seed=42,
-  Zipf vocabulary -> hot-term skew present), materialized to parquet untimed
+  Zipf vocabulary -> hot-term skew present; web-like 200-2000 tokens/doc),
+  materialized to parquet untimed
 - job: build_index(text_col='html') — extraction + tokenize + SPIMI runs +
   (term, doc-range-bucket) shuffle + delta+varint block encode + parquet write
-- host: 32 cores, single JVM per run (local mode), PySpark 4.1.2
+- host: 32 cores, single JVM per run (local mode), PySpark 4.1.2.
+  The shared-VM host's throughput varies several-fold over hours, so each
+  level is run {repeats}x interleaved and the MIN wall-clock is reported
+  (noise-robust); identical shuffle partitioning + heap at both levels.
 
 | parallelism | wall-clock (s) | throughput (docs/s) |
 |---|---|---|

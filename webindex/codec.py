@@ -30,11 +30,14 @@ _U7 = np.uint64(7)
 _U0x7F = np.uint64(0x7F)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative int array. Vectorized over the array."""
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a non-negative int array; returns (bytes_u8, nbytes per
+    value). One vectorized pass over the whole array — callers encoding many
+    blocks concatenate their values first and slice the byte stream by the
+    cumulative sizes (per-128-element calls would pay numpy setup ~10x)."""
     arr = np.asarray(values, dtype=np.uint64)
     if arr.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), min 1
     nbytes = np.ones(arr.size, dtype=np.int64)
     shifted = arr >> _U7
@@ -49,6 +52,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((arr[mask] >> np.uint64(7 * i)) & _U0x7F).astype(np.uint8)
         cont = (nbytes[mask] > i + 1).astype(np.uint8) << 7
         out[starts[mask] + i] = byte | cont
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array. Vectorized over the array."""
+    out, _ = varint_encode_with_sizes(values)
     return out.tobytes()
 
 
@@ -105,32 +114,55 @@ def encode_blocks(
 ) -> list[dict]:
     """Split one term's postings (sorted by doc_id asc) into encoded blocks.
 
-    Returns a list of dicts matching schema.POSTINGS_TYPE fields.
+    Fully vectorized over the WHOLE posting list: delta gaps (reset to the
+    absolute id at each block start), one varint pass, then per-block byte
+    slices from the cumulative sizes. ~10x faster than per-block encoding
+    (numpy setup cost amortizes over the list, not over 128-element chunks).
+
+    Returns a list of dicts matching schema.POSTINGS fields.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     doc_lens = np.asarray(doc_lens, dtype=np.int64)
     n = doc_ids.size
-    blocks = []
-    for blk_idx, lo in enumerate(range(0, n, block_size)):
-        hi = min(lo + block_size, n)
-        ids = doc_ids[lo:hi]
-        btf = tfs[lo:hi]
-        bdl = doc_lens[lo:hi]
-        impact = bm25_impact(btf, bdl, avgdl, k1, b)
-        blocks.append(
-            {
-                "block_id": blk_idx,
-                "doc_ids": varint_encode(delta_encode(ids)),
-                "tfs": varint_encode(btf),
-                "doc_lens": varint_encode(bdl),
-                "n_docs": int(hi - lo),
-                "min_doc": int(ids[0]),
-                "max_doc": int(ids[-1]),
-                "max_impact": float(impact.max()),
-            }
-        )
-    return blocks
+    if n == 0:
+        return []
+    n_blocks = -(-n // block_size)
+    starts = np.arange(n_blocks, dtype=np.int64) * block_size
+    ends = np.minimum(starts + block_size, n)
+
+    # delta gaps with an absolute value at every block start
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    gaps[starts] = doc_ids[starts]
+
+    ids_buf, ids_nb = varint_encode_with_sizes(gaps)
+    tfs_buf, tfs_nb = varint_encode_with_sizes(tfs)
+    dls_buf, dls_nb = varint_encode_with_sizes(doc_lens)
+    ids_cut = np.zeros(n + 1, dtype=np.int64); np.cumsum(ids_nb, out=ids_cut[1:])
+    tfs_cut = np.zeros(n + 1, dtype=np.int64); np.cumsum(tfs_nb, out=tfs_cut[1:])
+    dls_cut = np.zeros(n + 1, dtype=np.int64); np.cumsum(dls_nb, out=dls_cut[1:])
+
+    impact = bm25_impact(tfs, doc_lens, avgdl, k1, b)
+    max_imp = np.maximum.reduceat(impact, starts)
+
+    ids_bytes = ids_buf.tobytes()
+    tfs_bytes = tfs_buf.tobytes()
+    dls_bytes = dls_buf.tobytes()
+    return [
+        {
+            "block_id": int(i),
+            "doc_ids": ids_bytes[ids_cut[starts[i]] : ids_cut[ends[i]]],
+            "tfs": tfs_bytes[tfs_cut[starts[i]] : tfs_cut[ends[i]]],
+            "doc_lens": dls_bytes[dls_cut[starts[i]] : dls_cut[ends[i]]],
+            "n_docs": int(ends[i] - starts[i]),
+            "min_doc": int(doc_ids[starts[i]]),
+            "max_doc": int(doc_ids[ends[i] - 1]),
+            "max_impact": float(max_imp[i]),
+        }
+        for i in range(n_blocks)
+    ]
 
 
 def decode_block(doc_ids_buf: bytes, tfs_buf: bytes, doc_lens_buf: bytes):

@@ -41,12 +41,17 @@ _CDF = np.cumsum(_PROBS)
 _VOCAB_ARR = np.array(VOCAB)
 
 
-def make_page(i: int, seed: int = SEED) -> dict:
+DEFAULT_TOKENS = (20, 200)  # FIXTURES.md §1 doc length range
+# realistic Common-Crawl-ish page body length for perf/scaling runs
+WEBLIKE_TOKENS = (200, 2000)
+
+
+def make_page(i: int, seed: int = SEED, tokens_range: tuple[int, int] = DEFAULT_TOKENS) -> dict:
     """One deterministic page row for doc index i (pure per-row).
     Zipf sampling via inverse-CDF searchsorted (≈10x faster than
     rng.choice(p=...); equally deterministic given the per-doc seed)."""
     rng = np.random.default_rng(seed + i)
-    n_tokens = int(rng.integers(20, 201))
+    n_tokens = int(rng.integers(tokens_range[0], tokens_range[1] + 1))
     toks = _VOCAB_ARR[np.searchsorted(_CDF, rng.random(n_tokens), side="right")]
     text = " ".join(toks.tolist())
     url = f"https://site{i % 1000}.example/page/{i}"
@@ -64,15 +69,23 @@ def make_page(i: int, seed: int = SEED) -> dict:
     }
 
 
-def make_pages_pdf(start: int, end: int, seed: int = SEED) -> pd.DataFrame:
+def make_pages_pdf(
+    start: int, end: int, seed: int = SEED, tokens_range: tuple[int, int] = DEFAULT_TOKENS
+) -> pd.DataFrame:
     """Pages for doc indices [start, end) as a pandas DataFrame."""
-    rows = [make_page(i, seed) for i in range(start, end)]
+    rows = [make_page(i, seed, tokens_range) for i in range(start, end)]
     pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
     pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
     return pdf
 
 
-def generate_pages_df(spark, n_docs: int, seed: int = SEED, partitions: int | None = None):
+def generate_pages_df(
+    spark,
+    n_docs: int,
+    seed: int = SEED,
+    partitions: int | None = None,
+    tokens_range: tuple[int, int] = DEFAULT_TOKENS,
+):
     """Distributed deterministic generation: mapInPandas over an id range.
 
     Each Spark partition generates its own id slice with per-doc seeds, so the
@@ -90,7 +103,7 @@ def generate_pages_df(spark, n_docs: int, seed: int = SEED, partitions: int | No
             idx = pdf["id"].to_numpy()
             if len(idx) == 0:
                 continue
-            out = pd.DataFrame([make_page(int(i), seed) for i in idx])
+            out = pd.DataFrame([make_page(int(i), seed, tokens_range) for i in idx])
             out["warc_ts"] = pd.to_datetime(out["warc_ts"])
             yield out[["url", "warc_ts", "html", "text", "lang"]]
 

@@ -149,9 +149,13 @@ class IncrementalIndexer:
         ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
             f"{out}/postings"
         )
-        build_term_stats(runs, n_docs).sortWithinPartitions("term").write.mode(
-            "overwrite"
-        ).parquet(f"{out}/term_stats")
+        from webindex.build import term_stats_from_postings
+
+        term_stats_from_postings(
+            spark.read.parquet(f"{out}/postings"), n_docs
+        ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+            f"{out}/term_stats"
+        )
         doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
             f"{out}/doc_stats"
         )
