@@ -224,8 +224,22 @@ def term_stats_from_postings(postings: DataFrame, n_docs: int) -> DataFrame:
 # posting-block encoding (the salted term shuffle + sort-merge)
 # --------------------------------------------------------------------------
 
+def hash_bucket_bits(n_docs: int, range_width: int) -> int:
+    """Number of top bits used as the doc-range bucket in hash id space.
+    Pinned in compaction state so incremental merges keep a stable shard
+    layout as the corpus grows (re-shard = explicit full compact)."""
+    import math
+
+    n_buckets_target = max(1, n_docs // range_width)
+    return max(0, math.ceil(math.log2(n_buckets_target)))
+
+
 def bucket_expr(
-    doc_id_col: F.Column, n_docs: int, range_width: int, id_space: str
+    doc_id_col: F.Column,
+    n_docs: int,
+    range_width: int,
+    id_space: str,
+    bits: int | None = None,
 ) -> F.Column:
     """Doc-range shard (the deterministic salt) sized to ~range_width docs.
 
@@ -242,10 +256,7 @@ def bucket_expr(
         return F.floor(doc_id_col / F.lit(range_width)).cast("long")
     if id_space != "hash":
         raise ValueError(f"unknown id_space: {id_space}")
-    import math
-
-    n_buckets_target = max(1, n_docs // range_width)
-    b = max(0, math.ceil(math.log2(n_buckets_target)))
+    b = hash_bucket_bits(n_docs, range_width) if bits is None else bits
     if b == 0:
         return F.lit(0).cast("long")
     return F.shiftrightunsigned(doc_id_col, 64 - b)
@@ -262,6 +273,7 @@ def build_postings(
     *,
     n_docs: int = 0,
     id_space: str = "dense",
+    bucket_bits: int | None = None,
 ) -> DataFrame:
     """runs -> compressed posting blocks.
 
@@ -296,14 +308,47 @@ def build_postings(
                 "min_doc": np.asarray([blk["min_doc"] for blk in blocks], dtype=np.int64),
                 "max_doc": np.asarray([blk["max_doc"] for blk in blocks], dtype=np.int64),
                 "max_impact": np.asarray([blk["max_impact"] for blk in blocks], dtype=np.float64),
+                "avgdl0": np.full(len(blocks), float(avgdl), dtype=np.float64),
             }
         )
 
     bucketed = runs.filter(F.col("term") != DOC_MARKER).withColumn(
-        "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, id_space)
+        "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, id_space, bucket_bits)
     )
     return bucketed.groupBy("term", "bucket").applyInPandas(
         encode_group, schema=schema.POSTINGS
+    )
+
+
+def decode_postings_to_runs(postings: DataFrame) -> DataFrame:
+    """Inverse of build_postings: compressed blocks -> runs(term, doc_id, tf,
+    doc_len) rows. Used by incremental compaction to merge ONLY the touched
+    buckets' old blocks with new runs (never re-reads or re-tokenizes pages).
+    No DOC_MARKER rows are reconstructed — callers track doc stats separately."""
+
+    def fn(batches):
+        for pdf in batches:
+            terms, ids, tfs, dls = [], [], [], []
+            for term, dbuf, tbuf, lbuf in zip(
+                pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
+            ):
+                d, t, l = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
+                terms.append(np.full(len(d), term, dtype=object))
+                ids.append(d)
+                tfs.append(t)
+                dls.append(l)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "term": pd.array(np.concatenate(terms), dtype="string"),
+                        "doc_id": np.concatenate(ids),
+                        "tf": np.concatenate(tfs).astype(np.int32),
+                        "doc_len": np.concatenate(dls).astype(np.int32),
+                    }
+                )
+
+    return postings.select("term", "doc_ids", "tfs", "doc_lens").mapInPandas(
+        fn, schema=schema.RUNS
     )
 
 

@@ -194,8 +194,10 @@ def _simhash_batch(tokens: pd.Series) -> pd.Series:
         vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
         shifts = np.arange(64, dtype=np.uint64)
         for tok, cnt in zip(vals, counts):
+            # little-endian first-8-bytes == DuckDB's md5_number_upper(), so
+            # the fingerprint is reproducible by the SQL oracle bit-for-bit
             h = np.uint64(
-                int.from_bytes(hashlib.md5(str(tok).encode()).digest()[:8], "big")
+                int.from_bytes(hashlib.md5(str(tok).encode()).digest()[:8], "little")
             )
             bits = (h >> shifts) & np.uint64(1)
             acc += np.where(bits == 1, int(cnt), -int(cnt))
@@ -214,19 +216,42 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def simhash_chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) bit-chunks for pigeonhole blocking at a given radius.
+
+    A pair with Hamming distance <= max_hamming differs in at most max_hamming
+    bits, so splitting 64 bits into max_hamming+1 chunks guarantees the pair
+    agrees exactly on >= 1 chunk — recall is exact BY CONSTRUCTION for any
+    radius (with 4 fixed chunks, radius > 3 silently lost pairs whose flipped
+    bits touched all 4 chunks)."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64")
+    base, rem = divmod(64, n_chunks)
+    layout, off = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < rem else 0)
+        layout.append((off, width))
+        off += width
+    return layout
+
+
 def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Scale path: block on 4 x 16-bit chunks — any pair within Hamming<=3 of a
-    64-bit hash must agree exactly on at least one of 4 chunks (pigeonhole),
-    so the join fans out 4x instead of n^2."""
+    Scale path: block on max_hamming+1 bit-chunks — by pigeonhole any pair
+    within the radius agrees exactly on at least one chunk, so the join fans
+    out (max_hamming+1)x instead of n^2, with exact recall at any radius."""
+    layout = simhash_chunk_layout(max_hamming)
     chunks = fps.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                for i in range(4)
+                F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for off, width in layout
             ])
         ).alias("chunk_idx", "chunk"),
     )
@@ -238,7 +263,7 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("a", "b", "ha", "hb")
         .distinct()
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
     return pairs.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

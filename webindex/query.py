@@ -123,9 +123,16 @@ def _score_bucket_fn(idf_map: dict[str, float], conf, avgdl: float, k: int, thet
             # exact scores. Pure metadata math — no decode yet.
             tmins = pdf["min_doc"].to_numpy(dtype=np.int64)
             tmaxs = pdf["max_doc"].to_numpy(dtype=np.int64)
-            timps = pdf["term"].map(idf_map).to_numpy(dtype=np.float64) * pdf[
-                "max_impact"
-            ].to_numpy(dtype=np.float64)
+            # blocks encoded at an older avgdl keep a sound upper bound when
+            # scaled by max(1, avgdl/avgdl0) (see schema.POSTINGS.avgdl0)
+            drift = np.maximum(
+                1.0, avgdl / pdf["avgdl0"].to_numpy(dtype=np.float64)
+            )
+            timps = (
+                pdf["term"].map(idf_map).to_numpy(dtype=np.float64)
+                * pdf["max_impact"].to_numpy(dtype=np.float64)
+                * drift
+            )
             tranks = pdf["term"].map(term_rank).to_numpy(dtype=np.int64)
             bounds = np.unique(np.concatenate((tmins, tmaxs + 1)))
             n_int = len(bounds) - 1

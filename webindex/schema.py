@@ -56,6 +56,25 @@ POSTINGS = T.StructType(
         T.StructField("min_doc", T.LongType(), False),
         T.StructField("max_doc", T.LongType(), False),
         T.StructField("max_impact", T.DoubleType(), False),
+        # avgdl the block was ENCODED with. Incremental compaction re-encodes
+        # only touched buckets, so blocks built at different corpus states
+        # coexist; the query path scales max_impact by max(1, avgdl/avgdl0)
+        # — a provable upper bound under avgdl drift (impact is monotone in
+        # 1/avgdl with ratio bounded by avgdl_new/avgdl_old) — so WAND
+        # pruning stays exact without rewriting untouched blocks.
+        T.StructField("avgdl0", T.DoubleType(), False),
+    ]
+)
+
+
+# incremental compaction state (one row), kept beside the index tables.
+COMPACT_STATE = T.StructType(
+    [
+        T.StructField("max_batch", T.LongType(), False),
+        T.StructField("bucket_bits", T.IntegerType(), False),
+        T.StructField("range_width", T.LongType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("sum_dl", T.DoubleType(), False),
     ]
 )
 

@@ -96,6 +96,32 @@ def cosine_topk_lsh(
     return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
 
 
+def band_buckets_udf(planes: "np.ndarray", n_bands: int, rows_per_band: int):
+    """Vectorized pandas UDF: one numpy matmul per Arrow batch computes ALL
+    plane dot-signs, then packs each band's rows_per_band sign bits into a
+    bucket int. At 10^12 vectors this is the hot loop — a single BLAS GEMM
+    per batch instead of n_bands*rows_per_band column expressions (which blow
+    past Catalyst's codegen limits at wide configs)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    P = np.ascontiguousarray(planes, dtype=np.float64)  # (n_bands*r, dim)
+    weights = (1 << np.arange(rows_per_band, dtype=np.int64))
+
+    def fn(vecs):
+        # no type hints: `from __future__ import annotations` stringifies
+        # them, which breaks pandas_udf signature inference
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
+        bits = (M @ P.T) >= 0.0  # (n, n_bands*r)
+        bits = bits.reshape(len(vecs), n_bands, rows_per_band)
+        buckets = (bits * weights).sum(axis=2).astype(np.int64)  # (n, n_bands)
+        return pd.Series(list(buckets))
+
+    return F.pandas_udf(fn, T.ArrayType(T.LongType()))
+
+
 def all_pairs_above(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -103,25 +129,42 @@ def all_pairs_above(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    n_bands: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH-bucket self-join (same bucket)
-    then exact cosine filter. The n^2 explosion is contained per-bucket."""
-    planes_arr = None
-    # derive dim from one row
+    """Embedding-cosine near-dup pairs: banded sign-LSH self-join (equi-join
+    on (band, bucket)) then exact cosine filter — the n^2 explosion is
+    contained per bucket, and the physical plan is a shuffle hash join, never
+    a cartesian product.
+
+    n_bands=1 is classic single-table LSH (all n_planes must agree). Banding
+    (n_bands>1, each of n_planes rows) trades candidate volume for recall:
+    P(miss) = (1 - p^n_planes)^n_bands with p = 1 - theta/pi, so low
+    thresholds need many narrow bands. max_bucket drops degenerate buckets
+    (skew guard, same trade as lsh_candidate_pairs — disabled by default so
+    small exact comparisons stay exact)."""
     first = vectors.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"]) if first else 0
-    planes_arr = hyperplanes(dim, n_planes, seed)
+    planes_arr = hyperplanes(dim, n_planes * n_bands, seed)
+    bb = band_buckets_udf(planes_arr, n_bands, n_planes)
     bucketed = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        lsh_bucket_col(vec_col, planes_arr).alias("bucket"),
+        F.posexplode(bb(F.col(vec_col))).alias("band", "bucket"),
     )
-    a = bucketed.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
-    b = bucketed.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bucketed = bucketed.withColumn(
+            "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        ).filter(F.col("bsize") <= max_bucket)
+    a = bucketed.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "band", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .dropDuplicates(["a", "b"])
+    )
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (
-        pairs.select("a", "b", cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .distinct()
-    )
+    return pairs.select("a", "b", cos.alias("cos")).filter(F.col("cos") >= threshold)

@@ -7,34 +7,105 @@ and retried (lib.py:249-261, :343-371). The Spark-native generalization:
 
   pages stream (file source / Kafka at prod scale)
     -> withWatermark('warc_ts', delay)         late-data bound
-    -> foreachBatch: SPIMI map (build_runs) -> APPEND to <workdir>/runs
-    -> periodic COMPACTION: runs -> compressed posting blocks (merge-on-read
-       flavor: queries can always rebuild from runs; compaction just refreshes
-       the fast block tables)
+    -> foreachBatch: SPIMI map (build_runs) -> runs partitioned by batch_id
+    -> periodic COMPACTION into compressed posting blocks.
 
-Appending runs per micro-batch is cheap and idempotent-friendly (batch id
-recorded in a lineage row); the heavyweight (term,bucket) shuffle runs only at
-compaction. This mirrors Lucene's segment model: micro-batches are segments,
-compaction is a segment merge — except our "segments" are run rows that Spark
-merges with one shuffle, no n-way merge trees.
+Compaction is TIERED (Lucene-style segment merge, reference:
+src/nmr_FAIR_DOs/connectors/elasticsearch.py:204-232 gets this for free from
+ES bulk calls — each bulk pays only for its batch):
+
+  * the first compact shuffles everything once and writes posting blocks
+    PARTITIONED BY bucket (the doc-range shard);
+  * every later compact reads ONLY the delta batches' runs (partition-pruned
+    by batch_id), finds the touched buckets, decodes ONLY those buckets' old
+    blocks back to runs, drops rows of re-crawled docs, merges with the delta
+    and re-encodes — a dynamic-partition overwrite of the touched bucket
+    directories. Untouched buckets are never read, shuffled, or rewritten.
+  * re-crawled urls follow LATEST-CRAWL-WINS: doc_id is url-derived, each
+    runs row carries its batch_id, and a doc's rows from any older batch are
+    dropped at merge (old postings via the touched-bucket decode, newer
+    in-delta duplicates via an argmax-per-doc join) — no hybrid documents
+    mixing stale and fresh terms.
+  * avgdl drifts as the corpus grows; untouched blocks keep the avgdl they
+    were encoded with (avgdl0 column) and the query path scales their
+    max_impact bound by max(1, avgdl/avgdl0), which keeps block-max WAND
+    exact without rewriting them.
+
+Single-doc upsert (reference: elasticsearch.py:175-202 client.index upsert
+semantics) is a one-row micro-batch through the same path: `upsert(pages)`
+appends a synthetic batch and compacts — cost is O(that doc's buckets), not
+O(corpus).
+
+The bucket-bit count is pinned in compaction state so the shard layout stays
+stable as n_docs grows (growing past ~4x the original corpus should trigger
+an explicit full re-shard compact: `compact(full=True)`).
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from webindex import schema
 from webindex.bm25 import BM25Config, DEFAULT
 from webindex.build import (
     DEFAULT_RANGE_WIDTH,
+    DOC_MARKER,
     Index,
+    adaptive_range_width,
     assign_doc_ids,
+    bucket_expr,
     build_postings,
     build_runs,
-    build_term_stats,
+    corpus_stats_agg,
+    decode_postings_to_runs,
+    hash_bucket_bits,
+    term_stats_from_postings,
 )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    fs, jvm = _hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _swap_partition_dirs(
+    spark: SparkSession, staging: str, final: str, stale_buckets: set[int]
+) -> set[int]:
+    """Commit a staged partitioned write: atomically (per-dir rename) replace
+    each bucket=N directory present in staging, and drop stale bucket dirs
+    that produced no output. Returns the set of staged bucket ids. This is
+    the plain-FS stand-in for an Iceberg RewriteFiles/overwrite-partitions
+    commit — swap is metadata-only, never a data copy."""
+    fs, jvm = _hadoop_fs(spark, staging)
+    Path = jvm.org.apache.hadoop.fs.Path
+    staged = []
+    for st in fs.listStatus(Path(staging)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("bucket="):
+            staged.append(name)
+    staged_ids = {int(n.split("=", 1)[1]) for n in staged}
+    fs.mkdirs(Path(final))
+    for name in staged:
+        dst = Path(f"{final}/{name}")
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(Path(f"{staging}/{name}"), dst)
+    for b in stale_buckets - staged_ids:
+        dst = Path(f"{final}/bucket={b}")
+        if fs.exists(dst):
+            fs.delete(dst, True)
+    fs.delete(Path(staging), True)
+    return staged_ids
 
 
 class IncrementalIndexer:
@@ -54,13 +125,16 @@ class IncrementalIndexer:
         self.text_col = text_col
         self.watermark_delay = watermark_delay
         self.range_width = range_width
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- ingestion ----------------------------------------------------------
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch sink: tokenize the micro-batch, append runs + urls.
-        Re-delivered batches are detected via the lineage partition_id
-        (= batch_id) and skipped (exactly-once on top of at-least-once)."""
+        """foreachBatch sink: tokenize the micro-batch, write runs + urls
+        under their batch_id partition. Re-delivered batches are detected via
+        the lineage partition_id (= batch_id) and skipped; a half-written
+        redelivery self-cleans because the write is a dynamic overwrite of
+        exactly this batch's partition."""
         spark = batch_df.sparkSession
         try:
             seen = (
@@ -73,25 +147,36 @@ class IncrementalIndexer:
         except Exception:
             pass
         t0 = time.monotonic()
-        pages = assign_doc_ids(batch_df, "hash")
-        runs = build_runs(pages, text_col=self.text_col)
-        runs.write.mode("append").parquet(f"{self.workdir}/runs")
-        pages.select("doc_id", "url").write.mode("append").parquet(
+        # latest-wins WITHIN the micro-batch: one source batch can contain
+        # the same url several times (several crawl files per trigger);
+        # keep the newest warc_ts (content-hash tiebreak for determinism)
+        w = Window.partitionBy("url").orderBy(
+            F.desc_nulls_last("warc_ts"), F.asc(F.xxhash64("html"))
+        )
+        deduped = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        pages = assign_doc_ids(deduped, "hash")
+        runs = build_runs(pages, text_col=self.text_col).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        runs.write.mode("overwrite").partitionBy("batch_id").parquet(
+            f"{self.workdir}/runs"
+        )
+        pages.select("doc_id", "url").withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(
             f"{self.workdir}/doc_urls"
         )
-        written = spark.read.parquet(f"{self.workdir}/runs")
-        stats = pages.agg(F.count(F.lit(1)).alias("docs")).collect()[0]
+        docs = (
+            spark.read.parquet(f"{self.workdir}/doc_urls")
+            .filter(F.col("batch_id") == batch_id)
+            .count()
+        )
         spark.createDataFrame(
-            [
-                (
-                    int(batch_id),
-                    int(stats["docs"]),
-                    0,
-                    0,
-                    float(time.monotonic() - t0),
-                    "done",
-                )
-            ],
+            [(int(batch_id), int(docs), 0, 0, float(time.monotonic() - t0), "done")],
             schema=schema.LINEAGE,
         ).write.mode("append").parquet(f"{self.workdir}/lineage")
 
@@ -111,58 +196,71 @@ class IncrementalIndexer:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def upsert(self, pages: DataFrame, compact_now: bool = True) -> "Index | None":
+        """Single-record/doc upsert (S8): route one small pages DataFrame
+        through the batch sink as a synthetic batch (id = max seen + 1, so
+        latest-crawl-wins ordering holds) and optionally compact immediately.
+        Compaction cost is O(the touched buckets), not O(corpus)."""
+        done = self._done_batches()
+        next_id = (max(done) + 1) if done else 0
+        self._process_batch(pages, next_id)
+        return self.compact() if compact_now else None
+
     # -- compaction / query-side --------------------------------------------
 
-    def compact(self) -> Index:
-        """Merge all accumulated runs into fresh block tables (segment merge).
-        Duplicate urls across batches keep the latest doc (dedup by doc_id —
-        doc_id is url-derived so re-crawled pages collapse)."""
-        from webindex.build import DOC_MARKER, corpus_stats_agg
-
-        spark = self.spark
-        runs = spark.read.parquet(f"{self.workdir}/runs").dropDuplicates(
-            ["term", "doc_id"]
-        )
-        doc_urls = spark.read.parquet(f"{self.workdir}/doc_urls").dropDuplicates(
-            ["doc_id"]
-        )
-        lens = runs.filter(F.col("term") == DOC_MARKER).select("doc_id", "doc_len")
-        doc_stats = (
-            doc_urls.join(lens, "doc_id", "left")
-            .select(
-                "doc_id",
-                "url",
-                F.coalesce(F.col("doc_len"), F.lit(0)).cast("int").alias("doc_len"),
+    def _done_batches(self) -> list[int]:
+        try:
+            rows = (
+                self.spark.read.parquet(f"{self.workdir}/lineage")
+                .filter(F.col("status") == "done")
+                .select("partition_id")
+                .distinct()
+                .collect()
             )
-        )
-        n_docs, avgdl = corpus_stats_agg(runs)
+            return sorted(int(r["partition_id"]) for r in rows)
+        except Exception:
+            return []
 
-        out = f"{self.workdir}/index"
-        range_width = self.range_width
-        if range_width is None:
-            from webindex.build import adaptive_range_width
+    def _read_state(self):
+        try:
+            return self.spark.read.parquet(f"{self.workdir}/index/_state").collect()[0]
+        except Exception:
+            return None
 
-            range_width = adaptive_range_width(n_docs)
-        # (re-crawled urls already collapsed by the dedup at read above)
-        build_postings(
-            runs, avgdl, self.conf, range_width, n_docs=n_docs, id_space="hash"
-        ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
-            f"{out}/postings"
-        )
-        from webindex.build import term_stats_from_postings
+    def _write_state(
+        self, max_batch: int, bits: int, range_width: int, n_docs: int, sum_dl: float
+    ) -> None:
+        self.spark.createDataFrame(
+            [(int(max_batch), int(bits), int(range_width), int(n_docs), float(sum_dl))],
+            schema=schema.COMPACT_STATE,
+        ).write.mode("overwrite").parquet(f"{self.workdir}/index/_state")
 
-        term_stats_from_postings(
-            spark.read.parquet(f"{out}/postings"), n_docs
-        ).sortWithinPartitions("term").write.mode("overwrite").parquet(
-            f"{out}/term_stats"
-        )
-        doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
-            f"{out}/doc_stats"
-        )
-        spark.createDataFrame(
-            [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
-        ).write.mode("overwrite").parquet(f"{out}/corpus_stats")
+    def _latest_wins(self, runs: DataFrame, doc_urls: DataFrame) -> DataFrame:
+        """Keep only each doc's rows from its newest batch (re-crawl collapse
+        WITHIN the considered batch set). The per-doc max batch comes from the
+        thin doc_urls table, then an equi-join filters runs — no window sort
+        over the full runs volume."""
+        latest = doc_urls.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+        return runs.join(latest, ["doc_id", "batch_id"]).drop("batch_id")
 
+    def _doc_stats_of(self, runs_latest: DataFrame, doc_urls_latest: DataFrame) -> DataFrame:
+        lens = runs_latest.filter(F.col("term") == DOC_MARKER).select("doc_id", "doc_len")
+        return doc_urls_latest.join(lens, "doc_id", "left").select(
+            "doc_id",
+            "url",
+            F.coalesce(F.col("doc_len"), F.lit(0)).cast("int").alias("doc_len"),
+        )
+
+    def _write_postings(self, postings: DataFrame) -> None:
+        (
+            postings.sortWithinPartitions("bucket", "term", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{self.workdir}/index/postings")
+        )
+
+    def _load_index(self, n_docs: int, avgdl: float, range_width: int) -> Index:
+        spark, out = self.spark, f"{self.workdir}/index"
         return Index(
             postings=spark.read.parquet(f"{out}/postings"),
             term_stats=spark.read.parquet(f"{out}/term_stats"),
@@ -172,3 +270,205 @@ class IncrementalIndexer:
             conf=self.conf,
             range_width=range_width,
         )
+
+    def _finish_tables(self, n_docs: int) -> None:
+        spark, out = self.spark, f"{self.workdir}/index"
+        term_stats_from_postings(
+            spark.read.parquet(f"{out}/postings"), n_docs
+        ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+            f"{out}/term_stats"
+        )
+
+    def compact(self, full: bool = False) -> Index:
+        """Merge accumulated runs into the block tables. First call (or
+        full=True, e.g. to re-shard after heavy growth) compacts everything;
+        later calls merge only the delta batches into their touched buckets.
+        Returns the refreshed Index. Metrics for the merge (delta rows,
+        decoded old rows, touched buckets) are appended to
+        <workdir>/compactions."""
+        state = None if full else self._read_state()
+        done = self._done_batches()
+        if state is not None and int(state["max_batch"]) >= (max(done) if done else -1):
+            return self._load_index(
+                int(state["n_docs"]),
+                float(state["sum_dl"]) / max(1, int(state["n_docs"])),
+                int(state["range_width"]),
+            )
+        if state is None:
+            return self._compact_full(done)
+        return self._compact_incremental(state, done)
+
+    def _compact_full(self, done: list[int]) -> Index:
+        spark = self.spark
+        runs = spark.read.parquet(f"{self.workdir}/runs")
+        doc_urls = spark.read.parquet(f"{self.workdir}/doc_urls")
+        runs_latest = self._latest_wins(runs, doc_urls)
+        doc_urls_latest = doc_urls.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+            ),
+        ).filter(F.col("rn") == 1).select("doc_id", "url")
+        doc_stats = self._doc_stats_of(runs_latest, doc_urls_latest)
+        n_docs, avgdl = corpus_stats_agg(runs_latest)
+
+        range_width = self.range_width or adaptive_range_width(n_docs)
+        bits = hash_bucket_bits(n_docs, range_width)
+        out = f"{self.workdir}/index"
+        # full re-shard may change the bucket layout: clear old dirs so no
+        # stale partitions survive the dynamic overwrite
+        _hadoop_delete(spark, f"{out}/postings")
+        _hadoop_delete(spark, f"{out}/doc_stats")
+        self._write_postings(
+            build_postings(
+                runs_latest,
+                avgdl,
+                self.conf,
+                range_width,
+                n_docs=n_docs,
+                id_space="hash",
+                bucket_bits=bits,
+            )
+        )
+        self._finish_tables(n_docs)
+        doc_stats.withColumn(
+            "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, "hash", bits)
+        ).sortWithinPartitions("doc_id").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{out}/doc_stats")
+        spark.createDataFrame(
+            [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
+        ).write.mode("overwrite").parquet(f"{out}/corpus_stats")
+        self._write_state(max(done) if done else -1, bits, range_width, n_docs, n_docs * avgdl)
+        self._log_compaction(done, "full", delta_rows=-1, old_rows=-1, touched=-1)
+        return self._load_index(n_docs, avgdl, range_width)
+
+    def _compact_incremental(self, state, done: list[int]) -> Index:
+        spark = self.spark
+        out = f"{self.workdir}/index"
+        bits = int(state["bucket_bits"])
+        range_width = int(state["range_width"])
+        old_n, old_sum = int(state["n_docs"]), float(state["sum_dl"])
+        delta_batches = [b for b in done if b > int(state["max_batch"])]
+
+        runs = spark.read.parquet(f"{self.workdir}/runs").filter(
+            F.col("batch_id").isin(delta_batches)
+        )
+        doc_urls = spark.read.parquet(f"{self.workdir}/doc_urls").filter(
+            F.col("batch_id").isin(delta_batches)
+        )
+        # latest-wins WITHIN the delta; rows from batches already compacted
+        # are handled below by dropping re-crawled docs from the old blocks
+        delta_runs = self._latest_wins(runs, doc_urls).persist()
+        delta_docs = delta_runs.filter(F.col("term") == DOC_MARKER).select(
+            "doc_id", "doc_len"
+        ).persist()
+        buckets = [
+            int(r["bucket"])
+            for r in delta_docs.select(
+                bucket_expr(F.col("doc_id"), old_n, range_width, "hash", bits).alias(
+                    "bucket"
+                )
+            )
+            .distinct()
+            .collect()
+        ]
+        n_delta = delta_docs.count()
+        if n_delta == 0:
+            delta_runs.unpersist(); delta_docs.unpersist()
+            return self._load_index(old_n, old_sum / max(1, old_n), range_width)
+
+        # ---- old state for the touched docs (thin, partition-pruned reads)
+        old_doc_stats = spark.read.parquet(f"{out}/doc_stats")
+        recrawled = old_doc_stats.join(delta_docs.select("doc_id"), "doc_id", "semi")
+        r = recrawled.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s")
+        ).collect()[0]
+        n_recrawled, sum_recrawled = int(r["n"]), float(r["s"])
+        d = delta_docs.agg(F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s")).collect()[0]
+        n_docs = old_n - n_recrawled + n_delta
+        sum_dl = old_sum - sum_recrawled + float(d["s"])
+        avgdl = sum_dl / max(1, n_docs)
+
+        # ---- merge: decode ONLY touched buckets' blocks, drop re-crawled
+        # docs' stale rows, union with the delta, re-encode those buckets.
+        # The new blocks are staged to a scratch dir then swapped in per
+        # bucket (reading and overwriting the same parquet path in one job is
+        # both disallowed and unsafe).
+        old_blocks = spark.read.parquet(f"{out}/postings").filter(
+            F.col("bucket").isin(buckets)
+        )
+        old_rows = decode_postings_to_runs(old_blocks).join(
+            F.broadcast(delta_docs.select("doc_id")) if n_delta < 1_000_000
+            else delta_docs.select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).persist()
+        n_old_rows = old_rows.count()
+        n_delta_rows = delta_runs.count()
+        merged = old_rows.unionByName(
+            delta_runs.filter(F.col("term") != DOC_MARKER).select(
+                "term", "doc_id", "tf", "doc_len"
+            )
+        )
+        staging = f"{out}/_postings_staging"
+        build_postings(
+            merged,
+            avgdl,
+            self.conf,
+            range_width,
+            n_docs=n_docs,
+            id_space="hash",
+            bucket_bits=bits,
+        ).sortWithinPartitions("bucket", "term", "block_id").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(staging)
+        old_rows.unpersist()
+        # swap touched dirs; a touched bucket with no output (all its docs
+        # re-crawled to empty) gets its stale dir dropped
+        _swap_partition_dirs(spark, staging, f"{out}/postings", set(buckets))
+
+        # ---- doc_stats: same staged swap with (old kept - recrawled + delta)
+        delta_urls = doc_urls.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))),
+        ).filter(F.col("rn") == 1).select("doc_id", "url")
+        delta_stats = delta_docs.join(delta_urls, "doc_id").select(
+            "doc_id", "url", F.col("doc_len").cast("int").alias("doc_len")
+        )
+        bcol = bucket_expr(F.col("doc_id"), old_n, range_width, "hash", bits)
+        kept_old = (
+            old_doc_stats.filter(F.col("bucket").isin(buckets))
+            .join(delta_docs.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", "url", "doc_len")
+        )
+        ds_staging = f"{out}/_doc_stats_staging"
+        kept_old.unionByName(delta_stats).withColumn("bucket", bcol).sortWithinPartitions(
+            "doc_id"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(ds_staging)
+        _swap_partition_dirs(spark, ds_staging, f"{out}/doc_stats", set())
+
+        # term_stats: recompute from block metadata (tiny scan of the
+        # committed table — column pruning never touches the binary columns)
+        self._finish_tables(n_docs)
+        spark.createDataFrame(
+            [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
+        ).write.mode("overwrite").parquet(f"{out}/corpus_stats")
+        self._write_state(max(done), bits, range_width, n_docs, sum_dl)
+        self._log_compaction(
+            delta_batches,
+            "incremental",
+            delta_rows=n_delta_rows,
+            old_rows=n_old_rows,
+            touched=len(buckets),
+        )
+        delta_runs.unpersist(); delta_docs.unpersist()
+        return self._load_index(n_docs, avgdl, range_width)
+
+    def _log_compaction(
+        self, batches: list[int], kind: str, *, delta_rows: int, old_rows: int, touched: int
+    ) -> None:
+        self.spark.createDataFrame(
+            [(kind, ",".join(map(str, batches)), int(delta_rows), int(old_rows), int(touched))],
+            "kind string, batches string, delta_rows long, decoded_old_rows long, touched_buckets long",
+        ).write.mode("append").parquet(f"{self.workdir}/compactions")
