@@ -29,6 +29,25 @@ if str(REPO) not in sys.path:
 K1, B = 1.2, 0.75
 _TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# messy license strings for the spdx_resolve entry, one per match rule class:
+# SPDX ids, reference/details URLs, seeAlso URLs (with legalcode/trailing-/
+# noise), display names with spaces+quotes, a referenceNumber, one
+# unresolvable (fallback = input itself)
+_SPDX_MESSY = [
+    "MIT",
+    "https://spdx.org/licenses/Apache-2.0.html",
+    "https://spdx.org/licenses/GPL-3.0-only.json",
+    "gpl-2.0-only",
+    'BSD 3-Clause "New" or "Revised" License',
+    "https://opensource.org/license/mit/",
+    "https://creativecommons.org/licenses/by/4.0/legalcode",
+    "7",
+    "Mozilla Public License 2.0",
+    "EPL-2.0",
+    "not-a-real-license",
+    "https://www.apache.org/licenses/LICENSE-2.0",
+]
+
 # ---------------------------------------------------------------------------
 # engine plumbing (index built once per sf_dir and cached across queries)
 # ---------------------------------------------------------------------------
@@ -93,7 +112,10 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, query: str, k: int) -> DataFram
     return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
-def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+def _bm25_score_subquery(terms: list[str]) -> str:
+    """(doc_id, score) over all docs containing any of `terms` — the shared
+    BM25 math for single-query and batch oracles (same summation order as
+    the engine: term-ascending per doc)."""
     termlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
 WITH tok AS (
@@ -112,14 +134,33 @@ contrib AS (
          ln(1.0 + (c.n - df.df + 0.5)/(df.df + 0.5))
          * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl)) AS contrib
   FROM tf JOIN df USING(term) JOIN d USING(doc_id) CROSS JOIN c
-),
-score AS (
-  SELECT doc_id, list_sum(list(contrib ORDER BY term)) AS score
-  FROM contrib GROUP BY doc_id
 )
-SELECT doc_id, round(score, 4) AS score
-FROM (SELECT doc_id, score FROM score ORDER BY score DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, list_sum(list(contrib ORDER BY term)) AS score
+FROM contrib GROUP BY doc_id
 """
+
+
+def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+    return f"""
+SELECT doc_id, round(score, 4) AS score
+FROM (
+  SELECT doc_id, score FROM ({_bm25_score_subquery(terms)})
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+"""
+
+
+def _bm25_batch_oracle_sql(queries: dict[str, list[str]], k: int) -> str:
+    parts = []
+    for qid, terms in sorted(queries.items()):
+        parts.append(f"""
+SELECT '{qid}' AS query_id, doc_id, round(score, 4) AS score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM ({_bm25_score_subquery(terms)})
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)""")
+    return "\nUNION ALL\n".join(parts)
 
 
 def _lsh_topk_oracle_sql(
@@ -377,6 +418,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=6, probe_hamming=2
         ).select("vec_id", F.round("cos", 4).alias("cos"))
 
+    def bm25_topk_batch(spark, sf):
+        # T-group batch path: MANY queries over one shared scan with
+        # per-query block-max WAND pruning (webindex/query.py topk_batch)
+        from webindex.query import topk_batch
+
+        index = _index(spark, sf)
+        hits = topk_batch(
+            index,
+            {"q1": "spark merge", "q2": "the data", "q3": "group scan batch"},
+            k=10,
+        )
+        return hits.select(
+            "query_id", "doc_id", F.round("score", 4).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    # --- mapping tables / nested records (F5+J5, F9+F10) --------------------
+
+    def spdx_resolve_q(spark, sf):
+        # F5/J5: 6-rule SPDX license match chain over a broadcast mapping
+        # table (reference utils.py:214-278); messy license strings are
+        # derived deterministically from doc_id so the oracle can re-derive
+        # them
+        from webindex.mapping import resolve_spdx, spdx_license_table
+
+        d = _docs(spark, sf)
+        messy = F.element_at(
+            F.array(*[F.lit(s) for s in _SPDX_MESSY]),
+            (F.pmod(F.col("doc_id"), F.lit(len(_SPDX_MESSY))) + 1).cast("int"),
+        )
+        inputs = d.select("doc_id", messy.alias("license_str"))
+        out = resolve_spdx(inputs, "license_str", spdx_license_table(spark))
+        return out.select(
+            "doc_id", "license_str", "spdx_url",
+            F.col("spdx_rule").cast("long").alias("spdx_rule"),
+        )
+
+    def map_record_flatten(spark, sf):
+        # F9/F10: map<string,array<struct>> record -> dotted flat keys ->
+        # display-name rename via broadcast mapping (reference
+        # elasticsearch.py:94-113 + dataType.py:29-65)
+        from webindex.records import flatten_map_record, rename_flat_keys
+
+        orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderkey") <= 3000
+        )
+        entry = lambda c: F.struct(c.cast("string").alias("value"))  # noqa: E731
+        rec = orders.select(
+            "o_orderkey",
+            F.create_map(
+                F.lit("customer"), F.array(entry(F.col("o_custkey"))),
+                F.lit("status"), F.array(entry(F.col("o_orderstatus"))),
+                F.lit("routing"),
+                F.array(entry(F.col("o_orderpriority")), entry(F.col("o_orderstatus"))),
+            ).alias("record"),
+        )
+        flat = flatten_map_record(rec, "o_orderkey", "record")
+        mapping = spark.createDataFrame(
+            [("customer", "customerRef"), ("routing", "routingChain")],
+            "raw_key string, display_name string",
+        )
+        return rename_flat_keys(flat, mapping)
+
     # --- scalar function library (SURVEY.md §2.7 F-group) -------------------
 
     def fn_base64(spark, sf):
@@ -499,6 +603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_retry": resolve_retry,
         "resolve_retry_quarantine": resolve_retry_quarantine,
         "bidir_edges": bidir_edges,
+        "bm25_topk_batch": bm25_topk_batch,
+        "spdx_resolve": spdx_resolve_q,
+        "map_record_flatten": map_record_flatten,
     }
 
 
@@ -830,6 +937,76 @@ p AS (
   FROM v x JOIN v y ON x.vec_id < y.vec_id
 )
 SELECT a, b, round(cos, 4) AS cos FROM p WHERE round(cos, 4) >= 0.35
+"""
+
+    sql["bm25_topk_batch"] = _bm25_batch_oracle_sql(
+        {
+            "q1": ["merge", "spark"],
+            "q2": ["data", "the"],
+            "q3": ["batch", "group", "scan"],
+        },
+        10,
+    )
+
+    # spdx_resolve: the full 6-rule chain + canon() normalization recomputed
+    # in SQL against the same inlined seed table (webindex/mapping.py)
+    from webindex.mapping import SPDX_BASE_URL, SPDX_SEED, _CANON_STRIP
+
+    def _canon_sql(expr: str) -> str:
+        out = f"lower({expr})"
+        for pat in _CANON_STRIP:
+            out = f"replace({out}, '{pat}', '')"
+        out = f"replace({out}, 'licenses', 'license')"
+        return f"regexp_replace({out}, '/$', '')"
+
+    def _sql_str(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    lic_values = ",\n    ".join(
+        f"({pos}, {_sql_str(lid)}, {_sql_str(f'{SPDX_BASE_URL}/{lid}.html')}, "
+        f"{_sql_str(f'{SPDX_BASE_URL}/{lid}.json')}, {_sql_str(name)}, "
+        f"[{', '.join(_sql_str(u) for u in see_also)}], {refno})"
+        for (pos, lid, name, see_also, refno) in SPDX_SEED
+    )
+    messy_list = "[" + ", ".join(_sql_str(s) for s in _SPDX_MESSY) + "]"
+    sql["spdx_resolve"] = f"""
+WITH lic(position, license_id, reference, details, name, see_also, reference_number) AS (
+  VALUES
+    {lic_values}
+),
+inputs AS (
+  SELECT doc_id, ({messy_list})[(doc_id % {len(_SPDX_MESSY)}) + 1] AS license_str
+  FROM documents
+),
+m AS (
+  SELECT i.doc_id, l.position, l.license_id,
+    CASE WHEN lower(i.license_str) = lower(l.reference) THEN 1
+         WHEN contains(lower(l.details), lower(i.license_str)) THEN 2
+         WHEN lower(i.license_str) = lower(l.license_id) THEN 3
+         WHEN len(list_filter(l.see_also,
+                              x -> {_canon_sql('x')} = {_canon_sql('i.license_str')})) > 0 THEN 4
+         WHEN {_canon_sql('l.name')} = {_canon_sql('i.license_str')} THEN 5
+         WHEN i.license_str = l.reference_number::VARCHAR THEN 6
+    END AS rule
+  FROM inputs i CROSS JOIN lic l
+),
+win AS (
+  SELECT doc_id, license_id, rule,
+         row_number() OVER (PARTITION BY doc_id ORDER BY position) AS rn
+  FROM m WHERE rule IS NOT NULL
+)
+SELECT i.doc_id, i.license_str,
+       coalesce('{SPDX_BASE_URL}/' || w.license_id || '.json', i.license_str) AS spdx_url,
+       w.rule::BIGINT AS spdx_rule
+FROM inputs i LEFT JOIN (SELECT * FROM win WHERE rn = 1) w USING (doc_id)
+"""
+
+    sql["map_record_flatten"] = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 3000)
+SELECT o_orderkey, 'customerRef.0' AS flat_key, o_custkey::VARCHAR AS value FROM o
+UNION ALL SELECT o_orderkey, 'status.0', o_orderstatus FROM o
+UNION ALL SELECT o_orderkey, 'routingChain.0', o_orderpriority FROM o
+UNION ALL SELECT o_orderkey, 'routingChain.1', o_orderstatus FROM o
 """
 
     # lang_id: the stopword-overlap heuristic is plain SQL

@@ -50,6 +50,20 @@ def test_resume_matches_clean_run(spark, tmp_path):
     total_docs = sum(r["docs"] for r in lin)
     assert total_docs == 150
 
+    # bytes metric is REAL: per-bucket lineage bytes == the on-disk size of
+    # that bucket's committed run files (north rule: lineage carries metrics,
+    # not estimates)
+    import os
+
+    for r in lin:
+        bdir = f"{workdir}/runs/build_bucket={r['partition_id']}"
+        disk = sum(
+            os.path.getsize(os.path.join(bdir, f))
+            for f in os.listdir(bdir)
+            if not f.startswith(("_", "."))
+        )
+        assert r["bytes"] == disk and disk > 0
+
 
 def test_second_resume_is_noop_fast(spark, tmp_path):
     pdf = make_pages_pdf(0, 60)

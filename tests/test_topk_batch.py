@@ -17,19 +17,29 @@ QUERIES = {
 }
 
 
-def test_batch_equals_per_query(spark):
+@pytest.fixture(scope="module")
+def idx(spark):
     pdf = make_pages_pdf(0, 250)
     pdf.insert(0, "doc_id", np.arange(250, dtype=np.int64))
-    idx = build_index(
+    return build_index(
         spark, spark.createDataFrame(pdf), text_col="html",
         doc_id_method="provided", range_width=64,
     )
-    batch = topk_batch(idx, QUERIES, k=10).collect()
+
+
+def _collect_batch(idx, prune, k=10):
+    batch = topk_batch(idx, QUERIES, k=k, prune=prune).collect()
     got = {}
     for r in batch:
         got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], round(r["score"], 9)))
     for qid in got:
         got[qid].sort()
+    return got
+
+
+@pytest.mark.parametrize("prune", [True, False])
+def test_batch_equals_per_query(idx, prune):
+    got = _collect_batch(idx, prune)
     for qid, q in QUERIES.items():
         exp = [
             (i + 1, r["doc_id"], round(r["score"], 9))
@@ -37,3 +47,26 @@ def test_batch_equals_per_query(spark):
         ]
         assert got.get(qid, []) == exp, qid
     assert "q_absent" not in got
+
+
+def test_batch_pruned_identical_to_exhaustive(idx):
+    # per-query θ pruning changes the physical work, never the results
+    assert _collect_batch(idx, True) == _collect_batch(idx, False)
+
+
+def test_batch_theta_seeds_are_sound_lower_bounds(idx):
+    """Each batch seed must be positive for hot terms and never exceed the
+    exact k-th best single-term contribution (soundness = exactness of the
+    per-query pruning)."""
+    from pyspark.sql import functions as F
+
+    from webindex.query import _batch_theta_seeds, _query_terms, _theta_seed
+
+    k = 10
+    stats = _query_terms(idx, "the data spark")
+    seed_terms = {t: i for t, (df, i) in stats.items() if df > k}
+    assert seed_terms, "fixture must contain hot terms"
+    batch_thetas = _batch_theta_seeds(idx, seed_terms, k)
+    for t, idf in seed_terms.items():
+        exact_kth = _theta_seed(idx, t, idf, k)  # exact by its stop condition
+        assert 0.0 < batch_thetas[t] <= exact_kth + 1e-15, t

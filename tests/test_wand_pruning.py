@@ -59,6 +59,45 @@ def test_partial_prune_keeps_survivors_exact(idx):
     assert len(pruned) < len(all_scores)
 
 
+def test_theta_seed_is_exact_and_bounded(spark):
+    """The metadata-first θ-seed must (a) return the exact k-th best
+    single-term contribution (same value the old exhaustive seed computed)
+    and (b) decode a strict subset of a hot term's blocks. Fine bucketing
+    (range_width=8 -> ~32 blocks for a df~N term) so the doubling loop has
+    room to stop early."""
+    from webindex.query import _decode_contribs_iter, _theta_seed
+
+    pdf = make_pages_pdf(0, 256)
+    pdf.insert(0, "doc_id", np.arange(256, dtype=np.int64))
+    idx = build_index(
+        spark, spark.createDataFrame(pdf), text_col="text",
+        doc_id_method="provided", range_width=8,
+    )
+    k = 5
+    stats = _query_terms(idx, "the")
+    df, idf = stats["the"]
+    assert df > k
+    # exhaustive ground truth: decode EVERY block of the term
+    all_contribs = (
+        idx.postings.filter(F.col("term") == "the")
+        .mapInPandas(
+            _decode_contribs_iter({"the": idf}, idx.conf, idx.avgdl),
+            schema="term string, doc_id long, contrib double",
+        )
+        .toPandas()["contrib"]
+        .sort_values(ascending=False)
+    )
+    exact_kth = float(all_contribs.iloc[k - 1])
+    probe = {}
+    got = _theta_seed(idx, "the", idf, k, _probe=probe)
+    assert got == exact_kth
+    n_blocks = idx.postings.filter(F.col("term") == "the").count()
+    assert n_blocks >= 16
+    assert probe["blocks_decoded"] < n_blocks, (
+        f"seed decoded all {n_blocks} blocks — not bounded"
+    )
+
+
 def test_wand_exact_agree_under_heavy_theta_conditions(idx):
     # rare+hot mixes where theta seeding engages hardest
     for q in ("w199 the", "w180 data the", "merge rank w150"):

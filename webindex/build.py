@@ -367,16 +367,38 @@ def build_index(
     id_space: str | None = None,
     out_dir: str | None = None,
     runs_persist: bool = True,
+    dedup_urls: bool = False,
 ) -> Index:
     """End-to-end build. If out_dir is given, index tables are written as
     partitioned Parquet (Iceberg-ready layout) and re-read lazily; otherwise
     everything stays as in-memory DataFrames (tests).
+
+    PRECONDITION: urls are unique in `pages` (duplicate urls hash to the same
+    doc_id -> duplicated (term, doc_id) runs -> df and per-doc scores double-
+    count). The streaming path enforces latest-crawl-wins itself; for batch
+    inputs that may contain re-crawls, pass dedup_urls=True (latest warc_ts
+    wins, content-hash tiebreak) — it costs one extra shuffle of the raw
+    pages, so at 100 TB prefer deduplicating upstream in the crawl store.
 
     Two jobs: (1) runs + stats (one tokenize pass, persisted so job 2 never
     re-tokenizes), (2) the (term,bucket) shuffle into compressed blocks.
     """
     if id_space is None:
         id_space = "hash" if doc_id_method == "hash" else "dense"
+    if dedup_urls:
+        from pyspark.sql import Window
+
+        order = [F.asc("url")]
+        if "warc_ts" in pages.columns:
+            order.insert(0, F.desc_nulls_last("warc_ts"))
+        if "html" in pages.columns:
+            order.append(F.asc(F.xxhash64("html")))
+        w = Window.partitionBy("url").orderBy(*order)
+        pages = (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     pages = assign_doc_ids(pages, doc_id_method)
     runs = build_runs(pages, text_col=text_col)
     if out_dir:

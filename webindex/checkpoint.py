@@ -113,20 +113,25 @@ def build_runs_checkpointed(
             .agg(
                 F.count(F.when(F.col("term") == DOC_MARKER, 1)).alias("docs"),
                 F.count(F.when(F.col("term") != DOC_MARKER, 1)).alias("postings"),
-                F.sum(F.lit(14)).alias("bytes"),  # ~14B/run row (term amortized)
             )
             .collect()
         )
         by_bucket = {int(r["build_bucket"]): r for r in stats}
+        from webindex.fsutil import dir_bytes
+
         rows = []
         for b in chunk:
             r = by_bucket.get(b)
+            # bytes = REAL committed size of this bucket's run files (FS
+            # listing of the partition dir — the metric the lineage table
+            # promises, not an estimate)
+            nbytes = dir_bytes(spark, f"{workdir}/runs/build_bucket={b}")
             rows.append(
                 (
                     b,
                     int(r["docs"]) if r else 0,
                     int(r["postings"]) if r else 0,
-                    int(r["bytes"]) if r else 0,
+                    nbytes,
                     float(elapsed / len(chunk)),
                     "done",
                 )

@@ -1,9 +1,11 @@
 """spark-submit entrypoints (north rule: runs via spark-submit --py-files).
 
-Usage:
-  spark-submit --py-files webindex.zip -m webindex.cli build  <pages_path> <workdir>
-  spark-submit --py-files webindex.zip -m webindex.cli query  <workdir> <query> [k]
-  spark-submit --py-files webindex.zip -m webindex.cli resume <pages_path> <workdir>
+Usage (spark-submit takes an application file, not -m):
+  spark-submit --py-files webindex.zip webindex/cli.py build  <pages_path> <workdir>
+  spark-submit --py-files webindex.zip webindex/cli.py query  <workdir> <query> [k]
+  spark-submit --py-files webindex.zip webindex/cli.py resume <pages_path> <workdir>
+or locally:
+  python -m webindex.cli build <pages_path> <workdir>
 
 The package is pure Python (numpy/pandas on executors only inside Arrow
 UDFs), so `zip -r webindex.zip webindex` + --py-files is the whole deploy.

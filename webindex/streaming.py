@@ -65,17 +65,7 @@ from webindex.build import (
 )
 
 
-def _hadoop_fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
-
-
-def _hadoop_delete(spark: SparkSession, path: str) -> None:
-    fs, jvm = _hadoop_fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    if fs.exists(p):
-        fs.delete(p, True)
+from webindex.fsutil import hadoop_fs as _hadoop_fs, hadoop_delete as _hadoop_delete
 
 
 def _swap_partition_dirs(

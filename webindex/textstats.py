@@ -87,12 +87,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                 F.lit(lang).alias("lang"),
             )
         )
-    # max_by (hits desc, lang asc): sort structs desc by hits with lang
-    # tie-break via array_sort on (-hits, lang)
-    best = F.sort_array(
-        F.array(*scores), asc=False
-    )  # struct compare: hits desc then lang desc -> need custom
-    # build explicit: pick max hits, then min lang among winners
+    # max_by (hits desc, lang asc): pick max hits, then min lang among winners
     all_arr = F.array(*scores)
     max_hits = F.array_max(F.transform(all_arr, lambda s: s["hits"]))
     winners = F.filter(all_arr, lambda s: s["hits"] == max_hits)
