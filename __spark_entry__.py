@@ -76,7 +76,9 @@ def _index(spark: SparkSession, sf_dir: str):
 
 
 def _decoded_postings(index) -> DataFrame:
-    """Flatten compressed blocks back to (term, doc_id, tf) rows."""
+    """Flatten compressed blocks back to (term, doc_id, tf) rows. Blocks are
+    keyed by term_hash; the human-readable term comes from the term_stats
+    dictionary (vocab-sized broadcast join)."""
     import numpy as np
     import pandas as pd
 
@@ -84,24 +86,30 @@ def _decoded_postings(index) -> DataFrame:
 
     def fn(batches):
         for pdf in batches:
-            terms, ids, tfs = [], [], []
-            for term, dbuf, tbuf, lbuf in zip(
-                pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
+            hashes, ids, tfs = [], [], []
+            for th, dbuf, tbuf, lbuf in zip(
+                pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
             ):
                 d, t, _ = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
-                terms.append(np.full(len(d), term, dtype=object))
+                hashes.append(np.full(len(d), th, dtype=np.int64))
                 ids.append(d)
                 tfs.append(t)
             if ids:
                 yield pd.DataFrame(
                     {
-                        "term": np.concatenate(terms),
+                        "term_hash": np.concatenate(hashes),
                         "doc_id": np.concatenate(ids),
                         "tf": np.concatenate(tfs),
                     }
                 )
 
-    return index.postings.mapInPandas(fn, schema="term string, doc_id long, tf long")
+    decoded = index.postings.mapInPandas(
+        fn, schema="term_hash long, doc_id long, tf long"
+    )
+    dictionary = index.term_stats.select("term_hash", "term")
+    return decoded.join(F.broadcast(dictionary), "term_hash").select(
+        "term", "doc_id", "tf"
+    )
 
 
 def _bm25_topk(spark: SparkSession, sf_dir: str, query: str, k: int) -> DataFrame:

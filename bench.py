@@ -119,7 +119,9 @@ def main() -> None:
         timings["cosine_topk"] = time.monotonic() - t0
 
         total = sum(
-            v for k, v in timings.items() if not k.endswith("docs_per_sec")
+            v
+            for k, v in timings.items()
+            if not (k.endswith("docs_per_sec") or k.endswith("_qps"))
         )
         print(
             json.dumps(

@@ -39,7 +39,10 @@ def main() -> None:
 
     runs_plan = grab(build_runs(assign_doc_ids(pages, "hash"), text_col="html"))
     idx = build_index(spark, pages, text_col="html", doc_id_method="hash", out_dir=f"{wd}/idx")
-    scan_plan = grab(idx.postings.filter(F.col("term").isin(["the", "data"])))
+    from webindex.build import term_hashes
+
+    hs = term_hashes(spark, ["the", "data"])
+    scan_plan = grab(idx.postings.filter(F.col("term_hash").isin(list(hs.values()))))
     query_plan = grab(topk_wand(idx, "the data", 10))
 
     out = REPO / "PLANS.md"
@@ -61,7 +64,7 @@ single Python boundary is the Arrow `MapInPandas`.
 
 ## 2. Query-term scan over the postings table
 
-What to check: `PushedFilters: [In(term, ...)]` reaches the parquet scan —
+What to check: `PushedFilters: [In(term_hash, ...)]` reaches the parquet scan —
 combined with the term-sorted-within-file layout, row-group min/max stats
 skip non-matching row groups.
 

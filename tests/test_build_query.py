@@ -56,9 +56,16 @@ def test_term_stats_match(corpus):
 
 def test_postings_content_match(corpus):
     """Decode every block of a few terms; postings == oracle's exactly."""
+    from webindex.build import term_hashes
+
     index, oracle = corpus
+    hashes = term_hashes(index.postings.sparkSession, ["the", "data", "w199"])
     for term in ("the", "data", "w199"):
-        rows = index.postings.filter(F.col("term") == term).orderBy("block_id").collect()
+        rows = (
+            index.postings.filter(F.col("term_hash") == hashes[term])
+            .orderBy("block_id")
+            .collect()
+        )
         ids, tfs = [], []
         for r in rows:
             d, t, _ = codec.decode_block(bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["doc_lens"]))
@@ -71,8 +78,11 @@ def test_postings_content_match(corpus):
 
 
 def test_block_ids_follow_doc_ranges(corpus):
+    from webindex.build import term_hashes
+
     index, _ = corpus
-    rows = index.postings.filter(F.col("term") == "the").collect()
+    h = term_hashes(index.postings.sparkSession, ["the"])["the"]
+    rows = index.postings.filter(F.col("term_hash") == h).collect()
     for r in rows:
         # block lives entirely inside one range bucket (range_width=64)
         assert r["min_doc"] // 64 == r["max_doc"] // 64
@@ -116,7 +126,7 @@ def test_parallelism_invariance(spark):
         idx = build_index(spark, pages, text_col="html",
                           doc_id_method="provided", range_width=64)
         post = {
-            (r["term"], r["block_id"]): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["doc_lens"]), r["max_impact"])
+            (r["term_hash"], r["block_id"]): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["doc_lens"]), r["max_impact"])
             for r in idx.postings.collect()
         }
         hits = [(r["doc_id"], r["score"]) for r in topk(idx, "the data merge", 10).collect()]

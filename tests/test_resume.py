@@ -11,7 +11,7 @@ from webindex.pagesgen import make_pages_pdf
 
 def _postings_map(idx):
     return {
-        (r["term"], r["block_id"]): (bytes(r["doc_ids"]), bytes(r["tfs"]), r["max_impact"])
+        (r["term_hash"], r["block_id"]): (bytes(r["doc_ids"]), bytes(r["tfs"]), r["max_impact"])
         for r in idx.postings.collect()
     }
 

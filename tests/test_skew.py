@@ -16,7 +16,10 @@ def test_hot_term_spreads_over_buckets(spark):
         spark, spark.createDataFrame(pdf), text_col="text",
         doc_id_method="provided", range_width=64,
     )
-    hot = idx.postings.filter(F.col("term") == "the")
+    from webindex.build import term_hashes
+
+    h = term_hashes(spark, ["the"])["the"]
+    hot = idx.postings.filter(F.col("term_hash") == h)
     rows = hot.collect()
     buckets = {r["bucket"] for r in rows}
     # 'the' is in virtually every doc -> present in every 64-doc bucket

@@ -64,9 +64,9 @@ def test_batch_theta_seeds_are_sound_lower_bounds(idx):
 
     k = 10
     stats = _query_terms(idx, "the data spark")
-    seed_terms = {t: i for t, (df, i) in stats.items() if df > k}
+    seed_terms = {h: i for (df, i, h) in stats.values() if df > k}
     assert seed_terms, "fixture must contain hot terms"
     batch_thetas = _batch_theta_seeds(idx, seed_terms, k)
-    for t, idf in seed_terms.items():
-        exact_kth = _theta_seed(idx, t, idf, k)  # exact by its stop condition
-        assert 0.0 < batch_thetas[t] <= exact_kth + 1e-15, t
+    for h, idf in seed_terms.items():
+        exact_kth = _theta_seed(idx, h, idf, k)  # exact by its stop condition
+        assert 0.0 < batch_thetas[h] <= exact_kth + 1e-15, h

@@ -23,31 +23,35 @@ def idx(spark):
     )
 
 
-def _bucket_frames(idx, terms):
-    rows = idx.postings.filter(F.col("term").isin(terms)).toPandas()
+def _bucket_frames(idx, hashes):
+    rows = idx.postings.filter(F.col("term_hash").isin(hashes)).toPandas()
     return {b: g.reset_index(drop=True) for b, g in rows.groupby("bucket")}
 
 
 def test_prune_all_when_theta_unreachable(idx):
+    from webindex.query import _maps_of
+
     stats = _query_terms(idx, "the data")
-    idf_map = {t: i for t, (_, i) in stats.items()}
-    fn = _score_bucket_fn(idf_map, idx.conf, idx.avgdl, k=10, theta=1e9)
+    idf_map, term_rank = _maps_of(stats)
+    fn = _score_bucket_fn(idf_map, term_rank, idx.conf, idx.avgdl, k=10, theta=1e9)
     for pdf in _bucket_frames(idx, list(idf_map)).values():
         assert len(fn(pdf)) == 0  # every interval UB < theta -> all pruned
 
 
 def test_partial_prune_keeps_survivors_exact(idx):
+    from webindex.query import _maps_of
+
     # rare + hot mix: intervals without the rare term have UB = hot-only,
     # far below a theta anchored at the rare docs' scores -> real pruning
     query = "w199 the"
     stats = _query_terms(idx, query)
     assert "w199" in stats, "fixture corpus must contain the rare tail term"
-    idf_map = {t: i for t, (_, i) in stats.items()}
+    idf_map, term_rank = _maps_of(stats)
     frames = _bucket_frames(idx, list(idf_map))
-    exact_fn = _score_bucket_fn(idf_map, idx.conf, idx.avgdl, k=1000, theta=0.0)
+    exact_fn = _score_bucket_fn(idf_map, term_rank, idx.conf, idx.avgdl, k=1000, theta=0.0)
     all_scores = pd.concat([exact_fn(p) for p in frames.values()])
     theta = float(all_scores["score"].max()) * 0.5
-    pruned_fn = _score_bucket_fn(idf_map, idx.conf, idx.avgdl, k=1000, theta=theta)
+    pruned_fn = _score_bucket_fn(idf_map, term_rank, idx.conf, idx.avgdl, k=1000, theta=theta)
     pruned = pd.concat([pruned_fn(p) for p in frames.values()])
     # every >=theta doc survives with a bit-identical score...
     keep = all_scores[all_scores["score"] >= theta].sort_values("doc_id")
@@ -75,23 +79,23 @@ def test_theta_seed_is_exact_and_bounded(spark):
     )
     k = 5
     stats = _query_terms(idx, "the")
-    df, idf = stats["the"]
+    df, idf, h = stats["the"]
     assert df > k
     # exhaustive ground truth: decode EVERY block of the term
     all_contribs = (
-        idx.postings.filter(F.col("term") == "the")
+        idx.postings.filter(F.col("term_hash") == h)
         .mapInPandas(
-            _decode_contribs_iter({"the": idf}, idx.conf, idx.avgdl),
-            schema="term string, doc_id long, contrib double",
+            _decode_contribs_iter({h: idf}, idx.conf, idx.avgdl),
+            schema="term_hash long, doc_id long, contrib double",
         )
         .toPandas()["contrib"]
         .sort_values(ascending=False)
     )
     exact_kth = float(all_contribs.iloc[k - 1])
     probe = {}
-    got = _theta_seed(idx, "the", idf, k, _probe=probe)
+    got = _theta_seed(idx, h, idf, k, _probe=probe)
     assert got == exact_kth
-    n_blocks = idx.postings.filter(F.col("term") == "the").count()
+    n_blocks = idx.postings.filter(F.col("term_hash") == h).count()
     assert n_blocks >= 16
     assert probe["blocks_decoded"] < n_blocks, (
         f"seed decoded all {n_blocks} blocks — not bounded"

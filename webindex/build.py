@@ -191,6 +191,7 @@ def corpus_stats_agg(runs: DataFrame) -> tuple[int, float]:
 def _with_idf(df_counts: DataFrame, n_docs: int) -> DataFrame:
     return df_counts.select(
         "term",
+        "term_hash",
         "df",
         F.log(
             F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -198,26 +199,87 @@ def _with_idf(df_counts: DataFrame, n_docs: int) -> DataFrame:
     )
 
 
+def term_hash_col(term_col) -> F.Column:
+    """The 64-bit shuffle/storage key for a term. xxhash64 is deterministic
+    across cluster sizes and Spark versions (pinned seed 42), so block
+    identity across parallelism levels is preserved."""
+    return F.xxhash64(term_col)
+
+
+def term_hashes(spark: SparkSession, terms: list[str]) -> dict[str, int]:
+    """Driver-side {term: term_hash} via a tiny Spark job (the hash must be
+    Spark's own xxhash64 — never re-implemented in Python). The query path
+    doesn't need this: term_stats already carries term_hash."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", term_hash_col(F.col("term")).alias("h"))
+        .collect()
+    )
+    return {r["term"]: int(r["h"]) for r in rows}
+
+
+def build_term_dict(runs: DataFrame, *, check_collisions: bool = True) -> DataFrame:
+    """(term, term_hash) dictionary from the runs vocabulary — a column-pruned
+    scan of the dictionary-encoded `term` parquet column + a vocab-sized
+    distinct, NOT a pass over postings.
+
+    check_collisions raises if two distinct terms share an xxhash64 value
+    (expected ~2.7e-2 PROBABILITY of one collision at 10^9 vocab; a collision
+    would silently merge two terms' postings, so it must be loud — remedy is
+    a wider key, e.g. two independent 64-bit hashes)."""
+    d = (
+        runs.filter(F.col("term") != DOC_MARKER)
+        .select("term")
+        .distinct()
+        .withColumn("term_hash", term_hash_col(F.col("term")))
+    )
+    if check_collisions:
+        assert_no_hash_collisions(d)
+    return d
+
+
+def assert_no_hash_collisions(term_dict: DataFrame) -> DataFrame:
+    """Raise if two distinct terms share a term_hash (one vocab-sized agg)."""
+    clash = (
+        term_dict.groupBy("term_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise RuntimeError(
+            f"xxhash64 term collision at hash {clash[0]['term_hash']}; "
+            "widen the term key"
+        )
+    return term_dict
+
+
 def build_term_stats(runs: DataFrame, n_docs: int) -> DataFrame:
-    """term_stats(term, df, idf) from runs: one row per (term, doc) =>
-    df = count(*), with map-side partial aggregation."""
+    """term_stats(term, term_hash, df, idf) from runs: one row per
+    (term, doc) => df = count(*), with map-side partial aggregation."""
     return _with_idf(
         runs.filter(F.col("term") != DOC_MARKER)
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df")),
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("term_hash", term_hash_col(F.col("term"))),
         n_docs,
     )
 
 
-def term_stats_from_postings(postings: DataFrame, n_docs: int) -> DataFrame:
+def term_stats_from_postings(
+    postings: DataFrame, n_docs: int, term_dict: DataFrame
+) -> DataFrame:
     """term_stats derived from the block table: df = Σ n_docs over a term's
     blocks. The postings table is ~|vocab|·buckets rows — orders of magnitude
     smaller than runs, so this replaces a full pass over every (term, doc)
-    pair with a scan of block metadata."""
-    return _with_idf(
-        postings.groupBy("term").agg(F.sum("n_docs").cast("long").alias("df")),
-        n_docs,
+    pair with a scan of block metadata. Blocks carry only term_hash; the
+    human-readable term comes from the vocab-sized dictionary join (both
+    sides ~|vocab| rows — negligible next to the postings shuffle)."""
+    hash_df = postings.groupBy("term_hash").agg(
+        F.sum("n_docs").cast("long").alias("df")
     )
+    return _with_idf(hash_df.join(term_dict, "term_hash"), n_docs)
 
 
 # --------------------------------------------------------------------------
@@ -277,17 +339,23 @@ def build_postings(
 ) -> DataFrame:
     """runs -> compressed posting blocks.
 
-    Shuffle key (term, bucket): deterministic salt for hot terms (see module
-    docstring). Within each group we sort by doc_id (Spark's shuffle is the
-    external sort-merge of SPIMI runs; the in-group sort is numpy) and emit
-    delta+varint blocks with per-block max_impact for block-max WAND.
+    Shuffle key (term_hash, bucket): deterministic salt for hot terms (see
+    module docstring). The term STRING is dropped before the shuffle — rows
+    cross the wire as 5 fixed-width numerics (~25% smaller than with an
+    avg-8-char term, and the dominant build shuffle is exactly these rows);
+    term_hash = xxhash64(term) with the (term, term_hash) dictionary kept in
+    term_stats (build_term_dict checks for collisions). Within each group we
+    sort by doc_id (Spark's shuffle is the external sort-merge of SPIMI runs;
+    the in-group sort is numpy) and emit delta+varint blocks with per-block
+    max_impact for block-max WAND.
 
     block_id = (bucket << 24) | local index — globally unique per term and
-    independent of parallelism."""
+    independent of parallelism. Accepts runs keyed by `term` (raw SPIMI
+    output) or already by `term_hash` (incremental-merge path)."""
     k1, b, block_size = conf.k1, conf.b, conf.block_size
 
     def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, bucket = key
+        term_hash, bucket = key
         order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
         ids = pdf["doc_id"].to_numpy()[order]
         tfs = pdf["tf"].to_numpy()[order]
@@ -296,7 +364,7 @@ def build_postings(
         base = int(bucket) << _BLOCK_SHIFT
         return pd.DataFrame(
             {
-                "term": term,
+                "term_hash": np.full(len(blocks), int(term_hash), dtype=np.int64),
                 "bucket": np.full(len(blocks), int(bucket), dtype=np.int64),
                 "block_id": np.asarray(
                     [base | blk["block_id"] for blk in blocks], dtype=np.int64
@@ -312,43 +380,51 @@ def build_postings(
             }
         )
 
-    bucketed = runs.filter(F.col("term") != DOC_MARKER).withColumn(
+    if "term_hash" not in runs.columns:
+        runs = (
+            runs.filter(F.col("term") != DOC_MARKER)
+            .withColumn("term_hash", term_hash_col(F.col("term")))
+            .drop("term")  # the string never crosses the shuffle
+        )
+    bucketed = runs.withColumn(
         "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, id_space, bucket_bits)
     )
-    return bucketed.groupBy("term", "bucket").applyInPandas(
+    return bucketed.groupBy("term_hash", "bucket").applyInPandas(
         encode_group, schema=schema.POSTINGS
     )
 
 
 def decode_postings_to_runs(postings: DataFrame) -> DataFrame:
-    """Inverse of build_postings: compressed blocks -> runs(term, doc_id, tf,
-    doc_len) rows. Used by incremental compaction to merge ONLY the touched
-    buckets' old blocks with new runs (never re-reads or re-tokenizes pages).
-    No DOC_MARKER rows are reconstructed — callers track doc stats separately."""
+    """Inverse of build_postings: compressed blocks -> hashed runs
+    (term_hash, doc_id, tf, doc_len) rows. Used by incremental compaction to
+    merge ONLY the touched buckets' old blocks with new runs (never re-reads
+    or re-tokenizes pages). No DOC_MARKER rows are reconstructed — callers
+    track doc stats separately. Blocks store no term strings; join term_stats
+    on term_hash when a human-readable view is needed."""
 
     def fn(batches):
         for pdf in batches:
-            terms, ids, tfs, dls = [], [], [], []
-            for term, dbuf, tbuf, lbuf in zip(
-                pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
+            hashes, ids, tfs, dls = [], [], [], []
+            for th, dbuf, tbuf, lbuf in zip(
+                pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
             ):
                 d, t, l = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
-                terms.append(np.full(len(d), term, dtype=object))
+                hashes.append(np.full(len(d), th, dtype=np.int64))
                 ids.append(d)
                 tfs.append(t)
                 dls.append(l)
             if ids:
                 yield pd.DataFrame(
                     {
-                        "term": pd.array(np.concatenate(terms), dtype="string"),
+                        "term_hash": np.concatenate(hashes),
                         "doc_id": np.concatenate(ids),
                         "tf": np.concatenate(tfs).astype(np.int32),
                         "doc_len": np.concatenate(dls).astype(np.int32),
                     }
                 )
 
-    return postings.select("term", "doc_ids", "tfs", "doc_lens").mapInPandas(
-        fn, schema=schema.RUNS
+    return postings.select("term_hash", "doc_ids", "tfs", "doc_lens").mapInPandas(
+        fn, schema=schema.RUNS_HASHED
     )
 
 
@@ -423,35 +499,39 @@ def build_index(
 
     if out_dir:
         # term-clustered layout: each shuffle partition (already hash-keyed by
-        # (term,bucket) from the encode groupBy) is SORTED by term before the
-        # write, so parquet row-group min/max stats prune a query's
-        # IN(term,...) pushdown tightly. NB: repartitionByRange would give
-        # file-level pruning too, but its range-sampling job re-executes the
-        # whole encode (2x build cost, measured 5x slower end-to-end) — on
-        # Iceberg use WRITE ORDERED BY (term, block_id) which samples
-        # metadata, not the plan.
-        postings.sortWithinPartitions("term", "block_id").write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/postings")
-        postings = spark.read.parquet(f"{out_dir}/postings")
-        # term_stats from the WRITTEN block table (tiny scan, no recompute)
-        term_stats = term_stats_from_postings(postings, n_docs)
-        term_stats.sortWithinPartitions("term").write.mode("overwrite").parquet(
-            f"{out_dir}/term_stats"
+        # (term_hash,bucket) from the encode groupBy) is SORTED by term_hash
+        # before the write, so parquet row-group min/max stats prune a query's
+        # IN(term_hash,...) pushdown tightly. NB: repartitionByRange would
+        # give file-level pruning too, but its range-sampling job re-executes
+        # the whole encode (2x build cost, measured 5x slower end-to-end) —
+        # on Iceberg use WRITE ORDERED BY (term_hash, block_id) which samples
+        # metadata, not the plan. All table writes go through io.write_table
+        # (parquet here; Iceberg = WEBINDEX_TABLE_FORMAT=iceberg + a catalog).
+        from webindex.io import read_table, write_table
+
+        write_table(postings, f"{out_dir}/postings", sort_cols=["term_hash", "block_id"])
+        postings = read_table(spark, f"{out_dir}/postings")
+        # term_stats doubles as the term dictionary: ONE column-pruned pass
+        # over runs' term column (map-side combined groupBy) yields
+        # (term, term_hash, df) together — cheaper than a separate dict
+        # distinct + postings-metadata agg + join
+        term_stats = build_term_stats(runs, n_docs)
+        write_table(term_stats, f"{out_dir}/term_stats", sort_cols=["term"])
+        assert_no_hash_collisions(read_table(spark, f"{out_dir}/term_stats"))
+        write_table(doc_stats, f"{out_dir}/doc_stats", sort_cols=["doc_id"])
+        write_table(
+            spark.createDataFrame([(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS),
+            f"{out_dir}/corpus_stats",
         )
-        doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
-            f"{out_dir}/doc_stats"
-        )
-        spark.createDataFrame(
-            [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
-        ).write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")
-        term_stats = spark.read.parquet(f"{out_dir}/term_stats")
-        doc_stats = spark.read.parquet(f"{out_dir}/doc_stats")
+        term_stats = read_table(spark, f"{out_dir}/term_stats")
+        doc_stats = read_table(spark, f"{out_dir}/doc_stats")
     else:
         # materialize the index once — queries must never re-run the build
         postings = postings.persist()
         postings.count()
-        term_stats = term_stats_from_postings(postings, n_docs).persist()
+        term_stats = assert_no_hash_collisions(
+            build_term_stats(runs, n_docs).persist()
+        )
         doc_stats = doc_stats.persist()
         term_stats.count()
         doc_stats.count()
@@ -474,9 +554,17 @@ def load_index(
 ) -> Index:
     """cache=True pins postings/term_stats in executor memory (serving mode:
     repeated queries skip the parquet read — term_stats is the hot lookup)."""
-    stats = spark.read.parquet(f"{out_dir}/corpus_stats").collect()[0]
-    postings = spark.read.parquet(f"{out_dir}/postings")
-    term_stats = spark.read.parquet(f"{out_dir}/term_stats")
+    from webindex.io import read_table
+
+    stats = read_table(spark, f"{out_dir}/corpus_stats").collect()[0]
+    postings = read_table(spark, f"{out_dir}/postings")
+    term_stats = read_table(spark, f"{out_dir}/term_stats")
+    if "term_hash" not in postings.columns:
+        raise RuntimeError(
+            f"{out_dir} is a pre-term-hash index (postings keyed by 'term'); "
+            "rebuild it — querying it with this version would silently "
+            "return no hits"
+        )
     if cache:
         postings = postings.persist()
         term_stats = term_stats.persist()
@@ -484,7 +572,7 @@ def load_index(
     return Index(
         postings=postings,
         term_stats=term_stats,
-        doc_stats=spark.read.parquet(f"{out_dir}/doc_stats"),
+        doc_stats=read_table(spark, f"{out_dir}/doc_stats"),
         n_docs=int(stats["n_docs"]),
         avgdl=float(stats["avgdl"]),
         conf=conf,

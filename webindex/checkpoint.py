@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from webindex import schema
 from webindex.bm25 import BM25Config, DEFAULT
 from webindex.build import (
-    DEFAULT_RANGE_WIDTH,
     Index,
     assign_doc_ids,
     build_postings,
@@ -188,18 +187,19 @@ def build_index_resumable(
 
         range_width = adaptive_range_width(n_docs)
     id_space = "hash" if doc_id_method == "hash" else "dense"
-    # term-sorted-within-partition write (see build.build_index for why not
-    # repartitionByRange): row-group pruning on term IN (...) filters
+    # hash-sorted-within-partition write (see build.build_index for why not
+    # repartitionByRange): row-group pruning on term_hash IN (...) filters
     build_postings(
         runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space
-    ).sortWithinPartitions("term", "block_id").write.mode("overwrite").parquet(
+    ).sortWithinPartitions("term_hash", "block_id").write.mode("overwrite").parquet(
         f"{out}/postings"
     )
-    from webindex.build import term_stats_from_postings
+    from webindex.build import assert_no_hash_collisions
 
-    term_stats_from_postings(
-        spark.read.parquet(f"{out}/postings"), n_docs
-    ).sortWithinPartitions("term").write.mode("overwrite").parquet(f"{out}/term_stats")
+    build_term_stats(runs, n_docs).sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/term_stats")
+    assert_no_hash_collisions(spark.read.parquet(f"{out}/term_stats"))
     doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         f"{out}/doc_stats"
     )

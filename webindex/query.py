@@ -5,9 +5,11 @@ src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-306 — multi_match query,
 BM25-ranked hits, top-1 read) to arbitrary k over our native index:
 
     query string -> tokenize (same analyzer as build)
-      -> term_stats lookup (df+idf per query term; one tiny job)
-      -> candidate posting blocks (filter term IN (...) — file/row-group
-         pruning on the term-clustered postings table)
+      -> term_stats lookup (df+idf+term_hash per query term; one tiny job —
+         term_stats is also the term dictionary, so query strings are mapped
+         to the 8-byte hash keys the postings table is clustered by)
+      -> candidate posting blocks (filter term_hash IN (...) — file/row-group
+         pruning on the hash-clustered postings table)
       -> groupBy(bucket) applyInPandas  [ONE fused stage]:
            block-max WAND prune: skip the whole bucket when
              UB(bucket) = Σ_t idf_t·max(max_impact) < θ
@@ -48,50 +50,54 @@ _HIT = T.StructType(
 
 _DECODED = T.StructType(
     [
-        T.StructField("term", T.StringType(), False),
+        T.StructField("term_hash", T.LongType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("contrib", T.DoubleType(), False),
     ]
 )
 
 
-def _query_terms(index: Index, query: str) -> dict[str, tuple[int, float]]:
-    """{term: (df, idf)} for query terms present in the corpus (duplicates
-    dedup'd, matching Lucene's per-field term dedup in multi_match). One
-    Spark job; df rides along so WAND's rarest-term choice is free."""
+def _query_terms(index: Index, query: str) -> dict[str, tuple[int, float, int]]:
+    """{term: (df, idf, term_hash)} for query terms present in the corpus
+    (duplicates dedup'd, matching Lucene's per-field term dedup in
+    multi_match). One Spark job against the term_stats dictionary; df rides
+    along so WAND's rarest-term choice is free, term_hash so the postings
+    filter never hashes query strings itself."""
     terms = sorted(set(tokenize(query)))
     if not terms:
         return {}
     rows = index.term_stats.filter(F.col("term").isin(terms)).collect()
-    return {r["term"]: (int(r["df"]), float(r["idf"])) for r in rows}
+    return {
+        r["term"]: (int(r["df"]), float(r["idf"]), int(r["term_hash"])) for r in rows
+    }
 
 
-def _decode_contribs_iter(idf_map: dict[str, float], conf, avgdl: float):
-    """mapInPandas fn over posting-block rows -> (term, doc_id, contrib).
-    Used by the θ-seed job (single term)."""
+def _decode_contribs_iter(idf_map: dict[int, float], conf, avgdl: float):
+    """mapInPandas fn over posting-block rows -> (term_hash, doc_id,
+    contrib). idf_map is keyed by term_hash. Used by the θ-seed jobs."""
     k1, b = conf.k1, conf.b
 
     def fn(batches):
         for pdf in batches:
-            terms_out, ids_out, contribs_out = [], [], []
-            for term, dbuf, tbuf, lbuf in zip(
-                pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
+            hashes_out, ids_out, contribs_out = [], [], []
+            for th, dbuf, tbuf, lbuf in zip(
+                pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
             ):
                 ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
-                contrib = idf_map[term] * codec.bm25_impact(tfs, dls, avgdl, k1, b)
-                terms_out.append(np.full(len(ids), term, dtype=object))
+                contrib = idf_map[int(th)] * codec.bm25_impact(tfs, dls, avgdl, k1, b)
+                hashes_out.append(np.full(len(ids), th, dtype=np.int64))
                 ids_out.append(ids)
                 contribs_out.append(contrib)
             if ids_out:
                 yield pd.DataFrame(
                     {
-                        "term": np.concatenate(terms_out),
+                        "term_hash": np.concatenate(hashes_out),
                         "doc_id": np.concatenate(ids_out),
                         "contrib": np.concatenate(contribs_out),
                     }
                 )
             else:
-                yield pd.DataFrame({"term": [], "doc_id": [], "contrib": []})
+                yield pd.DataFrame({"term_hash": [], "doc_id": [], "contrib": []})
 
     return fn
 
@@ -135,17 +141,25 @@ def _interval_prune(
     return bounds, interval_keep, block_keep
 
 
-def _score_bucket_fn(idf_map: dict[str, float], conf, avgdl: float, k: int, theta: float):
+def _score_bucket_fn(
+    idf_map: dict[int, float],
+    term_rank: dict[int, int],
+    conf,
+    avgdl: float,
+    k: int,
+    theta: float,
+):
     """applyInPandas fn: one bucket's blocks (all query terms) -> local top-k.
 
-    Deterministic per-doc sum: rows sorted by (doc_id, term), summed with
-    np.add.reduceat — identical order to the oracle's term-ascending fold."""
+    idf_map/term_rank are keyed by term_hash; term_rank orders by the TERM
+    STRING ascending (computed driver-side from term_stats), preserving the
+    oracle's deterministic summation order even though blocks only carry
+    hashes. Rows sorted by (doc_id, rank), summed with np.add.reduceat."""
     k1, b = conf.k1, conf.b
 
     empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
         {"doc_id": np.int64, "score": np.float64}
     )
-    term_rank = {t: i for i, t in enumerate(sorted(idf_map))}
     n_terms = len(term_rank)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -161,25 +175,26 @@ def _score_bucket_fn(idf_map: dict[str, float], conf, avgdl: float, k: int, thet
                 1.0, avgdl / pdf["avgdl0"].to_numpy(dtype=np.float64)
             )
             timps = (
-                pdf["term"].map(idf_map).to_numpy(dtype=np.float64)
+                pdf["term_hash"].map(idf_map).to_numpy(dtype=np.float64)
                 * pdf["max_impact"].to_numpy(dtype=np.float64)
                 * drift
             )
-            tranks = pdf["term"].map(term_rank).to_numpy(dtype=np.int64)
+            tranks = pdf["term_hash"].map(term_rank).to_numpy(dtype=np.int64)
             pruned = _interval_prune(tmins, tmaxs, timps, tranks, n_terms, theta)
             if pruned is None:
                 return empty
             bounds, interval_keep, keep_mask = pruned
 
         ids_all, terms_all, contribs_all = [], [], []
-        rows = zip(pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"])
-        for bi, (term, dbuf, tbuf, lbuf) in enumerate(rows):
+        rows = zip(pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"])
+        for bi, (th, dbuf, tbuf, lbuf) in enumerate(rows):
             if keep_mask is not None and not keep_mask[bi]:
                 continue
+            th = int(th)
             ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
             ids_all.append(ids)
-            terms_all.append(np.full(len(ids), term_rank[term], dtype=np.int32))
-            contribs_all.append(idf_map[term] * codec.bm25_impact(tfs, dls, avgdl, k1, b))
+            terms_all.append(np.full(len(ids), term_rank[th], dtype=np.int32))
+            contribs_all.append(idf_map[th] * codec.bm25_impact(tfs, dls, avgdl, k1, b))
         if not ids_all:
             return empty
         ids = np.concatenate(ids_all)
@@ -207,10 +222,25 @@ def _score_bucket_fn(idf_map: dict[str, float], conf, avgdl: float, k: int, thet
     return fn
 
 
-def _run_scored(index: Index, idf_map: dict[str, float], k: int, theta: float) -> DataFrame:
-    blocks = index.postings.filter(F.col("term").isin(list(idf_map)))
+def _maps_of(stats: dict[str, tuple[int, float, int]]):
+    """(idf_map, term_rank) keyed by term_hash; rank = term-string ascending
+    (the deterministic summation order)."""
+    idf_map = {h: idf for (_, idf, h) in stats.values()}
+    term_rank = {stats[t][2]: i for i, t in enumerate(sorted(stats))}
+    return idf_map, term_rank
+
+
+def _run_scored(
+    index: Index,
+    idf_map: dict[int, float],
+    term_rank: dict[int, int],
+    k: int,
+    theta: float,
+) -> DataFrame:
+    blocks = index.postings.filter(F.col("term_hash").isin(list(idf_map)))
     hits = blocks.groupBy("bucket").applyInPandas(
-        _score_bucket_fn(idf_map, index.conf, index.avgdl, k, theta), schema=_HIT
+        _score_bucket_fn(idf_map, term_rank, index.conf, index.avgdl, k, theta),
+        schema=_HIT,
     )
     return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -221,12 +251,12 @@ def topk_exact(index: Index, query: str, k: int = 10) -> DataFrame:
     stats = _query_terms(index, query)
     if not stats:
         return spark.createDataFrame([], _HIT)
-    idf_map = {t: idf for t, (_, idf) in stats.items()}
-    return _run_scored(index, idf_map, k, theta=0.0)
+    idf_map, term_rank = _maps_of(stats)
+    return _run_scored(index, idf_map, term_rank, k, theta=0.0)
 
 
 def _theta_seed(
-    index: Index, term: str, idf: float, k: int, _probe: dict | None = None
+    index: Index, term_hash: int, idf: float, k: int, _probe: dict | None = None
 ) -> float:
     """k-th largest single-term BM25 contribution of `term` — a sound lower
     bound for the final k-th best score of any query containing it (every doc
@@ -239,7 +269,7 @@ def _theta_seed(
     block is provably below it, so the value is EXACT. For a hot term ("the",
     df~N) this decodes O(k) postings instead of df; the old exhaustive seed
     decoded millions at web scale (VERDICT r01 'What's wrong #6')."""
-    meta = index.postings.filter(F.col("term") == term).select(
+    meta = index.postings.filter(F.col("term_hash") == term_hash).select(
         "block_id",
         "n_docs",
         (
@@ -256,10 +286,10 @@ def _theta_seed(
         top = meta.orderBy(F.desc("bound"), F.asc("block_id")).limit(m).collect()
         ids = [int(r["block_id"]) for r in top]
         blocks = index.postings.filter(
-            (F.col("term") == term) & F.col("block_id").isin(ids)
+            (F.col("term_hash") == term_hash) & F.col("block_id").isin(ids)
         )
         seed = blocks.mapInPandas(
-            _decode_contribs_iter({term: idf}, index.conf, index.avgdl),
+            _decode_contribs_iter({term_hash: idf}, index.conf, index.avgdl),
             schema=_DECODED,
         )
         kth = seed.orderBy(F.desc("contrib")).limit(k).collect()
@@ -282,7 +312,7 @@ def topk_wand(index: Index, query: str, k: int = 10) -> DataFrame:
     stats = _query_terms(index, query)
     if not stats:
         return spark.createDataFrame([], _HIT)
-    idf_map = {t: idf for t, (_, idf) in stats.items()}
+    idf_map, term_rank = _maps_of(stats)
 
     # θ seed from the rarest term — worthwhile only if it has > k docs.
     # Single-term queries seed too: θ = the k-th best contribution IS the
@@ -290,15 +320,15 @@ def topk_wand(index: Index, query: str, k: int = 10) -> DataFrame:
     theta = 0.0
     rterm = min(stats, key=lambda t: (stats[t][0], t))
     if stats[rterm][0] > k:
-        theta = _theta_seed(index, rterm, idf_map[rterm], k)
-    return _run_scored(index, idf_map, k, theta)
+        theta = _theta_seed(index, stats[rterm][2], stats[rterm][1], k)
+    return _run_scored(index, idf_map, term_rank, k, theta)
 
 
 def _batch_theta_seeds(
     index: Index,
-    seed_terms: dict[str, float],
+    seed_terms: dict[int, float],  # term_hash -> idf
     k: int,
-) -> dict[str, float]:
+) -> dict[int, float]:
     """Per-term k-th best single-term contribution for MANY terms in two
     shared jobs (metadata TakeOrdered-per-term + bounded decode) — the batch
     analogue of _theta_seed. Values are SOUND lower bounds of each term's
@@ -310,9 +340,9 @@ def _batch_theta_seeds(
         return {}
     m = max(4, 2 * -(-k // index.conf.block_size))
     meta = (
-        index.postings.filter(F.col("term").isin(list(seed_terms)))
+        index.postings.filter(F.col("term_hash").isin(list(seed_terms)))
         .select(
-            "term",
+            "term_hash",
             "block_id",
             (
                 F.col("max_impact")
@@ -322,16 +352,18 @@ def _batch_theta_seeds(
         .withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("term").orderBy(F.desc("raw_bound"), F.asc("block_id"))
+                Window.partitionBy("term_hash").orderBy(
+                    F.desc("raw_bound"), F.asc("block_id")
+                )
             ),
         )
         .filter(F.col("rn") <= m)
-        .select("term", "block_id")
+        .select("term_hash", "block_id")
     )
-    # (term, block_id) pairwise filter — block_ids are globally unique per
-    # BUCKET, not per term, so a bare isin(block_ids) would decode unrelated
-    # terms' blocks; the broadcast semi-join keeps the pairing exact
-    blocks = index.postings.join(F.broadcast(meta), ["term", "block_id"], "semi")
+    # (term_hash, block_id) pairwise filter — block_ids are globally unique
+    # per BUCKET, not per term, so a bare isin(block_ids) would decode
+    # unrelated terms' blocks; the broadcast semi-join keeps the pairing exact
+    blocks = index.postings.join(F.broadcast(meta), ["term_hash", "block_id"], "semi")
     contribs = blocks.mapInPandas(
         _decode_contribs_iter(seed_terms, index.conf, index.avgdl), schema=_DECODED
     )
@@ -339,14 +371,14 @@ def _batch_theta_seeds(
         contribs.withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("term").orderBy(F.desc("contrib"))
+                Window.partitionBy("term_hash").orderBy(F.desc("contrib"))
             ),
         )
         .filter(F.col("rn") == k)
-        .select("term", "contrib")
+        .select("term_hash", "contrib")
         .collect()
     )
-    return {r["term"]: float(r["contrib"]) for r in kth}
+    return {int(r["term_hash"]): float(r["contrib"]) for r in kth}
 
 
 def topk_batch(
@@ -380,51 +412,59 @@ def topk_batch(
     if not all_terms:
         return spark.createDataFrame([], out_schema)
     rows = index.term_stats.filter(F.col("term").isin(all_terms)).collect()
-    idf_map = {r["term"]: float(r["idf"]) for r in rows}
+    hash_of = {r["term"]: int(r["term_hash"]) for r in rows}
+    idf_map = {hash_of[r["term"]]: float(r["idf"]) for r in rows}
     df_map = {r["term"]: int(r["df"]) for r in rows}
-    # query -> its corpus-present terms; term -> [query_id ...]
+    # query -> its corpus-present term hashes (TERM-STRING-ascending order —
+    # the deterministic summation order); term_hash -> [query_id ...]
     qpresent = {
-        qid: [t for t in ts if t in idf_map] for qid, ts in qterms.items()
+        qid: [hash_of[t] for t in ts if t in hash_of] for qid, ts in qterms.items()
     }
-    term_queries: dict[str, list[str]] = {}
-    for qid, ts in qpresent.items():
-        for t in ts:
-            term_queries.setdefault(t, []).append(qid)
+    term_queries: dict[int, list[str]] = {}
+    for qid, hs in qpresent.items():
+        for h in hs:
+            term_queries.setdefault(h, []).append(qid)
     if not term_queries:
         return spark.createDataFrame([], out_schema)
     conf, avgdl = index.conf, index.avgdl
     k1, b = conf.k1, conf.b
-    term_rank = {t: i for i, t in enumerate(sorted(idf_map))}
+    term_rank = {hash_of[t]: i for i, t in enumerate(sorted(hash_of))}
 
     # ---- per-query θ seeds (two shared jobs for the WHOLE batch) ----------
     q_theta: dict[str, float] = {}
     if prune:
         rarest = {
             qid: min(ts, key=lambda t: (df_map[t], t))
-            for qid, ts in qpresent.items()
+            for qid, ts in (
+                (qid, [t for t in qterms[qid] if t in hash_of]) for qid in qterms
+            )
             if ts
         }
         seed_terms = {
-            t: idf_map[t] for t in {rt for rt in rarest.values()} if df_map[t] > k
+            hash_of[t]: idf_map[hash_of[t]]
+            for t in {rt for rt in rarest.values()}
+            if df_map[t] > k
         }
         kth = _batch_theta_seeds(index, seed_terms, k)
         q_theta = {
-            qid: kth[rt] for qid, rt in rarest.items() if rt in kth
+            qid: kth[hash_of[rt]]
+            for qid, rt in rarest.items()
+            if hash_of[rt] in kth
         }
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         n_blocks = len(pdf)
-        block_terms = pdf["term"].to_numpy()
-        term_blocks: dict[str, np.ndarray] = {}
+        block_terms = pdf["term_hash"].to_numpy(dtype=np.int64)
+        term_blocks: dict[int, np.ndarray] = {}
         for bi, t in enumerate(block_terms):
-            term_blocks.setdefault(t, []).append(bi)
+            term_blocks.setdefault(int(t), []).append(bi)
         term_blocks = {t: np.asarray(ix, dtype=np.int64) for t, ix in term_blocks.items()}
 
         tmins = pdf["min_doc"].to_numpy(dtype=np.int64)
         tmaxs = pdf["max_doc"].to_numpy(dtype=np.int64)
         drift = np.maximum(1.0, avgdl / pdf["avgdl0"].to_numpy(dtype=np.float64))
         timps = (
-            pdf["term"].map(idf_map).to_numpy(dtype=np.float64)
+            pdf["term_hash"].map(idf_map).to_numpy(dtype=np.float64)
             * pdf["max_impact"].to_numpy(dtype=np.float64)
             * drift
         )
@@ -513,7 +553,7 @@ def topk_batch(
             }
         )
 
-    blocks = index.postings.filter(F.col("term").isin(list(term_queries)))
+    blocks = index.postings.filter(F.col("term_hash").isin(list(term_queries)))
     local = blocks.groupBy("bucket").applyInPandas(fn, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

@@ -33,20 +33,24 @@ DOC_STATS = T.StructType(
     ]
 )
 
+# term_stats doubles as the term dictionary: term_hash = xxhash64(term) is
+# the key postings/runs shuffles use (8 fixed bytes instead of the string).
 TERM_STATS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
+        T.StructField("term_hash", T.LongType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("idf", T.DoubleType(), False),
     ]
 )
 
-# postings: one row per (term, block); partitioned/bucketed by term in prod so
-# a query's term-IN filter prunes files. `bucket` is the doc-range shard the
-# block lives in (build.bucket_expr); block_id = (bucket << 24) | local_idx.
+# postings: one row per (term, block), keyed by term_hash (strings live only
+# in term_stats); partitioned/bucketed by term_hash in prod so a query's
+# IN filter prunes files. `bucket` is the doc-range shard the block lives in
+# (build.bucket_expr); block_id = (bucket << 24) | local_idx.
 POSTINGS = T.StructType(
     [
-        T.StructField("term", T.StringType(), False),
+        T.StructField("term_hash", T.LongType(), False),
         T.StructField("bucket", T.LongType(), False),
         T.StructField("block_id", T.LongType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
@@ -79,9 +83,21 @@ COMPACT_STATE = T.StructType(
 )
 
 # intermediate SPIMI runs: partition-local postings before the term shuffle.
+# These keep the term STRING (parquet dictionary-encodes it cheaply at rest);
+# build_postings converts to term_hash right before the shuffle.
 RUNS = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("doc_len", T.IntegerType(), False),
+    ]
+)
+
+# decoded-block runs (incremental merge path): already hash-keyed.
+RUNS_HASHED = T.StructType(
+    [
+        T.StructField("term_hash", T.LongType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("tf", T.IntegerType(), False),
         T.StructField("doc_len", T.IntegerType(), False),

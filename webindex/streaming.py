@@ -50,7 +50,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from webindex import schema
 from webindex.bm25 import BM25Config, DEFAULT
 from webindex.build import (
-    DEFAULT_RANGE_WIDTH,
     DOC_MARKER,
     Index,
     adaptive_range_width,
@@ -58,6 +57,7 @@ from webindex.build import (
     bucket_expr,
     build_postings,
     build_runs,
+    build_term_dict,
     corpus_stats_agg,
     decode_postings_to_runs,
     hash_bucket_bits,
@@ -243,7 +243,7 @@ class IncrementalIndexer:
 
     def _write_postings(self, postings: DataFrame) -> None:
         (
-            postings.sortWithinPartitions("bucket", "term", "block_id")
+            postings.sortWithinPartitions("bucket", "term_hash", "block_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{self.workdir}/index/postings")
@@ -261,13 +261,21 @@ class IncrementalIndexer:
             range_width=range_width,
         )
 
-    def _finish_tables(self, n_docs: int) -> None:
+    def _finish_tables(self, n_docs: int, term_dict: DataFrame) -> None:
+        # staged write + FS rename: the incremental path's term_dict LAZILY
+        # reads the current term_stats table, so overwriting it in the same
+        # job would read-and-clobber the input
         spark, out = self.spark, f"{self.workdir}/index"
+        staging = f"{out}/_term_stats_staging"
         term_stats_from_postings(
-            spark.read.parquet(f"{out}/postings"), n_docs
-        ).sortWithinPartitions("term").write.mode("overwrite").parquet(
-            f"{out}/term_stats"
-        )
+            spark.read.parquet(f"{out}/postings"), n_docs, term_dict
+        ).sortWithinPartitions("term").write.mode("overwrite").parquet(staging)
+        fs, jvm = _hadoop_fs(spark, out)
+        Path = jvm.org.apache.hadoop.fs.Path
+        final = Path(f"{out}/term_stats")
+        if fs.exists(final):
+            fs.delete(final, True)
+        fs.rename(Path(staging), final)
 
     def compact(self, full: bool = False) -> Index:
         """Merge accumulated runs into the block tables. First call (or
@@ -320,7 +328,14 @@ class IncrementalIndexer:
                 bucket_bits=bits,
             )
         )
-        self._finish_tables(n_docs)
+        # full compact mirrors the batch build: df + dictionary in ONE
+        # map-side-combined pass over the latest runs
+        from webindex.build import assert_no_hash_collisions, build_term_stats
+
+        build_term_stats(runs_latest, n_docs).sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(f"{out}/term_stats")
+        assert_no_hash_collisions(spark.read.parquet(f"{out}/term_stats"))
         doc_stats.withColumn(
             "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, "hash", bits)
         ).sortWithinPartitions("doc_id").write.mode("overwrite").partitionBy(
@@ -396,9 +411,16 @@ class IncrementalIndexer:
         ).persist()
         n_old_rows = old_rows.count()
         n_delta_rows = delta_runs.count()
+        # old rows come back hash-keyed from the block decode; hash the delta
+        # the same way so the merge shuffle carries fixed-width keys only
+        from webindex.build import term_hash_col
+
         merged = old_rows.unionByName(
             delta_runs.filter(F.col("term") != DOC_MARKER).select(
-                "term", "doc_id", "tf", "doc_len"
+                term_hash_col(F.col("term")).alias("term_hash"),
+                "doc_id",
+                "tf",
+                "doc_len",
             )
         )
         staging = f"{out}/_postings_staging"
@@ -410,7 +432,7 @@ class IncrementalIndexer:
             n_docs=n_docs,
             id_space="hash",
             bucket_bits=bits,
-        ).sortWithinPartitions("bucket", "term", "block_id").write.mode(
+        ).sortWithinPartitions("bucket", "term_hash", "block_id").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(staging)
         old_rows.unpersist()
@@ -439,8 +461,19 @@ class IncrementalIndexer:
         _swap_partition_dirs(spark, ds_staging, f"{out}/doc_stats", set())
 
         # term_stats: recompute from block metadata (tiny scan of the
-        # committed table — column pruning never touches the binary columns)
-        self._finish_tables(n_docs)
+        # committed table — column pruning never touches the binary columns).
+        # The term dictionary never re-reads history: old term_stats already
+        # maps every pre-existing hash, the delta contributes only its vocab.
+        from webindex.build import assert_no_hash_collisions
+
+        old_dict = spark.read.parquet(f"{out}/term_stats").select("term", "term_hash")
+        delta_dict = build_term_dict(delta_runs, check_collisions=False)
+        # collision check runs on the UNION: a new delta term colliding with
+        # an OLD term's hash would silently merge their postings
+        term_dict = assert_no_hash_collisions(
+            old_dict.unionByName(delta_dict).distinct()
+        )
+        self._finish_tables(n_docs, term_dict)
         spark.createDataFrame(
             [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
         ).write.mode("overwrite").parquet(f"{out}/corpus_stats")
