@@ -75,6 +75,25 @@ def _index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def _index_title(spark: SparkSession, sf_dir: str):
+    """Second indexed field for best_fields: 'title' = the doc's first 3
+    tokens (deterministically derivable by the SQL oracle)."""
+    from webindex.build import build_index
+    from webindex.dedup import tokens_col
+
+    key = f"{sf_dir}#title"
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).withColumn("url", F.col("doc_id").cast("string"))
+        titled = docs.withColumn(
+            "text", F.concat_ws(" ", F.slice(tokens_col("text"), 1, 3))
+        )
+        _INDEX_CACHE[key] = build_index(
+            spark, titled, text_col="text", doc_id_method="provided",
+            range_width=1 << 18,
+        )
+    return _INDEX_CACHE[key]
+
+
 def _decoded_postings(index) -> DataFrame:
     """Flatten compressed blocks back to (term, doc_id, tf) rows. Blocks are
     keyed by term_hash; the human-readable term comes from the term_stats
@@ -120,14 +139,15 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, query: str, k: int) -> DataFram
     return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
-def _bm25_score_subquery(terms: list[str]) -> str:
+def _bm25_score_subquery(terms: list[str], toks_sql: str = _TOKS_SQL) -> str:
     """(doc_id, score) over all docs containing any of `terms` — the shared
-    BM25 math for single-query and batch oracles (same summation order as
-    the engine: term-ascending per doc)."""
+    BM25 math for single-query / batch / per-field oracles (same summation
+    order as the engine: term-ascending per doc). toks_sql parameterizes the
+    FIELD being scored (full text vs derived title)."""
     termlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
 WITH tok AS (
-  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+  SELECT doc_id, {toks_sql} AS toks FROM documents
 ),
 d AS (SELECT doc_id, len(toks) AS dl FROM tok),
 c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
@@ -442,6 +462,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("long").alias("rank"),
         )
 
+    def bm25_best_fields(spark, sf):
+        # T1 best_fields dis_max — the reference's actual multi_match shape
+        # (elasticsearch.py:250-262): doc score = MAX over fields' BM25
+        from webindex.query import topk_best_fields
+
+        indexes = {"text": _index(spark, sf), "title": _index_title(spark, sf)}
+        hits = topk_best_fields(indexes, "the data spark", k=10)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
     # --- mapping tables / nested records (F5+J5, F9+F10) --------------------
 
     def spdx_resolve_q(spark, sf):
@@ -488,6 +517,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "raw_key string, display_name string",
         )
         return rename_flat_keys(flat, mapping)
+
+    def multimodal_features(spark, sf):
+        # multimodal plumbing, driver-verified: opaque binary payloads
+        # (text bytes here; images/audio on a real cluster) through the
+        # Arrow mapInPandas extraction — the oracle recomputes the
+        # engine-portable parts (byte length, md5); the decode step itself
+        # stays an honestly-stubbed fake (no PIL/ffmpeg in this sandbox)
+        from webindex.multimodal import extract_features
+
+        d = _docs(spark, sf)
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        feats = extract_features(media)
+        return feats.select(
+            "media_id", F.col("n_bytes").cast("long").alias("n_bytes"), "md5"
+        )
 
     # --- scalar function library (SURVEY.md §2.7 F-group) -------------------
 
@@ -612,8 +659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_retry_quarantine": resolve_retry_quarantine,
         "bidir_edges": bidir_edges,
         "bm25_topk_batch": bm25_topk_batch,
+        "bm25_best_fields": bm25_best_fields,
         "spdx_resolve": spdx_resolve_q,
         "map_record_flatten": map_record_flatten,
+        "multimodal_features": multimodal_features,
     }
 
 
@@ -947,6 +996,23 @@ p AS (
 SELECT a, b, round(cos, 4) AS cos FROM p WHERE round(cos, 4) >= 0.35
 """
 
+    # best_fields dis_max: max over per-field scores; title field = first 3
+    # tokens (same derivation as _index_title). FULL OUTER merge because a
+    # doc can match in one field only.
+    _terms_bf = ["data", "spark", "the"]
+    _title_toks = f"({_TOKS_SQL})[1:3]"
+    sql["bm25_best_fields"] = f"""
+WITH sA AS ({_bm25_score_subquery(_terms_bf)}),
+sB AS ({_bm25_score_subquery(_terms_bf, _title_toks)}),
+merged AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         greatest(coalesce(a.score, -1e308), coalesce(b.score, -1e308)) AS score
+  FROM sA a FULL OUTER JOIN sB b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM merged ORDER BY score DESC, doc_id ASC LIMIT 10)
+"""
+
     sql["bm25_topk_batch"] = _bm25_batch_oracle_sql(
         {
             "q1": ["merge", "spark"],
@@ -1007,6 +1073,13 @@ SELECT i.doc_id, i.license_str,
        coalesce('{SPDX_BASE_URL}/' || w.license_id || '.json', i.license_str) AS spdx_url,
        w.rule::BIGINT AS spdx_rule
 FROM inputs i LEFT JOIN (SELECT * FROM win WHERE rn = 1) w USING (doc_id)
+"""
+
+    sql["multimodal_features"] = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS md5
+FROM documents
 """
 
     sql["map_record_flatten"] = """

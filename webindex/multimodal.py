@@ -43,6 +43,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("sha1", T.StringType(), False),
+        T.StructField("md5", T.StringType(), False),  # engine-portable digest
         T.StructField("features", T.ArrayType(T.FloatType()), True),
     ]
 )
@@ -74,18 +75,19 @@ def extract_features(
 
     def fn(batches):
         for pdf in batches:
-            ids, nb, shas, feats = [], [], [], []
+            ids, nb, shas, md5s, feats = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 ids.append(mid)
                 nb.append(len(raw))
                 shas.append(hashlib.sha1(raw).hexdigest())
+                md5s.append(hashlib.md5(raw).hexdigest())
                 img = decode_image(raw, fake=fake).astype(np.float64)
                 base = img.mean(axis=(0, 1))  # 3 channel means
                 vec = np.resize(base, n_features).astype(np.float32)
                 feats.append(vec.tolist())
             yield pd.DataFrame(
-                {"media_id": ids, "n_bytes": nb, "sha1": shas, "features": feats}
+                {"media_id": ids, "n_bytes": nb, "sha1": shas, "md5": md5s, "features": feats}
             )
 
     return media.select("media_id", "payload").mapInPandas(fn, schema=FEATURES_SCHEMA)
