@@ -103,7 +103,12 @@ def test_rank_identity_vs_oracle(corpus, k):
 def test_wand_equals_exact(corpus, k):
     index, _ = corpus
     for q in QUERIES:
-        w = [(r["doc_id"], round(r["score"], 10)) for r in topk_wand(index, q, k).collect()]
+        # seed_min_blocks=0 forces θ seeding past the cost gate so the
+        # pruning path is actually exercised on this small fixture
+        w = [
+            (r["doc_id"], round(r["score"], 10))
+            for r in topk_wand(index, q, k, seed_min_blocks=0).collect()
+        ]
         e = [(r["doc_id"], round(r["score"], 10)) for r in topk_exact(index, q, k).collect()]
         assert w == e, f"WAND != exact for {q!r} k={k}"
 

@@ -28,7 +28,8 @@ def idx(spark):
 
 
 def _collect_batch(idx, prune, k=10):
-    batch = topk_batch(idx, QUERIES, k=k, prune=prune).collect()
+    # seed_min_blocks=0 forces the per-query θ seeds past the cost gate
+    batch = topk_batch(idx, QUERIES, k=k, prune=prune, seed_min_blocks=0).collect()
     got = {}
     for r in batch:
         got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], round(r["score"], 9)))

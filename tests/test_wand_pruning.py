@@ -103,8 +103,12 @@ def test_theta_seed_is_exact_and_bounded(spark):
 
 
 def test_wand_exact_agree_under_heavy_theta_conditions(idx):
-    # rare+hot mixes where theta seeding engages hardest
-    for q in ("w199 the", "w180 data the", "merge rank w150"):
-        w = [(r["doc_id"], round(r["score"], 10)) for r in topk_wand(idx, q, 5).collect()]
+    # rare+hot mixes where theta seeding engages hardest; seed_min_blocks=0
+    # forces the seed past the cost-based gate on this tiny fixture
+    for q in ("w199 the", "w180 data the", "merge rank w150", "the"):
+        w = [
+            (r["doc_id"], round(r["score"], 10))
+            for r in topk_wand(idx, q, 5, seed_min_blocks=0).collect()
+        ]
         e = [(r["doc_id"], round(r["score"], 10)) for r in topk_exact(idx, q, 5).collect()]
         assert w == e, q

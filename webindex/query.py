@@ -305,7 +305,19 @@ def _theta_seed(
     return float(best[-1]) if len(best) == k else 0.0
 
 
-def topk_wand(index: Index, query: str, k: int = 10) -> DataFrame:
+# Cost-based θ-seed gate: seeding costs 2-3 driver-synchronous jobs (~fixed
+# job latency each); pruning saves decode work proportional to the query's
+# candidate block count. Below this many estimated candidate blocks the seed
+# jobs cost more than the decode they can possibly save (measured at 100k
+# docs: +1s/query for zero pruning benefit); far above it — the 10^12-doc
+# regime, ~8e9 blocks for a hot term — pruning IS the query path. Tests pass
+# 0 to force the pruning path on tiny fixtures.
+THETA_SEED_MIN_BLOCKS = 4096
+
+
+def topk_wand(
+    index: Index, query: str, k: int = 10, seed_min_blocks: int | None = None
+) -> DataFrame:
     """Block-max WAND top-k (bucket-level pruning fused into the scoring
     stage; see module docstring). Always identical to topk_exact."""
     spark = index.postings.sparkSession
@@ -313,13 +325,17 @@ def topk_wand(index: Index, query: str, k: int = 10) -> DataFrame:
     if not stats:
         return spark.createDataFrame([], _HIT)
     idf_map, term_rank = _maps_of(stats)
+    if seed_min_blocks is None:
+        seed_min_blocks = THETA_SEED_MIN_BLOCKS
 
-    # θ seed from the rarest term — worthwhile only if it has > k docs.
-    # Single-term queries seed too: θ = the k-th best contribution IS the
-    # k-th best score, so scoring decodes only blocks that can beat it.
+    # θ seed from the rarest term — worthwhile only if it has > k docs AND
+    # the candidate volume is big enough for pruning to pay for the seed
+    # jobs (cost-based gate above). Single-term queries seed too: θ = the
+    # k-th best contribution IS the k-th best score.
     theta = 0.0
+    est_blocks = sum(df for (df, _, _) in stats.values()) / index.conf.block_size
     rterm = min(stats, key=lambda t: (stats[t][0], t))
-    if stats[rterm][0] > k:
+    if stats[rterm][0] > k and est_blocks >= seed_min_blocks:
         theta = _theta_seed(index, stats[rterm][2], stats[rterm][1], k)
     return _run_scored(index, idf_map, term_rank, k, theta)
 
@@ -382,7 +398,11 @@ def _batch_theta_seeds(
 
 
 def topk_batch(
-    index: Index, queries: dict[str, str], k: int = 10, prune: bool = True
+    index: Index,
+    queries: dict[str, str],
+    k: int = 10,
+    prune: bool = True,
+    seed_min_blocks: int | None = None,
 ) -> DataFrame:
     """Evaluate MANY queries in one pass: (query_id, doc_id, score, rank).
 
@@ -430,15 +450,22 @@ def topk_batch(
     k1, b = conf.k1, conf.b
     term_rank = {hash_of[t]: i for i, t in enumerate(sorted(hash_of))}
 
-    # ---- per-query θ seeds (two shared jobs for the WHOLE batch) ----------
+    # ---- per-query θ seeds (two shared jobs for the WHOLE batch; only for
+    # queries whose candidate volume clears the cost-based gate) ------------
+    if seed_min_blocks is None:
+        seed_min_blocks = THETA_SEED_MIN_BLOCKS
     q_theta: dict[str, float] = {}
     if prune:
+        def _qualifies(ts: list[str]) -> bool:
+            est = sum(df_map[t] for t in ts) / conf.block_size
+            return bool(ts) and est >= seed_min_blocks
+
         rarest = {
             qid: min(ts, key=lambda t: (df_map[t], t))
             for qid, ts in (
                 (qid, [t for t in qterms[qid] if t in hash_of]) for qid in qterms
             )
-            if ts
+            if _qualifies(ts)
         }
         seed_terms = {
             hash_of[t]: idf_map[hash_of[t]]
