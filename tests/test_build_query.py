@@ -143,6 +143,31 @@ def test_parallelism_invariance(spark):
     assert h2 == h13
 
 
+def test_dedup_urls_latest_crawl_wins(spark):
+    """build_index(dedup_urls=True): re-crawled urls keep only the newest
+    warc_ts version — no hybrid documents, df counts each doc once."""
+    import datetime as dt
+
+    rows = [
+        ("https://a.example", dt.datetime(2024, 1, 1), "alpha beta"),
+        ("https://a.example", dt.datetime(2024, 2, 1), "beta gamma gamma"),
+        ("https://b.example", dt.datetime(2024, 1, 1), "delta"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    idx = build_index(
+        spark, pages, text_col="text", doc_id_method="hash",
+        range_width=1 << 18, dedup_urls=True,
+    )
+    assert idx.n_docs == 2
+    stats = {r["term"]: r["df"] for r in idx.term_stats.collect()}
+    # stale term from the old crawl is gone; new terms present once
+    assert "alpha" not in stats
+    assert stats == {"beta": 1, "gamma": 1, "delta": 1}
+    # doc_len reflects the NEW text (3 tokens), not a hybrid
+    dl = {r["url"]: r["doc_len"] for r in idx.doc_stats.collect()}
+    assert dl["https://a.example"] == 3
+
+
 def test_hash_doc_ids_and_url_join(spark):
     """Default doc_id path (xxhash64(url)) + topk_with_urls."""
     from webindex.query import topk_with_urls

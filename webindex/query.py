@@ -23,8 +23,9 @@ ALL query terms land in the same bucket group — the per-bucket sum is the
 full score, local top-k is safe, and pruning a bucket can never corrupt a
 surviving doc's score. θ is seeded from the rarest query term: its k-th
 largest single-term contribution lower-bounds the final k-th best score
-(every doc containing it scores at least that). The seed job is skipped
-when df(rarest) <= k (θ would be 0).
+(every doc containing it scores at least that). The seed is skipped when
+df(rarest) <= k (θ would be 0) or when the query's candidate volume is too
+small for pruning to repay the seed jobs (THETA_SEED_MIN_BLOCKS cost gate).
 
 Everything driver-side is metadata-scale: per-term stats and k rows.
 Determinism: float64, fixed summation order, ties -> doc_id asc — results
