@@ -409,6 +409,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprint(spark, sf):
         return fingerprint(_docs(spark, sf))
 
+    def q_winnow(spark, sf):
+        # rolling-hash winnowing fingerprints (k=5-gram md5, window=4),
+        # vectorized as JVM transform() expressions — no UDF
+        from webindex.textstats import winnow_fingerprints
+
+        return winnow_fingerprints(_docs(spark, sf), k=5, window=4)
+
     def q_lang_id(spark, sf):
         li = lang_id(_docs(spark, sf))
         return li.select("doc_id", "pred_lang", F.col("lang_hits").cast("long").alias("lang_hits"))
@@ -649,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality,
         "fingerprint": q_fingerprint,
+        "winnow_fp": q_winnow,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
@@ -870,6 +878,35 @@ FROM m
 
     sql["fingerprint"] = f"""
 SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fp FROM documents
+"""
+
+    # winnowing: same k-gram md5 + window-min + distinct as the Spark side
+    _wk, _ww = 5, 4
+    sql["winnow_fp"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(tk) - {_wk - 1}, 0)),
+                        i -> md5(array_to_string(tk[i:i+{_wk - 1}], ' '))) AS grams
+  FROM t
+),
+w AS (
+  SELECT doc_id, grams,
+         len(grams) - {_ww - 1} AS n_win
+  FROM g
+),
+fps AS (
+  SELECT doc_id,
+         CASE
+           WHEN n_win >= 1 THEN list_distinct(
+             list_transform(generate_series(1, n_win),
+                            j -> list_min(grams[j:j+{_ww - 1}])))
+           WHEN len(grams) >= 1 THEN [list_min(grams)]
+           ELSE []
+         END AS fp_list
+  FROM w
+)
+SELECT doc_id, unnest(fp_list) AS fp FROM fps
 """
 
     # explicit double math, sequential i=1..dim — the SAME summation order as

@@ -86,6 +86,33 @@ def test_resolution_is_broadcast_not_fact_side(spark, licenses):
     assert "BroadcastHashJoin" in plan
 
 
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a run of >= window+k-1 tokens
+    share at least one fingerprint; disjoint docs share none; docs shorter
+    than k tokens emit no rows; >=k but < k+window-1 emit their global min."""
+    from webindex.textstats import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+window-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} trailing bits"),
+            (2, f"{shared} totally different ending tokens now"),
+            (3, "completely unrelated content about weather patterns today ok"),
+            (4, "too few"),            # < k tokens -> no fingerprints
+            (5, "one two three four five six"),  # 2 k-grams < window -> global min
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=5, window=4)
+    by_doc: dict[int, set] = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1
+
+
 def test_flatten_and_rename(spark):
     df = spark.createDataFrame(
         [(7, {"a": [("x",), ("y",)], "b": [("z",)]})],

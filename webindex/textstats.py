@@ -101,6 +101,80 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every k-gram
+    of the token stream, slide a window of `window` consecutive k-gram
+    hashes, keep each window's minimum — the standard rolling-hash document
+    fingerprint for plagiarism/near-dup detection, guaranteeing a shared
+    fingerprint for any match of length >= window + k - 1 tokens.
+
+    Spark-first: the "rolling" update is replaced by independent per-k-gram
+    hashing inside `transform` (vectorized JVM expressions, whole-stage
+    codegen; identical output, embarrassingly parallel — the sequential
+    rolling recurrence is a single-core optimization that doesn't survive
+    distribution). md5 is the k-gram hash so any engine reproduces it.
+    Output: (doc_id, fp) — one row per distinct selected fingerprint. Docs
+    shorter than k tokens emit no rows."""
+    empty = F.array().cast("array<string>")
+    # Each intermediate is its own projection: referencing a big expression
+    # tree (regexp tokenize, the grams transform) from inside ANOTHER
+    # lambda would duplicate and re-evaluate it per element — measured
+    # O(n_tokens^2) blowup (47s for 500 docs) when written as one nested
+    # expression. Staged aliases keep every stage evaluated once per row
+    # (Catalyst's CollapseProject refuses to inline non-cheap expressions
+    # referenced multiple times).
+    # NB: Spark's sequence(1, 0) produces DESCENDING [1, 0], not empty —
+    # every sequence() is guarded by its count predicate.
+    d = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks"))
+    n_grams = F.size(F.col("_toks")) - (k - 1)
+    d = d.select(
+        "doc_id",
+        F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
+            ),
+        ).otherwise(empty).alias("_grams"),
+    )
+    n_windows = F.size(F.col("_grams")) - (window - 1)
+    d = d.select(
+        "doc_id",
+        "_grams",
+        F.when(
+            n_windows >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(F.col("_grams"), j, window)),
+            ),
+        ).otherwise(empty).alias("_mins"),
+    )
+    # short docs (>=k tokens but < window k-grams): keep the global min so
+    # every doc with at least one k-gram is fingerprinted
+    fps = F.when(F.size(F.col("_mins")) >= 1, F.array_distinct(F.col("_mins"))).otherwise(
+        F.when(
+            F.size(F.col("_grams")) >= 1, F.array(F.array_min(F.col("_grams")))
+        ).otherwise(empty)
+    )
+    # explode_outer, NOT explode: for a plain explode the optimizer's
+    # InferFiltersFromGenerate injects `size(fps) > 0` and inlines the WHOLE
+    # winnowing pipeline into that filter — nested lambdas then re-evaluate
+    # the grams stage per window element (measured 45s for 500 docs vs 4.5s
+    # this way). The null rows explode_outer keeps are dropped by a cheap
+    # post-filter on the exploded column.
+    return (
+        d.select("doc_id", fps.alias("fps"))
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fp) content fingerprint: md5 over canonical token stream —
     the reference's normalize-then-compare (utils.py:281-340) as a stored
