@@ -10,7 +10,12 @@ Each parallelism level runs in a FRESH subprocess (one JVM per "cluster" —
 sequential sessions in one process contaminate each other: measured 3x
 slow-down for the second session from leftover python workers/GC).
 
-Writes BENCH/BASELINE.md. Run: python scripts/bench_scaling.py [n_docs]
+Appends the raw result to BENCH/scaling_runs.jsonl and writes a generated
+summary to BENCH/SCALING_LATEST.md. BENCH/BASELINE.md is the hand-curated
+record (it carries the host-variance analysis) — update it from these
+artifacts, never overwrite it mechanically.
+
+Run: python scripts/bench_scaling.py [n_docs] [repeats]
 """
 
 from __future__ import annotations
@@ -116,9 +121,25 @@ def main() -> None:
     identical = hits8 == hits32
     thr8, thr32 = n_docs / t8, n_docs / t32
 
-    out = Path(REPO / "BENCH" / "BASELINE.md")
-    out.parent.mkdir(exist_ok=True)
-    out.write_text(f"""# BENCH/BASELINE — two-parallelism scaling evidence
+    import datetime
+
+    raw = {
+        "ts": datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%dT%H:%MZ"),
+        "n_docs": n_docs,
+        "samples8": [round(x, 1) for x in times[8]],
+        "samples32": [round(x, 1) for x in times[32]],
+        "t8": round(t8, 2),
+        "t32": round(t32, 2),
+        "eff": round(eff, 4),
+        "rank_identical": identical,
+    }
+    runs = Path(REPO / "BENCH" / "scaling_runs.jsonl")
+    runs.parent.mkdir(exist_ok=True)
+    with runs.open("a") as fh:
+        fh.write(json.dumps(raw) + "\n")
+
+    out = Path(REPO / "BENCH" / "SCALING_LATEST.md")
+    out.write_text(f"""# BENCH/SCALING_LATEST — two-parallelism scaling evidence (generated)
 
 Per the driver instruction, the north rule's "N vs 4N executors, scaling
 efficiency >= 0.8, rank-identical top-k" criterion is evidenced in-sandbox by

@@ -16,13 +16,23 @@ Layout (SURVEY.md §7):
   codec.py     delta-gap + varint posting blocks, per-block max-impact
   bm25.py      BM25 config + scoring math (k1=1.2, b=0.75 Lucene defaults)
   build.py     SPIMI-style distributed index build (mapInPandas local runs ->
-               salted term shuffle -> sort-merge -> compressed blocks)
-  query.py     top-k query path: exhaustive + block-max WAND
-  checkpoint.py lineage table + resumable build
+               salted term_hash shuffle -> sort-merge -> compressed blocks)
+  query.py     top-k query path: exhaustive + block-max WAND (bounded θ-seed,
+               batched query logs with per-query pruning, best_fields dis_max)
+  streaming.py incremental ingest + tiered compaction (latest-crawl-wins,
+               single-doc upsert)
+  checkpoint.py lineage table (real byte metrics) + resumable build
+  io.py        table-format seam: parquet today, Iceberg via one env switch
+  fsutil.py    Hadoop FS helpers (works on local/HDFS/S3A alike)
   pagesgen.py  deterministic synthetic `pages` corpus (FIXTURES.md §1)
   dedup.py     exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup
   simsearch.py brute-force + LSH-bucketed cosine top-k over embeddings
-  textstats.py language-id, quality scoring, token counts, fingerprints
+  textstats.py language-id, quality, token counts, md5 + winnowing prints
+  mapping.py   SPDX license resolver (6-rule chain over broadcast dim table)
+  records.py   map-typed record flatten (dotted keys) + broadcast renames
+  multimodal.py binary payload plumbing (Arrow batches; decode stubbed here)
+  functions.py scalar function library (base64, datetime chain, url norm, …)
+  relations.py retry/quarantine lookup joins, bidirectional edges
 """
 
 __version__ = "0.1.0"
