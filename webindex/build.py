@@ -238,6 +238,167 @@ def build_term_dict(runs: DataFrame, *, check_collisions: bool = True) -> DataFr
     return d
 
 
+def _attempt_hash_col(term_col, attempt: int) -> F.Column:
+    """The i-th fallback key for a colliding term: xxhash64 over (term, i) —
+    a different input tuple, so independent of the primary xxhash64(term)."""
+    return F.xxhash64(term_col, F.lit(attempt))
+
+
+def term_hash_expr(
+    term_col,
+    remap: dict[str, int] | None = None,
+    primary_fn=None,
+) -> F.Column:
+    """term -> final 64-bit key: the primary hash with a CASE override for
+    the (vanishingly few) remapped collision terms. Stays JVM-side; remap
+    sizes are O(expected collisions) ~ 0-3 even at 10^9 vocab, so the CASE
+    chain is effectively free (resolve_term_hashes caps it at 1000)."""
+    primary = (primary_fn or term_hash_col)(term_col)
+    if not remap:
+        return primary
+    expr = None
+    for t, h in sorted(remap.items()):
+        cond = term_col == F.lit(t)
+        expr = F.when(cond, F.lit(h)) if expr is None else expr.when(cond, F.lit(h))
+    return expr.otherwise(primary)
+
+
+def resolve_term_hashes(
+    vocab: DataFrame,
+    existing_dict: DataFrame | None = None,
+    *,
+    primary_fn=None,
+    attempt_fn=None,
+    max_remap: int = 1000,
+    max_attempts: int = 8,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Assign a collision-free 64-bit key to every term BEFORE the postings
+    shuffle (an xxhash64 collision would silently merge two terms' postings;
+    post-hoc detection can only abort the build after paying for it).
+
+    vocab: DataFrame with a `term` column (new data's distinct terms; the
+    caller's term_stats pre-aggregate works — extra columns are ignored).
+    existing_dict: committed (term, term_hash) pairs from a previous build.
+    Existing terms ALWAYS keep their stored key (their postings are already
+    on disk under it); only new terms may be remapped.
+
+    Returns (term_dict, remap): term_dict has one (term, term_hash) row per
+    term over the union, with unique hashes; remap maps the new terms whose
+    primary hash collided to their reassigned key — feed it to
+    `term_hash_expr` wherever runs are hashed.
+
+    Collision arithmetic: at 10^9 vocab the expected number of colliding
+    PAIRS is n^2/2^65 ~ 0.03, so `remap` is almost always empty and the
+    resolve costs one vocab-sized agg + (only when non-empty) a driver-side
+    loop over a handful of terms. primary_fn/attempt_fn are injectable so
+    tests can force collisions with a coarse hash space.
+
+    Scale note: the collision detection groupBy is vocab-sized (term
+    strings), orders of magnitude smaller than the postings shuffle, and
+    the caller reuses the same pre-aggregated vocab for term_stats — no
+    extra pass over runs."""
+    primary_fn = primary_fn or term_hash_col
+    attempt_fn = attempt_fn or _attempt_hash_col
+
+    new_terms = vocab.select("term").filter(F.col("term") != DOC_MARKER).distinct()
+    if existing_dict is not None:
+        existing = existing_dict.select("term", "term_hash")
+        new_terms = new_terms.join(existing.select("term"), "term", "left_anti")
+        all_keys = existing.unionByName(
+            new_terms.withColumn("term_hash", primary_fn(F.col("term")))
+        )
+    else:
+        existing = None
+        all_keys = new_terms.withColumn("term_hash", primary_fn(F.col("term")))
+    # no internal persist: every consumer below recomputes from the caller's
+    # (already persisted) vocab/dict inputs with cheap hash expressions only
+
+    # hashes claimed by >1 distinct term; only NEW terms are remap candidates
+    clash_hashes = (
+        all_keys.groupBy("term_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("term_hash")
+    )
+    clashing = all_keys.join(F.broadcast(clash_hashes), "term_hash")
+    if existing is not None:
+        clashing = clashing.join(existing.select("term"), "term", "left_anti")
+    clash_rows = clashing.limit(max_remap + 1).collect()
+    if not clash_rows:
+        return all_keys, {}
+    if len(clash_rows) > max_remap:
+        raise RuntimeError(
+            f"term-hash collision remap exceeds {max_remap} terms — the hash "
+            "function is degenerate (or the vocab is adversarial); refusing "
+            "to build a CASE chain that large"
+        )
+
+    # keep exactly one claimant per collided primary hash (deterministic:
+    # the lexicographically-smallest NEW term, unless an existing term
+    # already owns it); remap the rest via attempt hashes
+    spark = vocab.sparkSession
+    by_hash: dict[int, list[str]] = {}
+    for r in clash_rows:
+        by_hash.setdefault(int(r["term_hash"]), []).append(r["term"])
+    owned = {
+        int(r["term_hash"])
+        for r in (
+            existing.join(F.broadcast(clash_hashes), "term_hash").collect()
+            if existing is not None
+            else []
+        )
+    }
+    pending: list[str] = []
+    for h, terms in by_hash.items():
+        terms.sort()
+        keep = 0 if h not in owned else None  # existing owner -> remap all
+        for i, t in enumerate(terms):
+            if i != keep:
+                pending.append(t)
+
+    remap: dict[str, int] = {}
+    for attempt in range(1, max_attempts + 1):
+        if not pending:
+            break
+        cand = (
+            spark.createDataFrame([(t,) for t in pending], "term string")
+            .withColumn("h", attempt_fn(F.col("term"), attempt))
+        )
+        # reject: collides with any assigned key, any accepted remap, or a
+        # sibling candidate in this round (keep the smallest-term sibling)
+        taken = all_keys.select(F.col("term_hash").alias("h"))
+        if remap:
+            taken = taken.unionByName(
+                spark.createDataFrame([(h,) for h in remap.values()], "h long")
+            )
+        rows = (
+            cand.join(taken, "h", "left_anti")
+            .groupBy("h")
+            .agg(F.sort_array(F.collect_list("term")).alias("ts"))
+            .collect()
+        )
+        accepted_this_round: set[str] = set()
+        for r in rows:
+            winner = r["ts"][0]
+            remap[winner] = int(r["h"])
+            accepted_this_round.add(winner)
+        pending = [t for t in pending if t not in accepted_this_round]
+    if pending:
+        raise RuntimeError(
+            f"could not find collision-free keys for {len(pending)} terms "
+            f"after {max_attempts} attempts: {pending[:5]!r}..."
+        )
+
+    remap_df = spark.createDataFrame(
+        list(remap.items()), "term string, term_hash long"
+    )
+    term_dict = (
+        all_keys.join(F.broadcast(remap_df.select("term")), "term", "left_anti")
+        .unionByName(remap_df)
+    )
+    return term_dict, remap
+
+
 def assert_no_hash_collisions(term_dict: DataFrame) -> DataFrame:
     """Raise if two distinct terms share a term_hash (one vocab-sized agg)."""
     clash = (
@@ -255,14 +416,24 @@ def assert_no_hash_collisions(term_dict: DataFrame) -> DataFrame:
     return term_dict
 
 
-def build_term_stats(runs: DataFrame, n_docs: int) -> DataFrame:
+def build_term_stats(
+    runs: DataFrame,
+    n_docs: int,
+    *,
+    hash_remap: dict[str, int] | None = None,
+    hash_primary_fn=None,
+) -> DataFrame:
     """term_stats(term, term_hash, df, idf) from runs: one row per
-    (term, doc) => df = count(*), with map-side partial aggregation."""
+    (term, doc) => df = count(*), with map-side partial aggregation.
+    hash_remap/hash_primary_fn mirror build_postings — the stats table and
+    the blocks must agree on every term's key."""
     return _with_idf(
         runs.filter(F.col("term") != DOC_MARKER)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("term_hash", term_hash_col(F.col("term"))),
+        .withColumn(
+            "term_hash", term_hash_expr(F.col("term"), hash_remap, hash_primary_fn)
+        ),
         n_docs,
     )
 
@@ -336,6 +507,8 @@ def build_postings(
     n_docs: int = 0,
     id_space: str = "dense",
     bucket_bits: int | None = None,
+    hash_remap: dict[str, int] | None = None,
+    hash_primary_fn=None,
 ) -> DataFrame:
     """runs -> compressed posting blocks.
 
@@ -383,7 +556,10 @@ def build_postings(
     if "term_hash" not in runs.columns:
         runs = (
             runs.filter(F.col("term") != DOC_MARKER)
-            .withColumn("term_hash", term_hash_col(F.col("term")))
+            .withColumn(
+                "term_hash",
+                term_hash_expr(F.col("term"), hash_remap, hash_primary_fn),
+            )
             .drop("term")  # the string never crosses the shuffle
         )
     bucketed = runs.withColumn(
@@ -444,6 +620,7 @@ def build_index(
     out_dir: str | None = None,
     runs_persist: bool = True,
     dedup_urls: bool = False,
+    hash_primary_fn=None,
 ) -> Index:
     """End-to-end build. If out_dir is given, index tables are written as
     partitioned Parquet (Iceberg-ready layout) and re-read lazily; otherwise
@@ -493,8 +670,29 @@ def build_index(
 
     if range_width is None:
         range_width = adaptive_range_width(n_docs)
+
+    # Vocab aggregate ONCE (map-side combined groupBy over runs' term column,
+    # vocab-sized result), reused for (a) pre-shuffle collision resolution —
+    # a remapped key for the rare xxhash64 clash instead of a post-hoc abort
+    # — and (b) the term_stats table. Persisted so neither consumer re-scans
+    # runs' (term,doc) pairs.
+    vocab_df = (
+        runs.filter(F.col("term") != DOC_MARKER)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .persist()
+    )
+    _, hash_remap = resolve_term_hashes(vocab_df, primary_fn=hash_primary_fn)
+    term_stats = _with_idf(
+        vocab_df.withColumn(
+            "term_hash", term_hash_expr(F.col("term"), hash_remap, hash_primary_fn)
+        ),
+        n_docs,
+    )
+
     postings = build_postings(
-        runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space
+        runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space,
+        hash_remap=hash_remap, hash_primary_fn=hash_primary_fn,
     )
 
     if out_dir:
@@ -511,11 +709,11 @@ def build_index(
 
         write_table(postings, f"{out_dir}/postings", sort_cols=["term_hash", "block_id"])
         postings = read_table(spark, f"{out_dir}/postings")
-        # term_stats doubles as the term dictionary: ONE column-pruned pass
-        # over runs' term column (map-side combined groupBy) yields
-        # (term, term_hash, df) together — cheaper than a separate dict
-        # distinct + postings-metadata agg + join
-        term_stats = build_term_stats(runs, n_docs)
+        # term_stats doubles as the term dictionary: the vocab aggregate
+        # above yields (term, term_hash, df) together — cheaper than a
+        # separate dict distinct + postings-metadata agg + join. Keys are
+        # collision-free by construction (resolve_term_hashes ran pre-
+        # shuffle); the assert stays as a cheap invariant.
         write_table(term_stats, f"{out_dir}/term_stats", sort_cols=["term"])
         assert_no_hash_collisions(read_table(spark, f"{out_dir}/term_stats"))
         write_table(doc_stats, f"{out_dir}/doc_stats", sort_cols=["doc_id"])
@@ -525,16 +723,16 @@ def build_index(
         )
         term_stats = read_table(spark, f"{out_dir}/term_stats")
         doc_stats = read_table(spark, f"{out_dir}/doc_stats")
+        vocab_df.unpersist()
     else:
         # materialize the index once — queries must never re-run the build
         postings = postings.persist()
         postings.count()
-        term_stats = assert_no_hash_collisions(
-            build_term_stats(runs, n_docs).persist()
-        )
+        term_stats = assert_no_hash_collisions(term_stats.persist())
         doc_stats = doc_stats.persist()
         term_stats.count()
         doc_stats.count()
+        vocab_df.unpersist()
         if runs_persist:
             runs.unpersist()
 

@@ -57,7 +57,6 @@ from webindex.build import (
     bucket_expr,
     build_postings,
     build_runs,
-    build_term_dict,
     corpus_stats_agg,
     decode_postings_to_runs,
     hash_bucket_bits,
@@ -317,6 +316,25 @@ class IncrementalIndexer:
         # stale partitions survive the dynamic overwrite
         _hadoop_delete(spark, f"{out}/postings")
         _hadoop_delete(spark, f"{out}/doc_stats")
+        # full compact mirrors the batch build: df + dictionary in ONE
+        # map-side-combined pass over the latest runs, with pre-shuffle
+        # hash-collision resolution (a fresh full compact may re-key; only
+        # the incremental path must preserve committed keys)
+        from webindex.build import (
+            DOC_MARKER,
+            _with_idf,
+            assert_no_hash_collisions,
+            resolve_term_hashes,
+            term_hash_expr,
+        )
+
+        vocab_df = (
+            runs_latest.filter(F.col("term") != DOC_MARKER)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .persist()
+        )
+        _, remap = resolve_term_hashes(vocab_df)
         self._write_postings(
             build_postings(
                 runs_latest,
@@ -326,15 +344,16 @@ class IncrementalIndexer:
                 n_docs=n_docs,
                 id_space="hash",
                 bucket_bits=bits,
+                hash_remap=remap,
             )
         )
-        # full compact mirrors the batch build: df + dictionary in ONE
-        # map-side-combined pass over the latest runs
-        from webindex.build import assert_no_hash_collisions, build_term_stats
-
-        build_term_stats(runs_latest, n_docs).sortWithinPartitions(
-            "term"
-        ).write.mode("overwrite").parquet(f"{out}/term_stats")
+        _with_idf(
+            vocab_df.withColumn("term_hash", term_hash_expr(F.col("term"), remap)),
+            n_docs,
+        ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+            f"{out}/term_stats"
+        )
+        vocab_df.unpersist()
         assert_no_hash_collisions(spark.read.parquet(f"{out}/term_stats"))
         doc_stats.withColumn(
             "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, "hash", bits)
@@ -412,12 +431,22 @@ class IncrementalIndexer:
         n_old_rows = old_rows.count()
         n_delta_rows = delta_runs.count()
         # old rows come back hash-keyed from the block decode; hash the delta
-        # the same way so the merge shuffle carries fixed-width keys only
-        from webindex.build import term_hash_col
+        # the same way so the merge shuffle carries fixed-width keys only.
+        # Collision resolution runs BEFORE the merge, against the committed
+        # dictionary: existing terms keep their on-disk keys, a new delta
+        # term whose xxhash64 clashes with any committed or sibling key is
+        # remapped — never silently merged into a stranger's postings.
+        from webindex.build import resolve_term_hashes, term_hash_expr
 
+        old_dict = spark.read.parquet(f"{out}/term_stats").select(
+            "term", "term_hash"
+        )
+        term_dict, remap = resolve_term_hashes(
+            delta_runs.select("term"), existing_dict=old_dict
+        )
         merged = old_rows.unionByName(
             delta_runs.filter(F.col("term") != DOC_MARKER).select(
-                term_hash_col(F.col("term")).alias("term_hash"),
+                term_hash_expr(F.col("term"), remap).alias("term_hash"),
                 "doc_id",
                 "tf",
                 "doc_len",
@@ -464,15 +493,8 @@ class IncrementalIndexer:
         # committed table — column pruning never touches the binary columns).
         # The term dictionary never re-reads history: old term_stats already
         # maps every pre-existing hash, the delta contributes only its vocab.
-        from webindex.build import assert_no_hash_collisions
-
-        old_dict = spark.read.parquet(f"{out}/term_stats").select("term", "term_hash")
-        delta_dict = build_term_dict(delta_runs, check_collisions=False)
-        # collision check runs on the UNION: a new delta term colliding with
-        # an OLD term's hash would silently merge their postings
-        term_dict = assert_no_hash_collisions(
-            old_dict.unionByName(delta_dict).distinct()
-        )
+        # term_dict was resolved pre-merge (existing keys preserved, delta
+        # collisions remapped) — unique over the union by construction
         self._finish_tables(n_docs, term_dict)
         spark.createDataFrame(
             [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
