@@ -181,3 +181,46 @@ def test_hash_doc_ids_and_url_join(spark):
     # scores descending, ties by doc_id asc
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_quantized_norms_end_to_end(spark, tmp_path):
+    """quantize_norms=True: 1-byte doc_lens on disk, conf sidecar restores
+    the flag through load_index, and query quality stays close to exact
+    (quantized dl has < 12.5% error; scores shift but ranks barely move)."""
+    from webindex.bm25 import BM25Config
+    from webindex.build import load_index
+
+    pdf = make_pages_pdf(0, N_DOCS)
+    pdf.insert(0, "doc_id", np.arange(N_DOCS, dtype=np.int64))
+    pages = spark.createDataFrame(pdf).repartition(5)
+
+    out = str(tmp_path / "qidx")
+    build_index(
+        spark, pages, text_col="html", doc_id_method="provided",
+        range_width=64, conf=BM25Config(quantize_norms=True), out_dir=out,
+    )
+    qidx = load_index(spark, out)
+    assert qidx.conf.quantize_norms is True  # sidecar round-trip
+    assert qidx.range_width == 64
+
+    # on-disk doc_lens stream is exactly 1 byte per posting
+    row = qidx.postings.select("n_docs", F.length("doc_lens").alias("nb")).first()
+    assert row["nb"] == row["n_docs"]
+
+    exact = build_index(
+        spark, pages, text_col="html", doc_id_method="provided", range_width=64
+    )
+    for q in ["the", "w199", "spark index query", "the w180 merge"]:
+        got = [r["doc_id"] for r in topk_wand(qidx, q, 10).collect()]
+        want = [r["doc_id"] for r in topk_exact(exact, q, 10).collect()]
+        assert len(got) == len(want)
+        # rank quality: ordered overlap in the top half, set overlap >= 80%
+        assert got[: len(got) // 2] == want[: len(want) // 2] or (
+            len(set(got) & set(want)) >= int(0.8 * len(want))
+        )
+    # WAND on the quantized index equals exhaustive scoring on the SAME index
+    for q in ["the", "spark index query"]:
+        assert (
+            topk_wand(qidx, q, 10).collect() == topk_exact(qidx, q, 10).collect()
+        )
+    assert topk_wand(qidx, "zzz_absent", 5).count() == 0

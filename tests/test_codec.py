@@ -65,3 +65,57 @@ def test_bm25_impact_formula():
     # 2 / (2 + 1.2*(1-0.75+0.75*0.5)) = 2 / (2 + 1.2*0.625)
     got = codec.bm25_impact(np.array([2]), np.array([50]), 100.0, 1.2, 0.75)[0]
     assert abs(got - 2.0 / (2.0 + 1.2 * 0.625)) < 1e-15
+
+
+# ---- 1-byte norm quantization (BM25Config.quantize_norms) -----------------
+
+def test_dl_quantize_exact_below_128():
+    x = np.arange(128, dtype=np.int64)
+    codes = codec.dl_quantize(x)
+    assert np.array_equal(codec.DL_DECODE_LUT[codes], x)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**30), min_size=1, max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_dl_quantize_properties(vals):
+    x = np.array(vals, dtype=np.int64)
+    codes = codec.dl_quantize(x)
+    dec = codec.DL_DECODE_LUT[codes]
+    clamped = np.minimum(x, codec._DL_MAX)
+    # lower bound with < 12.5% relative error (truncated 3-bit mantissa)
+    assert (dec <= clamped).all()
+    assert (dec.astype(np.float64) >= clamped * 0.875 - 1).all()
+    # representable values round-trip exactly => compaction re-encode is lossless
+    assert np.array_equal(codec.DL_DECODE_LUT[codec.dl_quantize(dec)], dec)
+    # monotonic
+    order = np.argsort(x, kind="stable")
+    assert (np.diff(codes[order].astype(np.int64)) >= 0).all()
+
+
+def test_encode_blocks_quantized_layout_and_soundness():
+    n = 300
+    ids = np.arange(0, 2 * n, 2, dtype=np.int64)
+    tfs = (ids % 7 + 1).astype(np.int64)
+    dls = (137 + 13 * (ids % 50)).astype(np.int64)  # spread above 128
+    exact = codec.encode_blocks(ids, tfs, dls, avgdl=300.0, k1=1.2, b=0.75,
+                                block_size=128)
+    quant = codec.encode_blocks(ids, tfs, dls, avgdl=300.0, k1=1.2, b=0.75,
+                                block_size=128, quantize_norms=True)
+    off = 0
+    for eb, qb in zip(exact, quant):
+        # doc_lens stream is exactly 1 byte per posting, never larger than varint
+        assert len(qb["doc_lens"]) == qb["n_docs"]
+        assert len(qb["doc_lens"]) <= len(eb["doc_lens"])
+        d, t, l = codec.decode_block(qb["doc_ids"], qb["tfs"], qb["doc_lens"],
+                                     quantize_norms=True)
+        sl = slice(off, off + qb["n_docs"])
+        assert np.array_equal(d, ids[sl])
+        assert np.array_equal(t, tfs[sl])
+        # decoded lengths are the quantized grid values
+        assert np.array_equal(l, codec.DL_DECODE_LUT[codec.dl_quantize(dls[sl])])
+        # max_impact is the true max over the scores the query path computes
+        true_max = codec.bm25_impact(t, l, 300.0, 1.2, 0.75).max()
+        assert qb["max_impact"] == true_max
+        # quantized dl <= exact dl => impact bound >= exact impact bound
+        assert qb["max_impact"] >= eb["max_impact"]
+        off += qb["n_docs"]

@@ -27,6 +27,12 @@ class BM25Config:
     k1: float = 1.2
     b: float = 0.75
     block_size: int = 128
+    # Store doc_lens as 1-byte Lucene-style norm codes (codec.dl_quantize)
+    # instead of exact varints. Lucene/ES itself quantizes norms this way;
+    # default False keeps exact lengths so results hash-match the DuckDB/
+    # pure-Python oracles bit-for-bit. An index must be queried with the
+    # same flag it was built with (persisted by build_index's conf sidecar).
+    quantize_norms: bool = False
 
     def idf(self, df: int, n_docs: int) -> float:
         return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))

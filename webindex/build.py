@@ -526,6 +526,7 @@ def build_postings(
     independent of parallelism. Accepts runs keyed by `term` (raw SPIMI
     output) or already by `term_hash` (incremental-merge path)."""
     k1, b, block_size = conf.k1, conf.b, conf.block_size
+    qnorms = conf.quantize_norms
 
     def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term_hash, bucket = key
@@ -533,7 +534,9 @@ def build_postings(
         ids = pdf["doc_id"].to_numpy()[order]
         tfs = pdf["tf"].to_numpy()[order]
         dls = pdf["doc_len"].to_numpy()[order]
-        blocks = codec.encode_blocks(ids, tfs, dls, avgdl, k1, b, block_size)
+        blocks = codec.encode_blocks(
+            ids, tfs, dls, avgdl, k1, b, block_size, quantize_norms=qnorms
+        )
         base = int(bucket) << _BLOCK_SHIFT
         return pd.DataFrame(
             {
@@ -570,13 +573,17 @@ def build_postings(
     )
 
 
-def decode_postings_to_runs(postings: DataFrame) -> DataFrame:
+def decode_postings_to_runs(
+    postings: DataFrame, quantize_norms: bool = False
+) -> DataFrame:
     """Inverse of build_postings: compressed blocks -> hashed runs
     (term_hash, doc_id, tf, doc_len) rows. Used by incremental compaction to
     merge ONLY the touched buckets' old blocks with new runs (never re-reads
     or re-tokenizes pages). No DOC_MARKER rows are reconstructed — callers
     track doc stats separately. Blocks store no term strings; join term_stats
-    on term_hash when a human-readable view is needed."""
+    on term_hash when a human-readable view is needed. quantize_norms: the
+    flag the blocks were encoded with (quantized values round-trip exactly,
+    so a decode -> re-encode compaction cycle is lossless)."""
 
     def fn(batches):
         for pdf in batches:
@@ -584,7 +591,9 @@ def decode_postings_to_runs(postings: DataFrame) -> DataFrame:
             for th, dbuf, tbuf, lbuf in zip(
                 pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
             ):
-                d, t, l = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
+                d, t, l = codec.decode_block(
+                    bytes(dbuf), bytes(tbuf), bytes(lbuf), quantize_norms
+                )
                 hashes.append(np.full(len(d), th, dtype=np.int64))
                 ids.append(d)
                 tfs.append(t)
@@ -721,6 +730,17 @@ def build_index(
             spark.createDataFrame([(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS),
             f"{out_dir}/corpus_stats",
         )
+        # conf sidecar: layout facts baked into the blocks (k1/b feed
+        # max_impact; quantize_norms changes the doc_lens byte format) —
+        # load_index restores them so an index is always queried with the
+        # conf it was built with.
+        write_table(
+            spark.createDataFrame(
+                [(conf.k1, conf.b, conf.block_size, conf.quantize_norms, range_width)],
+                schema=schema.INDEX_CONF,
+            ),
+            f"{out_dir}/conf",
+        )
         term_stats = read_table(spark, f"{out_dir}/term_stats")
         doc_stats = read_table(spark, f"{out_dir}/doc_stats")
         vocab_df.unpersist()
@@ -751,8 +771,26 @@ def load_index(
     spark: SparkSession, out_dir: str, conf: BM25Config = DEFAULT, cache: bool = False
 ) -> Index:
     """cache=True pins postings/term_stats in executor memory (serving mode:
-    repeated queries skip the parquet read — term_stats is the hot lookup)."""
+    repeated queries skip the parquet read — term_stats is the hot lookup).
+
+    If the index has a conf sidecar (written by build_index since round 2),
+    it OVERRIDES the conf argument: k1/b/block_size/quantize_norms are baked
+    into the encoded blocks, so querying with anything else would silently
+    mis-score. Pre-sidecar indexes fall back to the conf argument."""
     from webindex.io import read_table
+
+    range_width = DEFAULT_RANGE_WIDTH
+    try:
+        c = read_table(spark, f"{out_dir}/conf").collect()[0]
+        conf = BM25Config(
+            k1=float(c["k1"]),
+            b=float(c["b"]),
+            block_size=int(c["block_size"]),
+            quantize_norms=bool(c["quantize_norms"]),
+        )
+        range_width = int(c["range_width"])
+    except Exception:
+        pass  # pre-sidecar index: trust the caller's conf
 
     stats = read_table(spark, f"{out_dir}/corpus_stats").collect()[0]
     postings = read_table(spark, f"{out_dir}/postings")
@@ -774,4 +812,5 @@ def load_index(
         n_docs=int(stats["n_docs"]),
         avgdl=float(stats["avgdl"]),
         conf=conf,
+        range_width=range_width,
     )

@@ -206,6 +206,12 @@ def build_index_resumable(
     spark.createDataFrame([(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS).write.mode(
         "overwrite"
     ).parquet(f"{out}/corpus_stats")
+    # conf sidecar (same contract as build_index): load_index restores the
+    # conf the blocks were encoded with
+    spark.createDataFrame(
+        [(conf.k1, conf.b, conf.block_size, conf.quantize_norms, range_width)],
+        schema=schema.INDEX_CONF,
+    ).write.mode("overwrite").parquet(f"{out}/conf")
 
     return Index(
         postings=spark.read.parquet(f"{out}/postings"),

@@ -94,6 +94,55 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(np.asarray(gaps, dtype=np.int64))
 
 
+# --------------------------------------------------------------------------
+# Lucene-style 1-byte doc_len norms (opt-in via BM25Config.quantize_norms)
+#
+# Lucene stores the per-document field length as a single byte
+# (SmallFloat-encoded norm) rather than the exact integer — the reference
+# inherits this through ES dynamic mapping (src/connectors/elasticsearch.py:
+# 169-173). Scheme here: codes 0..127 store the length exactly; codes
+# 128..255 keep the top 4 significant bits (3-bit mantissa after the
+# implicit leading 1, truncated): code = 128 + ((e-7) << 3) + m with
+# e = floor(log2(dl)), m = (dl >> (e-3)) & 7, decoding to (8+m) << (e-3).
+# Properties: decode(encode(x)) <= x with < 12.5% relative error; every
+# representable value round-trips exactly (so compaction's decode ->
+# re-encode is idempotent); monotonic non-decreasing; lengths >= 2^23
+# (8.4M tokens) clamp to the max code. Saves ~1 byte/posting vs varint for
+# dl >= 128 and caps the doc_lens stream at exactly n_docs bytes/block.
+# --------------------------------------------------------------------------
+
+_DL_MAX = (1 << 23) - 1
+
+
+def dl_quantize(doc_lens: np.ndarray) -> np.ndarray:
+    """int64 doc lengths -> uint8 norm codes (vectorized)."""
+    x = np.clip(np.asarray(doc_lens, dtype=np.int64), 0, _DL_MAX)
+    # frexp exponent: x = m * 2^exp, 0.5 <= m < 1  =>  floor(log2(x)) = exp-1
+    e = np.frexp(x.astype(np.float64))[1].astype(np.int64) - 1
+    big = x >= 128
+    eb = e[big]
+    m = (x[big] >> (eb - 3)) & 7
+    codes = x.astype(np.int64).copy()
+    codes[big] = 128 + ((eb - 7) << 3) + m
+    return codes.astype(np.uint8)
+
+
+def _dl_lut() -> np.ndarray:
+    lut = np.empty(256, dtype=np.int64)
+    lut[:128] = np.arange(128, dtype=np.int64)
+    r = np.arange(128, dtype=np.int64)
+    lut[128:] = (8 + (r & 7)) << (7 + (r >> 3) - 3)
+    return lut
+
+
+DL_DECODE_LUT = _dl_lut()
+
+
+def dl_dequantize(codes_buf: bytes) -> np.ndarray:
+    """uint8 norm-code bytes -> approximate int64 doc lengths."""
+    return DL_DECODE_LUT[np.frombuffer(codes_buf, dtype=np.uint8)]
+
+
 def bm25_impact(
     tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float, k1: float, b: float
 ) -> np.ndarray:
@@ -111,8 +160,14 @@ def encode_blocks(
     k1: float,
     b: float,
     block_size: int = BLOCK_SIZE,
+    quantize_norms: bool = False,
 ) -> list[dict]:
     """Split one term's postings (sorted by doc_id asc) into encoded blocks.
+
+    quantize_norms=True stores doc_lens as 1-byte Lucene-style norm codes
+    (see dl_quantize) instead of varints; max_impact is then computed from
+    the QUANTIZED lengths so block bounds stay sound for the scores the
+    query path will actually compute.
 
     Fully vectorized over the WHOLE posting list: delta gaps (reset to the
     absolute id at each block start), one varint pass, then per-block byte
@@ -139,10 +194,16 @@ def encode_blocks(
 
     ids_buf, ids_nb = varint_encode_with_sizes(gaps)
     tfs_buf, tfs_nb = varint_encode_with_sizes(tfs)
-    dls_buf, dls_nb = varint_encode_with_sizes(doc_lens)
+    if quantize_norms:
+        codes = dl_quantize(doc_lens)
+        doc_lens = DL_DECODE_LUT[codes]  # scoring sees the quantized value
+        dls_buf = codes
+        dls_cut = np.arange(n + 1, dtype=np.int64)  # fixed 1 byte/posting
+    else:
+        dls_buf, dls_nb = varint_encode_with_sizes(doc_lens)
+        dls_cut = np.zeros(n + 1, dtype=np.int64); np.cumsum(dls_nb, out=dls_cut[1:])
     ids_cut = np.zeros(n + 1, dtype=np.int64); np.cumsum(ids_nb, out=ids_cut[1:])
     tfs_cut = np.zeros(n + 1, dtype=np.int64); np.cumsum(tfs_nb, out=tfs_cut[1:])
-    dls_cut = np.zeros(n + 1, dtype=np.int64); np.cumsum(dls_nb, out=dls_cut[1:])
 
     impact = bm25_impact(tfs, doc_lens, avgdl, k1, b)
     max_imp = np.maximum.reduceat(impact, starts)
@@ -165,10 +226,17 @@ def encode_blocks(
     ]
 
 
-def decode_block(doc_ids_buf: bytes, tfs_buf: bytes, doc_lens_buf: bytes):
-    """Inverse of encode_blocks for one block -> (doc_ids, tfs, doc_lens)."""
+def decode_block(
+    doc_ids_buf: bytes,
+    tfs_buf: bytes,
+    doc_lens_buf: bytes,
+    quantize_norms: bool = False,
+):
+    """Inverse of encode_blocks for one block -> (doc_ids, tfs, doc_lens).
+    quantize_norms must match the flag the index was BUILT with (persisted
+    in the index's conf sidecar; see build.load_index)."""
     return (
         delta_decode(varint_decode(doc_ids_buf)),
         varint_decode(tfs_buf),
-        varint_decode(doc_lens_buf),
+        dl_dequantize(doc_lens_buf) if quantize_norms else varint_decode(doc_lens_buf),
     )

@@ -76,7 +76,7 @@ def _query_terms(index: Index, query: str) -> dict[str, tuple[int, float, int]]:
 def _decode_contribs_iter(idf_map: dict[int, float], conf, avgdl: float):
     """mapInPandas fn over posting-block rows -> (term_hash, doc_id,
     contrib). idf_map is keyed by term_hash. Used by the θ-seed jobs."""
-    k1, b = conf.k1, conf.b
+    k1, b, qn = conf.k1, conf.b, conf.quantize_norms
 
     def fn(batches):
         for pdf in batches:
@@ -84,7 +84,9 @@ def _decode_contribs_iter(idf_map: dict[int, float], conf, avgdl: float):
             for th, dbuf, tbuf, lbuf in zip(
                 pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
             ):
-                ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
+                ids, tfs, dls = codec.decode_block(
+                    bytes(dbuf), bytes(tbuf), bytes(lbuf), qn
+                )
                 contrib = idf_map[int(th)] * codec.bm25_impact(tfs, dls, avgdl, k1, b)
                 hashes_out.append(np.full(len(ids), th, dtype=np.int64))
                 ids_out.append(ids)
@@ -156,7 +158,7 @@ def _score_bucket_fn(
     STRING ascending (computed driver-side from term_stats), preserving the
     oracle's deterministic summation order even though blocks only carry
     hashes. Rows sorted by (doc_id, rank), summed with np.add.reduceat."""
-    k1, b = conf.k1, conf.b
+    k1, b, qn = conf.k1, conf.b, conf.quantize_norms
 
     empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
         {"doc_id": np.int64, "score": np.float64}
@@ -192,7 +194,7 @@ def _score_bucket_fn(
             if keep_mask is not None and not keep_mask[bi]:
                 continue
             th = int(th)
-            ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf))
+            ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
             ids_all.append(ids)
             terms_all.append(np.full(len(ids), term_rank[th], dtype=np.int32))
             contribs_all.append(idf_map[th] * codec.bm25_impact(tfs, dls, avgdl, k1, b))
@@ -448,7 +450,7 @@ def topk_batch(
     if not term_queries:
         return spark.createDataFrame([], out_schema)
     conf, avgdl = index.conf, index.avgdl
-    k1, b = conf.k1, conf.b
+    k1, b, qn = conf.k1, conf.b, conf.quantize_norms
     term_rank = {hash_of[t]: i for i, t in enumerate(sorted(hash_of))}
 
     # ---- per-query θ seeds (two shared jobs for the WHOLE batch; only for
@@ -532,6 +534,7 @@ def topk_batch(
                 bytes(pdf["doc_ids"].iloc[bi]),
                 bytes(pdf["tfs"].iloc[bi]),
                 bytes(pdf["doc_lens"].iloc[bi]),
+                qn,
             )
             dec_ids[bi] = ids
             dec_contribs[bi] = idf_map[block_terms[bi]] * codec.bm25_impact(

@@ -122,3 +122,18 @@ CORPUS_STATS = T.StructType(
         T.StructField("total_postings", T.LongType(), False),
     ]
 )
+
+# One-row sidecar written next to the index tables: the BM25Config facts that
+# are baked into the encoded blocks (k1/b feed max_impact, quantize_norms
+# changes the doc_lens byte format, block_size fixes block boundaries) plus
+# the bucket range_width. load_index restores these so an index can never be
+# queried with a conf other than the one it was built with.
+INDEX_CONF = T.StructType(
+    [
+        T.StructField("k1", T.DoubleType(), False),
+        T.StructField("b", T.DoubleType(), False),
+        T.StructField("block_size", T.IntegerType(), False),
+        T.StructField("quantize_norms", T.BooleanType(), False),
+        T.StructField("range_width", T.LongType(), False),
+    ]
+)

@@ -98,6 +98,11 @@ def _swap_partition_dirs(
 
 
 class IncrementalIndexer:
+    """conf is NOT persisted in the indexer's state table: when resuming an
+    existing workdir, construct with the same BM25Config the runs/blocks
+    were encoded with (k1/b feed max_impact; quantize_norms changes the
+    doc_lens byte format)."""
+
     def __init__(
         self,
         spark: SparkSession,
@@ -422,7 +427,9 @@ class IncrementalIndexer:
         old_blocks = spark.read.parquet(f"{out}/postings").filter(
             F.col("bucket").isin(buckets)
         )
-        old_rows = decode_postings_to_runs(old_blocks).join(
+        old_rows = decode_postings_to_runs(
+            old_blocks, quantize_norms=self.conf.quantize_norms
+        ).join(
             F.broadcast(delta_docs.select("doc_id")) if n_delta < 1_000_000
             else delta_docs.select("doc_id"),
             "doc_id",
