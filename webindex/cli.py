@@ -1,7 +1,7 @@
 """spark-submit entrypoints (north rule: runs via spark-submit --py-files).
 
 Usage (spark-submit takes an application file, not -m):
-  spark-submit --py-files webindex.zip webindex/cli.py build  <pages_path> <workdir>
+  spark-submit --py-files webindex.zip webindex/cli.py build  <pages_path> <workdir> [--quantize-norms]
   spark-submit --py-files webindex.zip webindex/cli.py query  <workdir> <query> [k]
   spark-submit --py-files webindex.zip webindex/cli.py resume <pages_path> <workdir>
 or locally:
@@ -29,8 +29,14 @@ def main(argv: list[str]) -> int:
     if cmd == "build":
         from webindex.build import build_index
 
+        conf = DEFAULT
+        if "--quantize-norms" in argv:
+            from dataclasses import replace
+
+            argv = [a for a in argv if a != "--quantize-norms"]
+            conf = replace(DEFAULT, quantize_norms=True)
         pages = spark.read.parquet(argv[2])
-        idx = build_index(spark, pages, DEFAULT, text_col="html", out_dir=argv[3])
+        idx = build_index(spark, pages, conf, text_col="html", out_dir=argv[3])
         print(f"built: {idx.n_docs} docs, avgdl={idx.avgdl:.2f} -> {argv[3]}")
     elif cmd == "resume":
         from webindex.checkpoint import build_index_resumable
