@@ -224,3 +224,33 @@ def test_quantized_norms_end_to_end(spark, tmp_path):
             topk_wand(qidx, q, 10).collect() == topk_exact(qidx, q, 10).collect()
         )
     assert topk_wand(qidx, "zzz_absent", 5).count() == 0
+
+
+def test_load_index_corrupt_sidecar_raises(spark, tmp_path):
+    """A conf sidecar that EXISTS but cannot be read must raise, not silently
+    fall back to the caller's conf (ADVICE r2 medium: a quantized index read
+    with the default conf would varint-decode norm bytes as garbage)."""
+    from webindex.build import load_index
+
+    pdf = make_pages_pdf(0, 20)
+    pdf.insert(0, "doc_id", np.arange(20, dtype=np.int64))
+    out = str(tmp_path / "sidecar_idx")
+    build_index(
+        spark, spark.createDataFrame(pdf), text_col="html",
+        doc_id_method="provided", range_width=64, out_dir=out,
+    )
+    # corrupt the sidecar: existing dir, unreadable content
+    import os
+    import shutil
+
+    shutil.rmtree(f"{out}/conf")
+    os.makedirs(f"{out}/conf")
+    with open(f"{out}/conf/part-00000.parquet", "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception):
+        load_index(spark, out)
+
+    # absent sidecar (pre-sidecar index): falls back to the caller's conf
+    shutil.rmtree(f"{out}/conf")
+    idx = load_index(spark, out)
+    assert idx.conf.quantize_norms is False

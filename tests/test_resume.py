@@ -75,3 +75,28 @@ def test_second_resume_is_noop_fast(spark, tmp_path):
     lin2 = read_lineage(spark, workdir).count()
     assert lin1 == lin2  # no new lineage rows — everything skipped
     assert runs.count() > 0
+
+
+def test_resumable_build_under_pathological_hash(spark, tmp_path):
+    """build_index_resumable resolves term-hash collisions PRE-shuffle (same
+    contract as build_index): a coarse primary hash space must yield unique
+    committed keys and rank-identical queries, not a post-build abort."""
+    from tests.test_collision import coarse_fn
+    from webindex.build import build_index
+    from webindex.query import topk_exact
+
+    pdf = make_pages_pdf(0, 80)
+    pages = spark.createDataFrame(pdf)
+    idx = build_index_resumable(
+        spark, pages, str(tmp_path / "coarse"), n_buckets=4, chunk_buckets=2,
+        hash_primary_fn=coarse_fn(32),
+    )
+    n_vocab = idx.term_stats.count()
+    n_keys = idx.term_stats.select("term_hash").distinct().count()
+    assert n_keys == n_vocab > 32  # unique despite the 32-slot primary space
+
+    normal = build_index(spark, pages, text_col="html", doc_id_method="hash")
+    for q in ("the data", "w42 merge", "index query"):
+        a = [(r["doc_id"], round(r["score"], 9)) for r in topk_exact(idx, q, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in topk_exact(normal, q, 10).collect()]
+        assert a == b, q

@@ -154,6 +154,101 @@ def test_single_doc_upsert(spark, tmp_path):
         assert _topk_list(idx, q) == _topk_list(batch_idx, q), q
 
 
+def test_divergent_committed_key_delta_merge(spark, tmp_path):
+    """An existing term whose COMMITTED key was remapped at first compact
+    (collision resolution) must have its delta rows keyed by the committed
+    key, not its primary hash — the primary value is exactly the colliding
+    stranger's key, so the old behavior silently merged the two terms'
+    postings (ADVICE r2 high). Forced with a coarse primary hash space."""
+    from tests.test_collision import coarse_fn
+
+    fn = coarse_fn(8)  # 8-slot space: nearly every term's key is remapped
+    pdf = make_pages_pdf(0, 60)
+    src = str(tmp_path / "src6")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    indexer = IncrementalIndexer(
+        spark, str(tmp_path / "inc6"), text_col="html", hash_primary_fn=fn
+    )
+    indexer.start(src).awaitTermination(120)
+    idx0 = indexer.compact()
+    # sanity: the full compact really committed remapped (divergent) keys
+    from webindex.build import term_hash_col  # noqa: F401 (doc: primary fn)
+    n_divergent = idx0.term_stats.filter(
+        F.col("term_hash") != fn(F.col("term"))
+    ).count()
+    assert n_divergent > 0
+
+    # delta re-uses EXISTING vocabulary (same generator -> heavy term overlap,
+    # including remapped terms) plus genuinely new docs
+    pdf2 = make_pages_pdf(60, 75)
+    spark.createDataFrame(pdf2).coalesce(1).write.mode("append").parquet(src)
+    indexer.start(src).awaitTermination(120)
+    idx1 = indexer.compact()
+
+    batch_idx = build_index(
+        spark,
+        spark.createDataFrame(make_pages_pdf(0, 75)),
+        text_col="html",
+        doc_id_method="hash",
+        hash_primary_fn=fn,
+    )
+    assert idx1.n_docs == batch_idx.n_docs == 75
+    # key uniqueness survived the merge (no stranger-merge, no split)
+    assert (
+        idx1.term_stats.select("term_hash").distinct().count()
+        == idx1.term_stats.count()
+    )
+    for q in ("the data", "w42 merge", "index query", "w70"):
+        assert _topk_list(idx1, q) == _topk_list(batch_idx, q), q
+
+
+def test_streaming_lineage_real_metrics(spark, tmp_path):
+    """Lineage rows carry REAL postings counts and committed bytes (north
+    rule: per-partition lineage + metrics), not placeholder zeros."""
+    from webindex.fsutil import dir_bytes
+
+    pdf = make_pages_pdf(0, 25)
+    src = str(tmp_path / "src7")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    workdir = str(tmp_path / "inc7")
+    indexer = IncrementalIndexer(spark, workdir, text_col="html")
+    indexer.start(src).awaitTermination(120)
+
+    rows = spark.read.parquet(f"{workdir}/lineage").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["docs"] == 25
+    assert r["postings"] > 25  # several distinct terms per doc
+    expected_bytes = dir_bytes(
+        spark, f"{workdir}/runs/batch_id={r['partition_id']}"
+    ) + dir_bytes(spark, f"{workdir}/doc_urls/batch_id={r['partition_id']}")
+    assert r["bytes"] == expected_bytes > 0
+
+
+def test_streaming_conf_persisted_on_resume(spark, tmp_path):
+    """Resuming a workdir restores the BM25Config the blocks were encoded
+    with (quantize_norms changes the doc_lens byte format) — the constructor
+    default must NOT silently misdecode a quantized index."""
+    from webindex.bm25 import BM25Config
+
+    pdf = make_pages_pdf(0, 30)
+    src = str(tmp_path / "src8")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    workdir = str(tmp_path / "inc8")
+    indexer = IncrementalIndexer(
+        spark, workdir, conf=BM25Config(quantize_norms=True), text_col="html"
+    )
+    indexer.start(src).awaitTermination(120)
+    idx0 = indexer.compact()
+    ref = _topk_list(idx0, "the data")
+    assert ref
+
+    resumed = IncrementalIndexer(spark, workdir, text_col="html")  # default conf
+    idx1 = resumed.compact()  # no new batches -> load via persisted state
+    assert resumed.conf.quantize_norms is True  # restored, not the default
+    assert _topk_list(idx1, "the data") == ref
+
+
 def test_recrawled_url_collapses(spark, tmp_path):
     """Same url in two batches -> one doc after compaction (doc_id is
     url-derived; late/duplicate data semantics)."""

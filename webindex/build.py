@@ -777,10 +777,20 @@ def load_index(
     it OVERRIDES the conf argument: k1/b/block_size/quantize_norms are baked
     into the encoded blocks, so querying with anything else would silently
     mis-score. Pre-sidecar indexes fall back to the conf argument."""
-    from webindex.io import read_table
+    from webindex.io import read_table, table_format
+    from webindex.fsutil import hadoop_fs
 
     range_width = DEFAULT_RANGE_WIDTH
-    try:
+    # Fall back to the caller's conf ONLY when the sidecar is genuinely
+    # absent (pre-sidecar index). A transient read failure (S3 flake,
+    # permissions) must propagate — silently dropping the sidecar would
+    # varint-decode quantized norm bytes as garbage and mis-score quietly,
+    # defeating the sidecar's whole guarantee.
+    sidecar_exists = True
+    if table_format() == "parquet":
+        fs, jvm = hadoop_fs(spark, out_dir)
+        sidecar_exists = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{out_dir}/conf"))
+    if sidecar_exists:
         c = read_table(spark, f"{out_dir}/conf").collect()[0]
         conf = BM25Config(
             k1=float(c["k1"]),
@@ -789,8 +799,6 @@ def load_index(
             quantize_norms=bool(c["quantize_norms"]),
         )
         range_width = int(c["range_width"])
-    except Exception:
-        pass  # pre-sidecar index: trust the caller's conf
 
     stats = read_table(spark, f"{out_dir}/corpus_stats").collect()[0]
     postings = read_table(spark, f"{out_dir}/postings")

@@ -35,7 +35,6 @@ from webindex.build import (
     assign_doc_ids,
     build_postings,
     build_runs,
-    build_term_stats,
 )
 
 
@@ -153,6 +152,7 @@ def build_index_resumable(
     text_col: str = "html",
     doc_id_method: str = "hash",
     range_width: int | None = None,
+    hash_primary_fn=None,
 ) -> Index:
     """Full build with checkpoint/resume on the scan stage, then the
     (term,bucket) shuffle into final index tables under <workdir>/index."""
@@ -187,18 +187,43 @@ def build_index_resumable(
 
         range_width = adaptive_range_width(n_docs)
     id_space = "hash" if doc_id_method == "hash" else "dense"
+    # Pre-shuffle collision resolution, same as build_index: aggregate the
+    # checkpointed runs' vocabulary ONCE (map-side combined, vocab-sized),
+    # resolve any xxhash64 clash to a remapped key BEFORE the postings
+    # shuffle, and reuse the same aggregate for term_stats — a clash costs a
+    # remap, never a post-hoc abort after paying for the whole build.
+    from webindex.build import (
+        DOC_MARKER as _DM,
+        _with_idf,
+        assert_no_hash_collisions,
+        resolve_term_hashes,
+        term_hash_expr,
+    )
+
+    vocab_df = (
+        runs.filter(F.col("term") != _DM)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .persist()
+    )
+    _, hash_remap = resolve_term_hashes(vocab_df, primary_fn=hash_primary_fn)
     # hash-sorted-within-partition write (see build.build_index for why not
     # repartitionByRange): row-group pruning on term_hash IN (...) filters
     build_postings(
-        runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space
+        runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space,
+        hash_remap=hash_remap, hash_primary_fn=hash_primary_fn,
     ).sortWithinPartitions("term_hash", "block_id").write.mode("overwrite").parquet(
         f"{out}/postings"
     )
-    from webindex.build import assert_no_hash_collisions
-
-    build_term_stats(runs, n_docs).sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(f"{out}/term_stats")
+    _with_idf(
+        vocab_df.withColumn(
+            "term_hash", term_hash_expr(F.col("term"), hash_remap, hash_primary_fn)
+        ),
+        n_docs,
+    ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+        f"{out}/term_stats"
+    )
+    vocab_df.unpersist()
     assert_no_hash_collisions(spark.read.parquet(f"{out}/term_stats"))
     doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         f"{out}/doc_stats"

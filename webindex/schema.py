@@ -72,6 +72,10 @@ POSTINGS = T.StructType(
 
 
 # incremental compaction state (one row), kept beside the index tables.
+# Carries the BM25Config facts baked into the committed blocks (same contract
+# as INDEX_CONF): resuming a workdir with a different conf would silently
+# misdecode norm bytes / corrupt max_impact bounds, so the indexer restores
+# these on resume instead of trusting the constructor argument.
 COMPACT_STATE = T.StructType(
     [
         T.StructField("max_batch", T.LongType(), False),
@@ -79,6 +83,10 @@ COMPACT_STATE = T.StructType(
         T.StructField("range_width", T.LongType(), False),
         T.StructField("n_docs", T.LongType(), False),
         T.StructField("sum_dl", T.DoubleType(), False),
+        T.StructField("k1", T.DoubleType(), False),
+        T.StructField("b", T.DoubleType(), False),
+        T.StructField("block_size", T.IntegerType(), False),
+        T.StructField("quantize_norms", T.BooleanType(), False),
     ]
 )
 

@@ -160,11 +160,16 @@ def all_pairs_above(
         ).filter(F.col("bsize") <= max_bucket)
     a = bucketed.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "band", "bucket")
     b = bucketed.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "band", "bucket")
-    pairs = (
+    # cosine + threshold are applied BEFORE the pair dedup: a pair surfacing
+    # in several bands recomputes the (cheap, JVM-side) cosine per band, but
+    # the dedup shuffle then carries only (a, b, cos) — 24 bytes — instead of
+    # two full embedding vectors per candidate row. cos is a pure function of
+    # (a, b), so dropDuplicates stays deterministic.
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
+        .select("a", "b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
         .dropDuplicates(["a", "b"])
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return pairs.select("a", "b", cos.alias("cos")).filter(F.col("cos") >= threshold)

@@ -98,10 +98,11 @@ def _swap_partition_dirs(
 
 
 class IncrementalIndexer:
-    """conf is NOT persisted in the indexer's state table: when resuming an
-    existing workdir, construct with the same BM25Config the runs/blocks
-    were encoded with (k1/b feed max_impact; quantize_norms changes the
-    doc_lens byte format)."""
+    """The BM25Config is persisted in the compaction state table (k1/b feed
+    max_impact; quantize_norms changes the doc_lens byte format): resuming an
+    existing workdir restores the conf the blocks were encoded with,
+    overriding the constructor argument — same guarantee as build_index's
+    conf sidecar."""
 
     def __init__(
         self,
@@ -112,6 +113,7 @@ class IncrementalIndexer:
         text_col: str = "html",
         watermark_delay: str = "1 hour",
         range_width: int | None = None,
+        hash_primary_fn=None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -119,6 +121,9 @@ class IncrementalIndexer:
         self.text_col = text_col
         self.watermark_delay = watermark_delay
         self.range_width = range_width
+        # injectable primary term hash (tests force collisions with a coarse
+        # space; production always uses xxhash64 — see build.term_hash_col)
+        self.hash_primary_fn = hash_primary_fn
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- ingestion ----------------------------------------------------------
@@ -164,13 +169,35 @@ class IncrementalIndexer:
         ).write.mode("overwrite").partitionBy("batch_id").parquet(
             f"{self.workdir}/doc_urls"
         )
-        docs = (
-            spark.read.parquet(f"{self.workdir}/doc_urls")
+        # metrics from the COMMITTED runs partition (one pruned columnar job:
+        # docs = DOC_MARKER rows, postings = the rest) + real committed bytes
+        # of both partition dirs (FS listing, no data read) — same contract as
+        # the batch path's lineage (checkpoint.py).
+        from webindex.fsutil import dir_bytes
+
+        m = (
+            spark.read.parquet(f"{self.workdir}/runs")
             .filter(F.col("batch_id") == batch_id)
-            .count()
+            .agg(
+                F.count(F.when(F.col("term") == DOC_MARKER, 1)).alias("docs"),
+                F.count(F.when(F.col("term") != DOC_MARKER, 1)).alias("postings"),
+            )
+            .collect()[0]
         )
+        nbytes = dir_bytes(
+            spark, f"{self.workdir}/runs/batch_id={batch_id}"
+        ) + dir_bytes(spark, f"{self.workdir}/doc_urls/batch_id={batch_id}")
         spark.createDataFrame(
-            [(int(batch_id), int(docs), 0, 0, float(time.monotonic() - t0), "done")],
+            [
+                (
+                    int(batch_id),
+                    int(m["docs"]),
+                    int(m["postings"]),
+                    int(nbytes),
+                    float(time.monotonic() - t0),
+                    "done",
+                )
+            ],
             schema=schema.LINEAGE,
         ).write.mode("append").parquet(f"{self.workdir}/lineage")
 
@@ -216,16 +243,43 @@ class IncrementalIndexer:
             return []
 
     def _read_state(self):
+        """Read compaction state; if it persists a BM25Config (round-3+
+        layout), RESTORE it over the constructor's conf — the committed
+        blocks' byte format and max_impact bounds are functions of the conf
+        they were encoded with, so resuming with anything else would silently
+        mis-score (the streaming analogue of build_index's conf sidecar)."""
         try:
-            return self.spark.read.parquet(f"{self.workdir}/index/_state").collect()[0]
+            row = self.spark.read.parquet(f"{self.workdir}/index/_state").collect()[0]
         except Exception:
             return None
+        d = row.asDict()
+        if "k1" in d:  # pre-conf state rows: trust the constructor's conf
+            self.conf = BM25Config(
+                k1=float(d["k1"]),
+                b=float(d["b"]),
+                block_size=int(d["block_size"]),
+                quantize_norms=bool(d["quantize_norms"]),
+            )
+        return row
 
     def _write_state(
         self, max_batch: int, bits: int, range_width: int, n_docs: int, sum_dl: float
     ) -> None:
+        c = self.conf
         self.spark.createDataFrame(
-            [(int(max_batch), int(bits), int(range_width), int(n_docs), float(sum_dl))],
+            [
+                (
+                    int(max_batch),
+                    int(bits),
+                    int(range_width),
+                    int(n_docs),
+                    float(sum_dl),
+                    float(c.k1),
+                    float(c.b),
+                    int(c.block_size),
+                    bool(c.quantize_norms),
+                )
+            ],
             schema=schema.COMPACT_STATE,
         ).write.mode("overwrite").parquet(f"{self.workdir}/index/_state")
 
@@ -268,7 +322,10 @@ class IncrementalIndexer:
     def _finish_tables(self, n_docs: int, term_dict: DataFrame) -> None:
         # staged write + FS rename: the incremental path's term_dict LAZILY
         # reads the current term_stats table, so overwriting it in the same
-        # job would read-and-clobber the input
+        # job would read-and-clobber the input. Commit order keeps a
+        # recoverable table at every step (a crash mid-commit leaves either
+        # the old table, both, or the new one — never neither): rename the
+        # old table ASIDE, rename staging in, then drop the old copy.
         spark, out = self.spark, f"{self.workdir}/index"
         staging = f"{out}/_term_stats_staging"
         term_stats_from_postings(
@@ -277,9 +334,14 @@ class IncrementalIndexer:
         fs, jvm = _hadoop_fs(spark, out)
         Path = jvm.org.apache.hadoop.fs.Path
         final = Path(f"{out}/term_stats")
+        old = Path(f"{out}/_term_stats_old")
+        if fs.exists(old):  # leftover from a crashed commit
+            fs.delete(old, True)
         if fs.exists(final):
-            fs.delete(final, True)
+            fs.rename(final, old)
         fs.rename(Path(staging), final)
+        if fs.exists(old):
+            fs.delete(old, True)
 
     def compact(self, full: bool = False) -> Index:
         """Merge accumulated runs into the block tables. First call (or
@@ -339,7 +401,7 @@ class IncrementalIndexer:
             .agg(F.count(F.lit(1)).alias("df"))
             .persist()
         )
-        _, remap = resolve_term_hashes(vocab_df)
+        _, remap = resolve_term_hashes(vocab_df, primary_fn=self.hash_primary_fn)
         self._write_postings(
             build_postings(
                 runs_latest,
@@ -350,10 +412,14 @@ class IncrementalIndexer:
                 id_space="hash",
                 bucket_bits=bits,
                 hash_remap=remap,
+                hash_primary_fn=self.hash_primary_fn,
             )
         )
         _with_idf(
-            vocab_df.withColumn("term_hash", term_hash_expr(F.col("term"), remap)),
+            vocab_df.withColumn(
+                "term_hash",
+                term_hash_expr(F.col("term"), remap, self.hash_primary_fn),
+            ),
             n_docs,
         ).sortWithinPartitions("term").write.mode("overwrite").parquet(
             f"{out}/term_stats"
@@ -443,17 +509,37 @@ class IncrementalIndexer:
         # dictionary: existing terms keep their on-disk keys, a new delta
         # term whose xxhash64 clashes with any committed or sibling key is
         # remapped — never silently merged into a stranger's postings.
-        from webindex.build import resolve_term_hashes, term_hash_expr
+        from webindex.build import resolve_term_hashes, term_hash_col, term_hash_expr
 
         old_dict = spark.read.parquet(f"{out}/term_stats").select(
             "term", "term_hash"
         )
         term_dict, remap = resolve_term_hashes(
-            delta_runs.select("term"), existing_dict=old_dict
+            delta_runs.select("term"),
+            existing_dict=old_dict,
+            primary_fn=self.hash_primary_fn,
         )
+        # remap covers only NEW colliding terms; an EXISTING term whose
+        # committed key diverges from its primary hash (remapped at an earlier
+        # compact) must also override — otherwise its delta rows would hash to
+        # the PRIMARY value, which is exactly the colliding committed term's
+        # key, silently merging into a stranger's postings. Divergent set is
+        # O(total collisions ever) ~ 0-3 at 10^9 vocab; cap guards degeneracy.
+        primary = (self.hash_primary_fn or term_hash_col)(F.col("term"))
+        divergent = (
+            old_dict.filter(F.col("term_hash") != primary).limit(1001).collect()
+        )
+        if len(divergent) > 1000:
+            raise RuntimeError(
+                "more than 1000 committed terms have remapped keys — the "
+                "term hash is degenerate; rebuild with a sound hash"
+            )
+        remap = {**remap, **{r["term"]: int(r["term_hash"]) for r in divergent}}
         merged = old_rows.unionByName(
             delta_runs.filter(F.col("term") != DOC_MARKER).select(
-                term_hash_expr(F.col("term"), remap).alias("term_hash"),
+                term_hash_expr(F.col("term"), remap, self.hash_primary_fn).alias(
+                    "term_hash"
+                ),
                 "doc_id",
                 "tf",
                 "doc_len",
