@@ -75,6 +75,20 @@ def _index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def _index_pos(spark: SparkSession, sf_dir: str):
+    """Positional index over the documents corpus (phrase-query entries)."""
+    from webindex.build import build_index
+
+    key = f"{sf_dir}#pos"
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).withColumn("url", F.col("doc_id").cast("string"))
+        _INDEX_CACHE[key] = build_index(
+            spark, docs, text_col="text", doc_id_method="provided",
+            range_width=1 << 18, positions=True,
+        )
+    return _INDEX_CACHE[key]
+
+
 def _index_title(spark: SparkSession, sf_dir: str):
     """Second indexed field for best_fields: 'title' = the doc's first 3
     tokens (deterministically derivable by the SQL oracle)."""
@@ -173,6 +187,44 @@ def _bm25_oracle_sql(terms: list[str], k: int) -> str:
 SELECT doc_id, round(score, 4) AS score
 FROM (
   SELECT doc_id, score FROM ({_bm25_score_subquery(terms)})
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+"""
+
+
+def _bm25_phrase_oracle_sql(slots: list[str], k: int) -> str:
+    """match_phrase oracle: phrase frequency via a positional window scan
+    over the token list, score = (Σ slot idf, duplicates counted) * BM25
+    impact of the phrase tf — Lucene PhraseQuery semantics, matching
+    webindex.query.topk_phrase."""
+    n = len(slots)
+    cond = " AND ".join(f"toks[i+{j}] = '{t}'" for j, t in enumerate(slots))
+    slot_rows = ", ".join(f"('{t}')" for t in slots)
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS dl FROM tok),
+c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(set(slots)))})
+  GROUP BY term
+),
+sidf AS (
+  SELECT sum(ln(1.0 + (c.n - dfs.df + 0.5)/(dfs.df + 0.5))) AS v
+  FROM (VALUES {slot_rows}) s(term) JOIN dfs USING(term) CROSS JOIN c
+),
+pf AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, len(toks) - {n - 1}),
+             i -> {cond})) AS ptf
+  FROM tok
+)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT pf.doc_id,
+         sidf.v * pf.ptf / (pf.ptf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl)) AS score
+  FROM pf JOIN d USING(doc_id) CROSS JOIN c CROSS JOIN sidf
+  WHERE pf.ptf > 0
   ORDER BY score DESC, doc_id ASC LIMIT {k}
 )
 """
@@ -294,6 +346,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_topk_rare(spark, sf):
         return _bm25_topk(spark, sf, "group scan batch", 10)
+
+    def bm25_phrase(spark, sf):
+        # match_phrase (slop=0) over a POSITIONAL index: Lucene PhraseQuery
+        # under BM25 — tf = phrase frequency, idf = sum over the phrase's
+        # term idfs (webindex/query.py topk_phrase)
+        from webindex.query import topk_phrase
+
+        hits = topk_phrase(_index_pos(spark, sf), "the data", 10)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
 
     # --- reference pipeline operators (SURVEY.md §2) over TPC-H-ish tables --
 
@@ -641,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk,
         "bm25_topk_hot": bm25_topk_hot,
         "bm25_topk_rare": bm25_topk_rare,
+        "bm25_phrase": bm25_phrase,
         "time_range_agg": time_range_agg,
         "dedup_merge": dedup_merge,
         "argmax_largest_doc": argmax_largest_doc,
@@ -704,6 +766,7 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len({toks})), 4) AS avgdl FROM docu
     sql["bm25_topk"] = _bm25_oracle_sql(["merge", "spark"], 10)
     sql["bm25_topk_hot"] = _bm25_oracle_sql(["data", "the"], 10)
     sql["bm25_topk_rare"] = _bm25_oracle_sql(["batch", "group", "scan"], 10)
+    sql["bm25_phrase"] = _bm25_phrase_oracle_sql(["the", "data"], 10)
 
     sql["time_range_agg"] = """
 SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value

@@ -1,0 +1,186 @@
+"""Positional postings + match_phrase: rank-identity vs the pure-Python
+oracle, cross-block phrase matches, codec round-trips, streaming parity.
+
+The reference's mapping-less ES index stores term positions for every text
+field (reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:169-173), so
+match_phrase is part of the query surface its index supports; semantics here
+follow Lucene PhraseQuery under BM25 (phrase frequency as tf, summed idf)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webindex.bm25 import BM25Config
+from webindex.build import build_index
+from webindex.oracle import OracleIndex
+from webindex.pagesgen import make_pages_pdf
+from webindex.query import topk_exact, topk_phrase
+from webindex.textproc import extract_text
+
+N_DOCS = 150
+
+PHRASES = [
+    "the data",          # hot bigram
+    "data spark",
+    "the the",           # duplicate term in the phrase
+    "index query search",  # trigram
+    "the data the",      # duplicate + mixed
+    "absent phrase here",
+    "data",              # single-term phrase == plain term query
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = make_pages_pdf(0, N_DOCS)
+    pdf.insert(0, "doc_id", np.arange(N_DOCS, dtype=np.int64))
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex(
+        {int(r["doc_id"]): extract_text(r["html"]) for _, r in corpus.iterrows()}
+    )
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, corpus):
+    return build_index(
+        spark, spark.createDataFrame(corpus).repartition(5), text_col="html",
+        doc_id_method="provided", range_width=32, positions=True,
+    )
+
+
+def _hits(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+def test_phrase_matches_oracle(pidx, oracle):
+    any_hits = False
+    for p in PHRASES:
+        got = _hits(topk_phrase(pidx, p, 10))
+        want = [(d, round(s, 9)) for d, s in oracle.topk_phrase(p, 10)]
+        assert got == want, p
+        any_hits = any_hits or bool(got)
+    assert any_hits  # the fixture corpus must actually contain phrases
+
+
+def test_single_term_phrase_equals_term_query(pidx):
+    assert _hits(topk_phrase(pidx, "data", 10)) == _hits(
+        topk_exact(pidx, "data", 10)
+    )
+
+
+def test_phrase_across_blocks(spark, corpus, oracle):
+    """block_size=4 forces every hot term's posting list across many blocks:
+    the per-bucket concatenation of decoded blocks must keep positions
+    aligned to their docs (block order = block_id order)."""
+    idx = build_index(
+        spark, spark.createDataFrame(corpus), text_col="html",
+        doc_id_method="provided", range_width=16, positions=True,
+        conf=BM25Config(block_size=4),
+    )
+    # sanity: multi-block posting lists exist per (term,bucket)
+    multi = (
+        idx.postings.groupBy("term_hash", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert multi > 0
+    for p in ("the data", "index query search", "the the"):
+        got = _hits(topk_phrase(idx, p, 10))
+        want = [(d, round(s, 9)) for d, s in oracle.topk_phrase(p, 10)]
+        assert got == want, p
+
+
+def test_positions_roundtrip_through_blocks(spark):
+    """Handcrafted docs: decoded block positions must equal the analyzer's
+    token indexes exactly."""
+    import pandas as pd
+
+    from webindex import codec
+    from webindex.textproc import tokenize
+
+    texts = {
+        0: "alpha beta alpha gamma alpha",
+        1: "beta beta gamma",
+        2: "gamma alpha",
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "url": [f"u{i}" for i in texts],
+            "text": list(texts.values()),
+        }
+    )
+    idx = build_index(
+        spark, spark.createDataFrame(pdf), text_col="text",
+        doc_id_method="provided", range_width=8, positions=True,
+    )
+    hash_of = {
+        r["term"]: r["term_hash"] for r in idx.term_stats.collect()
+    }
+    rows = idx.postings.collect()
+    got: dict[tuple[str, int], list[int]] = {}
+    inv = {h: t for t, h in hash_of.items()}
+    for r in rows:
+        ids, tfs, _ = codec.decode_block(
+            bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["doc_lens"])
+        )
+        pos, starts = codec.decode_positions(bytes(r["positions"]), tfs)
+        bounds = np.concatenate((starts, [len(pos)]))
+        for i, d in enumerate(ids):
+            got[(inv[r["term_hash"]], int(d))] = pos[
+                bounds[i] : bounds[i + 1]
+            ].tolist()
+    for d, text in texts.items():
+        toks = tokenize(text)
+        for term in set(toks):
+            want = [i for i, t in enumerate(toks) if t == term]
+            assert got[(term, d)] == want, (term, d)
+
+
+def test_phrase_requires_positional_index(spark, corpus):
+    idx = build_index(
+        spark, spark.createDataFrame(corpus.iloc[:20]), text_col="html",
+        doc_id_method="provided", range_width=16,
+    )
+    with pytest.raises(ValueError, match="positional"):
+        topk_phrase(idx, "the data", 5)
+
+
+def test_streaming_positional_compact_matches_batch(spark, tmp_path, oracle):
+    """Incremental positional index (two micro-batches + tiered compact)
+    answers phrase queries identically to the batch positional build —
+    positions survive the touched-bucket decode/merge as opaque byte spans."""
+    from webindex.streaming import IncrementalIndexer
+
+    pdf = make_pages_pdf(0, 90)
+    src = str(tmp_path / "psrc")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    indexer = IncrementalIndexer(
+        spark, str(tmp_path / "pinc"), text_col="html", positions=True
+    )
+    indexer.start(src).awaitTermination(120)
+    indexer.compact()
+
+    pdf2 = make_pages_pdf(90, 110)
+    spark.createDataFrame(pdf2).coalesce(1).write.mode("append").parquet(src)
+    indexer.start(src).awaitTermination(120)
+    idx = indexer.compact()
+    comp = spark.read.parquet(f"{tmp_path}/pinc/compactions").collect()
+    assert any(r["kind"] == "incremental" for r in comp)  # merge path ran
+
+    batch = build_index(
+        spark,
+        spark.createDataFrame(make_pages_pdf(0, 110)),
+        text_col="html",
+        doc_id_method="hash",
+        positions=True,
+    )
+    for p in ("the data", "index query", "the the"):
+        assert _hits(topk_phrase(idx, p, 10)) == _hits(
+            topk_phrase(batch, p, 10)
+        ), p

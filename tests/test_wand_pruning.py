@@ -112,3 +112,39 @@ def test_wand_exact_agree_under_heavy_theta_conditions(idx):
         ]
         e = [(r["doc_id"], round(r["score"], 10)) for r in topk_exact(idx, q, 5).collect()]
         assert w == e, q
+
+
+def test_seed_gate_disarms_below_min_blocks(idx, monkeypatch):
+    """Cost gate (VERDICT r2 next-round #2): below THETA_SEED_MIN_BLOCKS
+    estimated candidate blocks, topk_wand must issue ZERO seed jobs — the
+    2-3 driver-synchronous jobs cost more than the decode they could save.
+    At the default gate, an sf0.1/100k-doc index (hot term df ~1e5 -> ~800
+    blocks) never seeds; the 10^12-doc regime (~1e9+ blocks) always does."""
+    import webindex.query as Q
+
+    calls = []
+
+    def spy(index, term_hash, idf, k, _probe=None):
+        calls.append(term_hash)
+        return 0.0
+
+    monkeypatch.setattr(Q, "_theta_seed", spy)
+    # default gate: this 256-doc fixture is far below 4096 candidate blocks
+    Q.topk_wand(idx, "the data", 5).collect()
+    assert calls == []
+    # forced gate (tests/tiny fixtures): the seed engages
+    Q.topk_wand(idx, "the data", 5, seed_min_blocks=0).collect()
+    assert len(calls) == 1
+
+    # batch path: same gate, zero seed jobs below it
+    batch_calls = []
+
+    def batch_spy(index, seed_terms, k):
+        batch_calls.append(dict(seed_terms))
+        return {}
+
+    monkeypatch.setattr(Q, "_batch_theta_seeds", batch_spy)
+    Q.topk_batch(idx, {"q0": "the data", "q1": "w42 merge"}, 5).collect()
+    assert batch_calls == [{}]  # called with an EMPTY seed set -> no jobs
+    Q.topk_batch(idx, {"q0": "the data"}, 5, seed_min_blocks=0).collect()
+    assert len(batch_calls) == 2 and len(batch_calls[1]) == 1

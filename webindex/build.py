@@ -150,13 +150,82 @@ def _runs_iter(batches, text_col: str):
         )
 
 
-def build_runs(pages: DataFrame, text_col: str = "html") -> DataFrame:
+def _runs_pos_iter(batches, text_col: str):
+    """Positional SPIMI map: like _runs_iter, plus one encoded token-position
+    stream per (doc, term) — grouped via pandas factorize + one stable
+    argsort per doc (no per-token Python loop), one varint pass per doc.
+    Positions are 0-based token indexes (the analyzer's token positions,
+    matching Lucene's position increments for a standard-analyzer stream)."""
+    from webindex import codec
+
+    for pdf in batches:
+        terms_out: list[str] = []
+        docs_out: list[int] = []
+        tfs_out: list[int] = []
+        dls_out: list[int] = []
+        pos_out: list[bytes] = []
+        doc_ids = pdf["doc_id"].to_numpy()
+        if text_col == "html":
+            texts = pdf["html"].tolist()
+            tokfn = extract_and_tokenize
+        else:
+            texts = pdf[text_col].tolist()
+            tokfn = tokenize
+        for doc_id, raw in zip(doc_ids, texts):
+            toks = tokfn(raw)
+            dl = len(toks)
+            terms_out.append(DOC_MARKER)
+            docs_out.append(doc_id)
+            tfs_out.append(0)
+            dls_out.append(dl)
+            pos_out.append(b"")
+            if dl == 0:
+                continue
+            codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+            order = np.argsort(codes, kind="stable")  # groups by term,
+            positions = order.astype(np.int64)  # ascending positions in-group
+            sc = codes[order]
+            gstarts = np.concatenate(
+                ([0], np.nonzero(sc[1:] != sc[:-1])[0] + 1)
+            )
+            gends = np.concatenate((gstarts[1:], [dl]))
+            buf, nbytes = codec.positions_encode_grouped(positions, gstarts)
+            cuts = np.zeros(dl + 1, dtype=np.int64)
+            np.cumsum(nbytes, out=cuts[1:])
+            terms_out.extend(uniq[sc[gstarts]])
+            docs_out.extend([doc_id] * len(gstarts))
+            tfs_out.extend((gends - gstarts).tolist())
+            dls_out.extend([dl] * len(gstarts))
+            pos_out.extend(
+                buf[cuts[s] : cuts[e]] for s, e in zip(gstarts, gends)
+            )
+        yield pd.DataFrame(
+            {
+                "term": pd.array(terms_out, dtype="string"),
+                "doc_id": np.asarray(docs_out, dtype=np.int64),
+                "tf": np.asarray(tfs_out, dtype=np.int32),
+                "doc_len": np.asarray(dls_out, dtype=np.int32),
+                "positions": pos_out,
+            }
+        )
+
+
+def build_runs(
+    pages: DataFrame, text_col: str = "html", with_positions: bool = False
+) -> DataFrame:
     """pages -> runs. `text_col='html'` exercises extract_text (byte-identity
     invariant); 'text' skips extraction when the scan already has clean text.
+    with_positions adds the encoded per-(term,doc) token-position stream
+    (phrase-query support; ~cost of one extra varint pass per doc).
 
     Only (doc_id, text_col) are read => Catalyst prunes every other column
     out of the parquet scan."""
     pruned = pages.select("doc_id", text_col)
+    if with_positions:
+        return pruned.mapInPandas(
+            lambda it: _runs_pos_iter(it, text_col),
+            schema=schema.with_positions(schema.RUNS),
+        )
     return pruned.mapInPandas(lambda it: _runs_iter(it, text_col), schema=schema.RUNS)
 
 
@@ -524,9 +593,16 @@ def build_postings(
 
     block_id = (bucket << 24) | local index — globally unique per term and
     independent of parallelism. Accepts runs keyed by `term` (raw SPIMI
-    output) or already by `term_hash` (incremental-merge path)."""
+    output) or already by `term_hash` (incremental-merge path). Runs carrying
+    a `positions` column (positional build) produce positional blocks: each
+    block's positions stream is the concatenation of its docs' already-
+    encoded byte spans in doc_id order — no re-encode at the reduce side."""
     k1, b, block_size = conf.k1, conf.b, conf.block_size
     qnorms = conf.quantize_norms
+    positional = "positions" in runs.columns
+    out_schema = (
+        schema.with_positions(schema.POSTINGS) if positional else schema.POSTINGS
+    )
 
     def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term_hash, bucket = key
@@ -538,38 +614,44 @@ def build_postings(
             ids, tfs, dls, avgdl, k1, b, block_size, quantize_norms=qnorms
         )
         base = int(bucket) << _BLOCK_SHIFT
-        return pd.DataFrame(
-            {
-                "term_hash": np.full(len(blocks), int(term_hash), dtype=np.int64),
-                "bucket": np.full(len(blocks), int(bucket), dtype=np.int64),
-                "block_id": np.asarray(
-                    [base | blk["block_id"] for blk in blocks], dtype=np.int64
-                ),
-                "doc_ids": [blk["doc_ids"] for blk in blocks],
-                "tfs": [blk["tfs"] for blk in blocks],
-                "doc_lens": [blk["doc_lens"] for blk in blocks],
-                "n_docs": np.asarray([blk["n_docs"] for blk in blocks], dtype=np.int32),
-                "min_doc": np.asarray([blk["min_doc"] for blk in blocks], dtype=np.int64),
-                "max_doc": np.asarray([blk["max_doc"] for blk in blocks], dtype=np.int64),
-                "max_impact": np.asarray([blk["max_impact"] for blk in blocks], dtype=np.float64),
-                "avgdl0": np.full(len(blocks), float(avgdl), dtype=np.float64),
-            }
-        )
+        out = {
+            "term_hash": np.full(len(blocks), int(term_hash), dtype=np.int64),
+            "bucket": np.full(len(blocks), int(bucket), dtype=np.int64),
+            "block_id": np.asarray(
+                [base | blk["block_id"] for blk in blocks], dtype=np.int64
+            ),
+            "doc_ids": [blk["doc_ids"] for blk in blocks],
+            "tfs": [blk["tfs"] for blk in blocks],
+            "doc_lens": [blk["doc_lens"] for blk in blocks],
+            "n_docs": np.asarray([blk["n_docs"] for blk in blocks], dtype=np.int32),
+            "min_doc": np.asarray([blk["min_doc"] for blk in blocks], dtype=np.int64),
+            "max_doc": np.asarray([blk["max_doc"] for blk in blocks], dtype=np.int64),
+            "max_impact": np.asarray([blk["max_impact"] for blk in blocks], dtype=np.float64),
+            "avgdl0": np.full(len(blocks), float(avgdl), dtype=np.float64),
+        }
+        if positional:
+            pos = pdf["positions"].to_numpy()[order]
+            out["positions"] = [
+                b"".join(bytes(x) for x in pos[i * block_size : (i + 1) * block_size])
+                for i in range(len(blocks))
+            ]
+        return pd.DataFrame(out)
 
     if "term_hash" not in runs.columns:
+        keep = ["doc_id", "tf", "doc_len"] + (["positions"] if positional else [])
         runs = (
             runs.filter(F.col("term") != DOC_MARKER)
             .withColumn(
                 "term_hash",
                 term_hash_expr(F.col("term"), hash_remap, hash_primary_fn),
             )
-            .drop("term")  # the string never crosses the shuffle
+            .select("term_hash", *keep)  # the string never crosses the shuffle
         )
     bucketed = runs.withColumn(
         "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, id_space, bucket_bits)
     )
     return bucketed.groupBy("term_hash", "bucket").applyInPandas(
-        encode_group, schema=schema.POSTINGS
+        encode_group, schema=out_schema
     )
 
 
@@ -583,14 +665,25 @@ def decode_postings_to_runs(
     track doc stats separately. Blocks store no term strings; join term_stats
     on term_hash when a human-readable view is needed. quantize_norms: the
     flag the blocks were encoded with (quantized values round-trip exactly,
-    so a decode -> re-encode compaction cycle is lossless)."""
+    so a decode -> re-encode compaction cycle is lossless). Positional blocks
+    round-trip their per-doc position byte spans UNPARSED (byte-boundary
+    split only), so compaction never re-encodes positions either."""
+    positional = "positions" in postings.columns
+    out_schema = (
+        schema.with_positions(schema.RUNS_HASHED) if positional else schema.RUNS_HASHED
+    )
 
     def fn(batches):
         for pdf in batches:
-            hashes, ids, tfs, dls = [], [], [], []
-            for th, dbuf, tbuf, lbuf in zip(
-                pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
-            ):
+            hashes, ids, tfs, dls, pos = [], [], [], [], []
+            rows = zip(
+                pdf["term_hash"],
+                pdf["doc_ids"],
+                pdf["tfs"],
+                pdf["doc_lens"],
+                pdf["positions"] if positional else pdf["term_hash"],
+            )
+            for th, dbuf, tbuf, lbuf, pbuf in rows:
                 d, t, l = codec.decode_block(
                     bytes(dbuf), bytes(tbuf), bytes(lbuf), quantize_norms
                 )
@@ -598,19 +691,27 @@ def decode_postings_to_runs(
                 ids.append(d)
                 tfs.append(t)
                 dls.append(l)
+                if positional:
+                    pbuf = bytes(pbuf)
+                    cuts = codec.positions_byte_slices(pbuf, t)
+                    pos.extend(
+                        pbuf[cuts[i] : cuts[i + 1]] for i in range(len(d))
+                    )
             if ids:
-                yield pd.DataFrame(
-                    {
-                        "term_hash": np.concatenate(hashes),
-                        "doc_id": np.concatenate(ids),
-                        "tf": np.concatenate(tfs).astype(np.int32),
-                        "doc_len": np.concatenate(dls).astype(np.int32),
-                    }
-                )
+                out = {
+                    "term_hash": np.concatenate(hashes),
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(tfs).astype(np.int32),
+                    "doc_len": np.concatenate(dls).astype(np.int32),
+                }
+                if positional:
+                    out["positions"] = pos
+                yield pd.DataFrame(out)
 
-    return postings.select("term_hash", "doc_ids", "tfs", "doc_lens").mapInPandas(
-        fn, schema=schema.RUNS_HASHED
+    cols = ["term_hash", "doc_ids", "tfs", "doc_lens"] + (
+        ["positions"] if positional else []
     )
+    return postings.select(*cols).mapInPandas(fn, schema=out_schema)
 
 
 # --------------------------------------------------------------------------
@@ -630,6 +731,7 @@ def build_index(
     runs_persist: bool = True,
     dedup_urls: bool = False,
     hash_primary_fn=None,
+    positions: bool = False,
 ) -> Index:
     """End-to-end build. If out_dir is given, index tables are written as
     partitioned Parquet (Iceberg-ready layout) and re-read lazily; otherwise
@@ -662,7 +764,7 @@ def build_index(
             .drop("_rn")
         )
     pages = assign_doc_ids(pages, doc_id_method)
-    runs = build_runs(pages, text_col=text_col)
+    runs = build_runs(pages, text_col=text_col, with_positions=positions)
     if out_dir:
         # disk-backed runs: ONE tokenize pass, columnar-compressed scratch,
         # zero MemoryStore/GC pressure. Measured at 1M docs/local[32]:

@@ -1,8 +1,9 @@
 """spark-submit entrypoints (north rule: runs via spark-submit --py-files).
 
 Usage (spark-submit takes an application file, not -m):
-  spark-submit --py-files webindex.zip webindex/cli.py build  <pages_path> <workdir> [--quantize-norms]
+  spark-submit --py-files webindex.zip webindex/cli.py build  <pages_path> <workdir> [--quantize-norms] [--positions]
   spark-submit --py-files webindex.zip webindex/cli.py query  <workdir> <query> [k]
+  spark-submit --py-files webindex.zip webindex/cli.py phrase <workdir> "<phrase>" [k]   (needs --positions build)
   spark-submit --py-files webindex.zip webindex/cli.py resume <pages_path> <workdir>
 or locally:
   python -m webindex.cli build <pages_path> <workdir>
@@ -35,8 +36,13 @@ def main(argv: list[str]) -> int:
 
             argv = [a for a in argv if a != "--quantize-norms"]
             conf = replace(DEFAULT, quantize_norms=True)
+        positions = "--positions" in argv
+        argv = [a for a in argv if a != "--positions"]
         pages = spark.read.parquet(argv[2])
-        idx = build_index(spark, pages, conf, text_col="html", out_dir=argv[3])
+        idx = build_index(
+            spark, pages, conf, text_col="html", out_dir=argv[3],
+            positions=positions,
+        )
         print(f"built: {idx.n_docs} docs, avgdl={idx.avgdl:.2f} -> {argv[3]}")
     elif cmd == "resume":
         from webindex.checkpoint import build_index_resumable
@@ -51,6 +57,22 @@ def main(argv: list[str]) -> int:
         idx = load_index(spark, argv[2])
         k = int(argv[4]) if len(argv) > 4 else 10
         for row in topk_with_urls(idx, argv[3], k).collect():
+            print(f"{row['score']:.6f}\t{row['doc_id']}\t{row['url']}")
+    elif cmd == "phrase":
+        from pyspark.sql import functions as F
+
+        from webindex.build import load_index
+        from webindex.query import topk_phrase
+
+        idx = load_index(spark, argv[2])
+        k = int(argv[4]) if len(argv) > 4 else 10
+        hits = topk_phrase(idx, argv[3], k)
+        rows = (
+            hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        for row in rows:
             print(f"{row['score']:.6f}\t{row['doc_id']}\t{row['url']}")
     else:
         print(__doc__)

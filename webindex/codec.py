@@ -226,6 +226,79 @@ def encode_blocks(
     ]
 
 
+# --------------------------------------------------------------------------
+# term positions (opt-in, for phrase queries)
+#
+# Lucene/ES index term positions by default (the reference's mapping-less
+# index does too, reference: src/connectors/elasticsearch.py:169-173 — text
+# fields get positions, enabling match_phrase). Layout discipline matches the
+# other streams: per (term, doc) the token positions are sorted ascending,
+# delta-gapped (first value absolute) and varint-encoded AT THE MAP SIDE; a
+# posting block's positions stream is then the plain concatenation of its
+# docs' byte strings in doc_id order — compaction and block re-slicing never
+# re-encode, they move opaque per-doc byte spans. The number of positions per
+# doc equals its tf, so the decode needs no extra length prefix.
+# --------------------------------------------------------------------------
+
+
+def positions_encode_grouped(
+    positions: np.ndarray, group_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode many docs' position lists in ONE vectorized pass.
+
+    positions: concatenated per-group ascending position arrays;
+    group_starts: index of each group's first element (ascending, first 0).
+    Returns (byte stream, per-VALUE byte sizes) — callers slice per group via
+    cumulative sizes at the group boundaries."""
+    pos = np.asarray(positions, dtype=np.int64)
+    if pos.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    gaps = np.empty(pos.size, dtype=np.int64)
+    gaps[0] = pos[0]
+    np.subtract(pos[1:], pos[:-1], out=gaps[1:])
+    gaps[group_starts] = pos[group_starts]  # absolute value at each doc start
+    buf, nbytes = varint_encode_with_sizes(gaps)
+    return buf.tobytes(), nbytes
+
+
+def decode_positions(pos_buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """positions stream of one block -> (flat positions, group starts).
+
+    tfs: the block's per-doc term frequencies (= per-doc position counts).
+    Returns the concatenated absolute positions (ascending within each doc)
+    plus each doc's start offset into that array. Vectorized: one varint pass,
+    then a grouped delta-decode (global cumsum minus per-group base)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    gaps = varint_decode(pos_buf)
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    if gaps.size == 0:
+        return gaps, starts
+    cs = np.cumsum(gaps)
+    # subtract, at every element, the running total accumulated BEFORE its
+    # group (each group's first gap is the absolute position, so the global
+    # cumsum overshoots by exactly the previous groups' sum)
+    group_prev = np.zeros(tfs.size, dtype=np.int64)
+    group_prev[1:] = cs[starts[1:] - 1]
+    return cs - np.repeat(group_prev, tfs), starts
+
+
+def positions_byte_slices(pos_buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Byte offsets of each doc's encoded position span within a block's
+    positions stream (for splitting WITHOUT re-encoding, e.g. compaction).
+    Returns an int64 array of length n_docs+1: doc i's bytes are
+    pos_buf[out[i]:out[i+1]]."""
+    b = np.frombuffer(pos_buf, dtype=np.uint8)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    out = np.zeros(tfs.size + 1, dtype=np.int64)
+    if b.size == 0:
+        return out
+    ends = np.nonzero((b & 0x80) == 0)[0]  # last byte of each varint value
+    cum = np.cumsum(tfs)  # every posting has tf >= 1, so cum is ascending >0
+    out[1:] = ends[cum - 1] + 1
+    return out
+
+
 def decode_block(
     doc_ids_buf: bytes,
     tfs_buf: bytes,

@@ -27,8 +27,10 @@ class OracleIndex:
         self.doc_lens: dict[int, int] = {}
         # postings[term] = sorted list of (doc_id, tf)
         self.postings: dict[str, list[tuple[int, int]]] = {}
+        self._toks: dict[int, list[str]] = {}  # phrase-oracle token streams
         for doc_id in sorted(docs):
             toks = tokenize(docs[doc_id])
+            self._toks[doc_id] = toks
             self.doc_lens[doc_id] = len(toks)
             for term, tf in sorted(Counter(toks).items()):
                 self.postings.setdefault(term, []).append((doc_id, tf))
@@ -62,5 +64,28 @@ class OracleIndex:
 
     def topk(self, query: str, k: int) -> list[tuple[int, float]]:
         scores = self.score_all(query)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def topk_phrase(self, phrase: str, k: int) -> list[tuple[int, float]]:
+        """match_phrase (slop=0), Lucene PhraseQuery-under-BM25 semantics:
+        a doc matches iff the phrase's tokens occur consecutively; tf = the
+        phrase frequency, idf = Σ idf(term) over the phrase's terms with
+        duplicates counted, length norm as usual. Naive token-window scan —
+        this IS the oracle, O(n_docs * dl) is fine at fixture scale."""
+        terms = tokenize(phrase)
+        if not terms or any(t not in self.postings for t in set(terms)):
+            return []
+        sum_idf = sum(self.idf(t) for t in terms)
+        n = len(terms)
+        scores: dict[int, float] = {}
+        for doc_id, toks in self._toks.items():
+            ptf = sum(
+                1 for i in range(len(toks) - n + 1) if toks[i : i + n] == terms
+            )
+            if ptf:
+                scores[doc_id] = sum_idf * self.conf.impact(
+                    ptf, self.doc_lens[doc_id], self.avgdl
+                )
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]

@@ -594,6 +594,121 @@ def topk_batch(
     )
 
 
+def _phrase_bucket_fn(
+    slot_hashes: list[int], sum_idf: float, conf, avgdl: float, k: int
+):
+    """applyInPandas fn: one bucket's positional blocks -> local top-k of the
+    EXACT phrase matches. Vectorized position intersection: each phrase slot
+    i contributes the sorted key set {doc_rank * 2^32 + (pos - i + n_slots)}
+    and the phrase's start positions are the intersection over slots (numpy
+    sorted-set intersect; no per-doc Python loop). phrase_tf = matches per
+    doc; score = (Σ slot idf) * BM25 impact(phrase_tf, dl) — Lucene
+    PhraseQuery semantics (phrase frequency scored like a term frequency,
+    idf summed over the phrase's terms, duplicates counted)."""
+    k1, b, qn = conf.k1, conf.b, conf.quantize_norms
+    n_slots = len(slot_hashes)
+    distinct = sorted(set(slot_hashes))
+
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": np.int64, "score": np.float64}
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # block order within a term = ascending doc ranges -> keys come out
+        # globally sorted per term with zero post-sort
+        pdf = pdf.sort_values(["term_hash", "block_id"])
+        per_term: dict[int, tuple] = {}
+        for th in distinct:
+            g = pdf[pdf["term_hash"] == th]
+            if len(g) == 0:
+                return empty  # a slot term absent from this bucket
+            docs_l, dls_l, posdocs_l, pos_l = [], [], [], []
+            for dbuf, tbuf, lbuf, pbuf in zip(
+                g["doc_ids"], g["tfs"], g["doc_lens"], g["positions"]
+            ):
+                ids, tfs, dls = codec.decode_block(
+                    bytes(dbuf), bytes(tbuf), bytes(lbuf), qn
+                )
+                pos, _ = codec.decode_positions(bytes(pbuf), tfs)
+                docs_l.append(ids)
+                dls_l.append(dls)
+                posdocs_l.append(np.repeat(ids, tfs))
+                pos_l.append(pos)
+            per_term[th] = (
+                np.concatenate(docs_l),
+                np.concatenate(dls_l),
+                np.concatenate(posdocs_l),
+                np.concatenate(pos_l),
+            )
+
+        # global doc rank (consistent across terms) for the packed keys
+        all_docs = np.unique(np.concatenate([per_term[t][0] for t in distinct]))
+        dl_of = np.zeros(len(all_docs), dtype=np.int64)
+        for t in distinct:
+            docs_t, dls_t, _, _ = per_term[t]
+            dl_of[np.searchsorted(all_docs, docs_t)] = dls_t
+
+        cur: np.ndarray | None = None
+        for i, th in enumerate(slot_hashes):
+            _, _, pdocs, ppos = per_term[th]
+            ranks = np.searchsorted(all_docs, pdocs)
+            keys = ranks * np.int64(1 << 32) + (ppos - i + n_slots)
+            cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
+            if cur.size == 0:
+                return empty
+        match_ranks, phrase_tf = np.unique(cur >> np.int64(32), return_counts=True)
+        doc_ids = all_docs[match_ranks]
+        scores = sum_idf * codec.bm25_impact(
+            phrase_tf, dl_of[match_ranks], avgdl, k1, b
+        )
+        sel = np.lexsort((doc_ids, -scores))[:k]
+        return pd.DataFrame({"doc_id": doc_ids[sel], "score": scores[sel]})
+
+    return fn
+
+
+def topk_phrase(index: Index, phrase: str, k: int = 10) -> DataFrame:
+    """match_phrase top-k (slop=0) over a POSITIONAL index
+    (build_index(positions=True)).
+
+    The reference's ES index stores positions for every text field (mapping-
+    less index -> standard analyzer with positions, reference:
+    src/nmr_FAIR_DOs/connectors/elasticsearch.py:169-173); this is the native
+    equivalent of the match_phrase query that index supports. Semantics =
+    Lucene PhraseQuery under BM25: a doc matches iff the query's tokens occur
+    consecutively (analyzer positions); tf is the phrase frequency, idf the
+    sum over the phrase's term idfs (duplicates counted), length norm as
+    usual. Determinism identical to topk_exact (float64, ties doc_id asc).
+
+    Scale shape: same one fused stage as topk_wand — IN(term_hash) pushdown
+    to the block scan, per-bucket decode+intersect+local-top-k, global
+    TakeOrdered of k rows per bucket. The position intersection is sorted-set
+    numpy over packed (doc_rank, pos) keys, never a per-doc loop."""
+    spark = index.postings.sparkSession
+    if "positions" not in index.postings.columns:
+        raise ValueError(
+            "phrase queries need a positional index — build with "
+            "build_index(..., positions=True)"
+        )
+    terms_seq = tokenize(phrase)
+    if not terms_seq:
+        return spark.createDataFrame([], _HIT)
+    stats = _query_terms(index, phrase)
+    if any(t not in stats for t in terms_seq):
+        return spark.createDataFrame([], _HIT)  # absent term => no phrase
+    sum_idf = float(sum(stats[t][1] for t in terms_seq))
+    slot_hashes = [stats[t][2] for t in terms_seq]
+
+    blocks = index.postings.filter(
+        F.col("term_hash").isin(sorted(set(slot_hashes)))
+    )
+    hits = blocks.groupBy("bucket").applyInPandas(
+        _phrase_bucket_fn(slot_hashes, sum_idf, index.conf, index.avgdl, k),
+        schema=_HIT,
+    )
+    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def topk(index: Index, query: str, k: int = 10, exact: bool = False) -> DataFrame:
     """Public entry: (doc_id, score), rank order = score desc, doc_id asc."""
     return topk_exact(index, query, k) if exact else topk_wand(index, query, k)

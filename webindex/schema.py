@@ -87,6 +87,7 @@ COMPACT_STATE = T.StructType(
         T.StructField("b", T.DoubleType(), False),
         T.StructField("block_size", T.IntegerType(), False),
         T.StructField("quantize_norms", T.BooleanType(), False),
+        T.StructField("positions", T.BooleanType(), False),
     ]
 )
 
@@ -111,6 +112,15 @@ RUNS_HASHED = T.StructType(
         T.StructField("doc_len", T.IntegerType(), False),
     ]
 )
+
+
+def with_positions(base: T.StructType) -> T.StructType:
+    """Positional variant of a runs/postings schema: adds the per-(term,doc)
+    — or per-block — encoded token-position stream (delta+varint bytes; the
+    value count equals tf, so no length prefix is stored)."""
+    return T.StructType(
+        list(base.fields) + [T.StructField("positions", T.BinaryType(), False)]
+    )
 
 LINEAGE = T.StructType(
     [

@@ -114,6 +114,7 @@ class IncrementalIndexer:
         watermark_delay: str = "1 hour",
         range_width: int | None = None,
         hash_primary_fn=None,
+        positions: bool = False,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -121,6 +122,10 @@ class IncrementalIndexer:
         self.text_col = text_col
         self.watermark_delay = watermark_delay
         self.range_width = range_width
+        # positional runs/blocks (phrase queries). Positions ride compaction
+        # as opaque per-doc byte spans: the touched-bucket decode splits them
+        # at byte boundaries (codec.positions_byte_slices), never re-encodes.
+        self.positions = positions
         # injectable primary term hash (tests force collisions with a coarse
         # space; production always uses xxhash64 — see build.term_hash_col)
         self.hash_primary_fn = hash_primary_fn
@@ -158,9 +163,9 @@ class IncrementalIndexer:
             .drop("_rn")
         )
         pages = assign_doc_ids(deduped, "hash")
-        runs = build_runs(pages, text_col=self.text_col).withColumn(
-            "batch_id", F.lit(int(batch_id))
-        )
+        runs = build_runs(
+            pages, text_col=self.text_col, with_positions=self.positions
+        ).withColumn("batch_id", F.lit(int(batch_id)))
         runs.write.mode("overwrite").partitionBy("batch_id").parquet(
             f"{self.workdir}/runs"
         )
@@ -260,6 +265,7 @@ class IncrementalIndexer:
                 block_size=int(d["block_size"]),
                 quantize_norms=bool(d["quantize_norms"]),
             )
+            self.positions = bool(d["positions"])
         return row
 
     def _write_state(
@@ -278,6 +284,7 @@ class IncrementalIndexer:
                     float(c.b),
                     int(c.block_size),
                     bool(c.quantize_norms),
+                    bool(self.positions),
                 )
             ],
             schema=schema.COMPACT_STATE,
@@ -535,14 +542,15 @@ class IncrementalIndexer:
                 "term hash is degenerate; rebuild with a sound hash"
             )
         remap = {**remap, **{r["term"]: int(r["term_hash"]) for r in divergent}}
+        delta_cols = ["doc_id", "tf", "doc_len"] + (
+            ["positions"] if self.positions else []
+        )
         merged = old_rows.unionByName(
             delta_runs.filter(F.col("term") != DOC_MARKER).select(
                 term_hash_expr(F.col("term"), remap, self.hash_primary_fn).alias(
                     "term_hash"
                 ),
-                "doc_id",
-                "tf",
-                "doc_len",
+                *delta_cols,
             )
         )
         staging = f"{out}/_postings_staging"
