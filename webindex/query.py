@@ -343,22 +343,15 @@ def topk_wand(
     return _run_scored(index, idf_map, term_rank, k, theta)
 
 
-def _batch_theta_seeds(
-    index: Index,
-    seed_terms: dict[int, float],  # term_hash -> idf
-    k: int,
-) -> dict[int, float]:
-    """Per-term k-th best single-term contribution for MANY terms in two
-    shared jobs (metadata TakeOrdered-per-term + bounded decode) — the batch
-    analogue of _theta_seed. Values are SOUND lower bounds of each term's
-    true k-th best contribution (k-th largest of a bound-descending block
-    prefix ≤ k-th largest overall), so per-query pruning stays exact; no
-    per-term refinement loop, because one extra job per pathological term
-    would defeat the batch amortization."""
-    if not seed_terms:
-        return {}
-    m = max(4, 2 * -(-k // index.conf.block_size))
-    meta = (
+def _batch_seed_round(
+    index: Index, seed_terms: dict[int, float], k: int, m: int
+) -> dict[int, tuple[float, float, bool]]:
+    """One shared seed round for MANY terms: per-term bound-descending
+    metadata prefix of m blocks, one bounded decode, one per-term k-th
+    ranking. Returns {term_hash: (kth_contrib, prefix_min_bound,
+    exhausted)} — kth_contrib is EXACT when exhausted or kth >= the
+    prefix's weakest idf-scaled bound, else a sound lower bound."""
+    ranked = (
         index.postings.filter(F.col("term_hash").isin(list(seed_terms)))
         .select(
             "term_hash",
@@ -376,9 +369,20 @@ def _batch_theta_seeds(
                 )
             ),
         )
-        .filter(F.col("rn") <= m)
-        .select("term_hash", "block_id")
+        .filter(F.col("rn") <= m + 1)  # +1 sentinel row detects non-exhaustion
     )
+    # prefix facts in one metadata job: how many blocks exist (capped at
+    # m+1) and the weakest bound INSIDE the m-block prefix
+    facts = {
+        int(r["term_hash"]): (int(r["n"]), float(r["minb"]))
+        for r in ranked.groupBy("term_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.when(F.col("rn") <= m, F.col("raw_bound"))).alias("minb"),
+        )
+        .collect()
+    }
+    meta = ranked.filter(F.col("rn") <= m).select("term_hash", "block_id")
     # (term_hash, block_id) pairwise filter — block_ids are globally unique
     # per BUCKET, not per term, so a bare isin(block_ids) would decode
     # unrelated terms' blocks; the broadcast semi-join keeps the pairing exact
@@ -397,7 +401,52 @@ def _batch_theta_seeds(
         .select("term_hash", "contrib")
         .collect()
     )
-    return {int(r["term_hash"]): float(r["contrib"]) for r in kth}
+    got_kth = {int(r["term_hash"]): float(r["contrib"]) for r in kth}
+    out: dict[int, tuple[float, float, bool]] = {}
+    for th, (n_blocks, minb) in facts.items():
+        # a term whose prefix held < k postings (many partial blocks) gets
+        # kth = -inf: no usable seed this round, refinable if blocks remain
+        out[th] = (got_kth.get(th, float("-inf")), minb, n_blocks <= m)
+    return out
+
+
+def _batch_theta_seeds(
+    index: Index,
+    seed_terms: dict[int, float],  # term_hash -> idf
+    k: int,
+    refine: bool = True,
+) -> dict[int, float]:
+    """Per-term k-th best single-term contribution for MANY terms in a few
+    shared jobs (metadata TakeOrdered-per-term + bounded decode) — the batch
+    analogue of _theta_seed. Values are SOUND lower bounds of each term's
+    true k-th best contribution (k-th largest of a bound-descending block
+    prefix ≤ k-th largest overall), so per-query pruning stays exact.
+
+    refine=True adds ONE extra shared round for the terms whose first-round
+    seed is provably non-exact (more blocks exist AND kth < the prefix's
+    weakest idf-scaled bound — pathological bound distributions, e.g. every
+    block bounded by one outlier doc): those terms re-seed from an 8x prefix
+    together, in the same two shared jobs. One bounded round — not a
+    per-term loop — keeps the batch amortization (jobs stay O(1) in query
+    count); seeds strictly improve or stay equal, never loosen."""
+    if not seed_terms:
+        return {}
+    m = max(4, 2 * -(-k // index.conf.block_size))
+    round1 = _batch_seed_round(index, seed_terms, k, m)
+    seeds = {th: v[0] for th, v in round1.items() if v[0] > float("-inf")}
+    if not refine:
+        return seeds
+    weak = {
+        th: seed_terms[th]
+        for th, (kth_c, minb, exhausted) in round1.items()
+        if not exhausted and kth_c < seed_terms[th] * minb
+    }
+    if weak:
+        round2 = _batch_seed_round(index, weak, k, m * 8)
+        for th, (kth_c, _, _) in round2.items():
+            if kth_c > seeds.get(th, float("-inf")):
+                seeds[th] = kth_c
+    return seeds
 
 
 def topk_batch(
