@@ -1190,16 +1190,23 @@ UNION ALL SELECT o_orderkey, 'routingChain.0', o_orderpriority FROM o
 UNION ALL SELECT o_orderkey, 'routingChain.1', o_orderstatus FROM o
 """
 
-    # lang_id: the stopword-overlap heuristic is plain SQL
+    # lang_id: the stopword-overlap heuristic is plain SQL. Lists come from
+    # webindex.textstats.STOPWORDS (single source of truth) so engine and
+    # oracle can never drift.
+    from webindex.textstats import STOPWORDS as _SW
+
     _langs = {
-        "de": "['der','die','das','und','ist','von','zu','mit','den','nicht']",
-        "en": "['the','and','of','to','in','is','it','that','for','was']",
-        "es": "['el','la','de','que','y','en','un','por','con','para']",
-        "fr": "['le','la','de','et','les','des','est','dans','qui','pour']",
+        lang: "[" + ",".join(f"'{w}'" for w in ws) + "]"
+        for lang, ws in sorted(_SW.items())
     }
     hit_cols = ",\n       ".join(
         f"len(list_intersect(toks, {arr})) AS h_{lang}" for lang, arr in _langs.items()
     )
+    _hl = ", ".join(f"h_{lang}" for lang in _langs)
+    _when = "\n            ".join(
+        f"WHEN h_{lang} = mx THEN '{lang}'" for lang in list(_langs)[:-1]
+    )
+    _last = list(_langs)[-1]
     sql["lang_id"] = f"""
 WITH t AS (SELECT doc_id, list_distinct({toks}) AS toks FROM documents),
 h AS (
@@ -1207,14 +1214,12 @@ h AS (
        {hit_cols}
   FROM t
 ),
-m AS (SELECT doc_id, h_de, h_en, h_es, h_fr,
-             greatest(h_de, h_en, h_es, h_fr) AS mx FROM h)
+m AS (SELECT doc_id, {_hl},
+             greatest({_hl}) AS mx FROM h)
 SELECT doc_id,
        CASE WHEN mx = 0 THEN 'und'
-            WHEN h_de = mx THEN 'de'
-            WHEN h_en = mx THEN 'en'
-            WHEN h_es = mx THEN 'es'
-            ELSE 'fr' END AS pred_lang,
+            {_when}
+            ELSE '{_last}' END AS pred_lang,
        mx::BIGINT AS lang_hits
 FROM m
 """

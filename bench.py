@@ -134,11 +134,40 @@ def main() -> None:
         cosine_topk_bruteforce(emb, qvec, k=10).collect()
         timings["cosine_topk"] = time.monotonic() - t0
 
+        # -- positional build + phrase queries (informational extras) --------
+        # Excluded from the headline total so `value` stays the SAME workload
+        # set as rounds 1-2 (cross-round comparability); reported as extra
+        # keys. Single-shot build (small corpus), best-of-2 queries.
+        from webindex.fsutil import dir_bytes
+        from webindex.query import topk_phrase
+
+        extras: dict[str, float] = {}
+        t0 = time.monotonic()
+        pidx = build_index(
+            spark, pages, text_col="html", doc_id_method="hash",
+            out_dir=f"{workdir}/idx_docs_pos", positions=True,
+        )
+        extras["build_docs_positional"] = time.monotonic() - t0
+        plain_b = dir_bytes(spark, f"{workdir}/idx_docs/postings")
+        pos_b = dir_bytes(spark, f"{workdir}/idx_docs_pos/postings")
+        extras["positions_size_ratio"] = round(pos_b / max(1, plain_b), 3)
+        plat = []
+        for p in ["the data", "data the", "spark merge"]:
+            per = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                topk_phrase(pidx, p, 10).collect()
+                per.append(time.monotonic() - t0)
+            plat.append(min(per))
+        plat.sort()
+        extras["phrase_p50"] = plat[len(plat) // 2]
+
         total = sum(
             v
             for k, v in timings.items()
             if not (k.endswith("docs_per_sec") or k.endswith("_qps"))
         )
+        timings.update(extras)
         print(
             json.dumps(
                 {

@@ -257,6 +257,31 @@ def corpus_stats_agg(runs: DataFrame) -> tuple[int, float]:
     return int(row["n"]), float(row["a"] or 0.0)
 
 
+def vocab_and_corpus_agg(runs: DataFrame) -> tuple[DataFrame, int, float]:
+    """ONE map-side-combined pass over runs yields both the vocabulary
+    (term, df) AND the corpus stats: the DOC_MARKER sentinel group's row
+    count is n_docs and its doc_len sum is the token total (each doc has
+    exactly one marker row carrying its length). Saves a full scan of the
+    (term, doc) pairs vs running corpus_stats_agg and the vocab aggregate
+    separately — at 10^12 docs that pass is minutes of cluster time; the
+    extra agg state is one int64 per term.
+
+    Returns (vocab_df, persisted_handle — caller unpersists it when done,
+    n_docs, avgdl); vocab_df reads from the handle's cache. avgdl arithmetic
+    is bit-identical to corpus_stats_agg's (exact int sum, one float64
+    division)."""
+    vocab_all = (
+        runs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("doc_len").alias("sdl"))
+        .persist()
+    )
+    marker = vocab_all.filter(F.col("term") == DOC_MARKER).collect()
+    n_docs = int(marker[0]["df"]) if marker else 0
+    avgdl = float(marker[0]["sdl"]) / n_docs if n_docs else 0.0
+    vocab_df = vocab_all.filter(F.col("term") != DOC_MARKER).select("term", "df")
+    return vocab_df, vocab_all, n_docs, avgdl
+
+
 def _with_idf(df_counts: DataFrame, n_docs: int) -> DataFrame:
     return df_counts.select(
         "term",
@@ -777,22 +802,17 @@ def build_index(
         runs = runs.persist()
 
     doc_stats = build_doc_stats(pages, runs)
-    n_docs, avgdl = corpus_stats_agg(runs)
+
+    # ONE combined pass over runs yields the vocabulary AND the corpus stats
+    # (see vocab_and_corpus_agg), persisted vocab-sized and reused for
+    # (a) pre-shuffle collision resolution — a remapped key for the rare
+    # xxhash64 clash instead of a post-hoc abort — and (b) the term_stats
+    # table. Neither consumer re-scans runs' (term,doc) pairs.
+    vocab_df, _vocab_handle, n_docs, avgdl = vocab_and_corpus_agg(runs)
 
     if range_width is None:
         range_width = adaptive_range_width(n_docs)
 
-    # Vocab aggregate ONCE (map-side combined groupBy over runs' term column,
-    # vocab-sized result), reused for (a) pre-shuffle collision resolution —
-    # a remapped key for the rare xxhash64 clash instead of a post-hoc abort
-    # — and (b) the term_stats table. Persisted so neither consumer re-scans
-    # runs' (term,doc) pairs.
-    vocab_df = (
-        runs.filter(F.col("term") != DOC_MARKER)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .persist()
-    )
     _, hash_remap = resolve_term_hashes(vocab_df, primary_fn=hash_primary_fn)
     term_stats = _with_idf(
         vocab_df.withColumn(
@@ -845,7 +865,7 @@ def build_index(
         )
         term_stats = read_table(spark, f"{out_dir}/term_stats")
         doc_stats = read_table(spark, f"{out_dir}/doc_stats")
-        vocab_df.unpersist()
+        _vocab_handle.unpersist()
     else:
         # materialize the index once — queries must never re-run the build
         postings = postings.persist()
@@ -854,7 +874,7 @@ def build_index(
         doc_stats = doc_stats.persist()
         term_stats.count()
         doc_stats.count()
-        vocab_df.unpersist()
+        _vocab_handle.unpersist()
         if runs_persist:
             runs.unpersist()
 

@@ -166,7 +166,7 @@ def build_index_resumable(
         doc_id_method=doc_id_method,
     )
 
-    from webindex.build import DOC_MARKER, corpus_stats_agg
+    from webindex.build import DOC_MARKER, vocab_and_corpus_agg
 
     doc_urls = spark.read.parquet(f"{workdir}/doc_urls")
     lens = runs.filter(F.col("term") == DOC_MARKER).select("doc_id", "doc_len")
@@ -179,7 +179,8 @@ def build_index_resumable(
             F.coalesce(F.col("doc_len"), F.lit(0)).cast("int").alias("doc_len"),
         )
     )
-    n_docs, avgdl = corpus_stats_agg(runs)
+    # vocab + corpus stats in one pass over the checkpointed runs
+    vocab_df, _vocab_handle, n_docs, avgdl = vocab_and_corpus_agg(runs)
 
     out = f"{workdir}/index"
     if range_width is None:
@@ -187,25 +188,18 @@ def build_index_resumable(
 
         range_width = adaptive_range_width(n_docs)
     id_space = "hash" if doc_id_method == "hash" else "dense"
-    # Pre-shuffle collision resolution, same as build_index: aggregate the
-    # checkpointed runs' vocabulary ONCE (map-side combined, vocab-sized),
-    # resolve any xxhash64 clash to a remapped key BEFORE the postings
-    # shuffle, and reuse the same aggregate for term_stats — a clash costs a
-    # remap, never a post-hoc abort after paying for the whole build.
+    # Pre-shuffle collision resolution, same as build_index: the vocabulary
+    # aggregate above (one map-side-combined pass, vocab-sized) feeds both
+    # collision resolution BEFORE the postings shuffle and the term_stats
+    # table — a clash costs a remap, never a post-hoc abort after paying for
+    # the whole build.
     from webindex.build import (
-        DOC_MARKER as _DM,
         _with_idf,
         assert_no_hash_collisions,
         resolve_term_hashes,
         term_hash_expr,
     )
 
-    vocab_df = (
-        runs.filter(F.col("term") != _DM)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .persist()
-    )
     _, hash_remap = resolve_term_hashes(vocab_df, primary_fn=hash_primary_fn)
     # hash-sorted-within-partition write (see build.build_index for why not
     # repartitionByRange): row-group pruning on term_hash IN (...) filters
@@ -223,7 +217,7 @@ def build_index_resumable(
     ).sortWithinPartitions("term").write.mode("overwrite").parquet(
         f"{out}/term_stats"
     )
-    vocab_df.unpersist()
+    _vocab_handle.unpersist()
     assert_no_hash_collisions(spark.read.parquet(f"{out}/term_stats"))
     doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         f"{out}/doc_stats"

@@ -57,7 +57,6 @@ from webindex.build import (
     bucket_expr,
     build_postings,
     build_runs,
-    corpus_stats_agg,
     decode_postings_to_runs,
     hash_bucket_bits,
     term_stats_from_postings,
@@ -381,7 +380,11 @@ class IncrementalIndexer:
             ),
         ).filter(F.col("rn") == 1).select("doc_id", "url")
         doc_stats = self._doc_stats_of(runs_latest, doc_urls_latest)
-        n_docs, avgdl = corpus_stats_agg(runs_latest)
+        from webindex.build import vocab_and_corpus_agg
+
+        # vocab + corpus stats in ONE pass over the merged runs (the
+        # DOC_MARKER group carries n_docs and the token total)
+        vocab_df, vocab_handle, n_docs, avgdl = vocab_and_corpus_agg(runs_latest)
 
         range_width = self.range_width or adaptive_range_width(n_docs)
         bits = hash_bucket_bits(n_docs, range_width)
@@ -390,24 +393,17 @@ class IncrementalIndexer:
         # stale partitions survive the dynamic overwrite
         _hadoop_delete(spark, f"{out}/postings")
         _hadoop_delete(spark, f"{out}/doc_stats")
-        # full compact mirrors the batch build: df + dictionary in ONE
-        # map-side-combined pass over the latest runs, with pre-shuffle
-        # hash-collision resolution (a fresh full compact may re-key; only
-        # the incremental path must preserve committed keys)
+        # full compact mirrors the batch build: df + dictionary + corpus
+        # stats in ONE map-side-combined pass (vocab_and_corpus_agg above),
+        # with pre-shuffle hash-collision resolution (a fresh full compact
+        # may re-key; only the incremental path must preserve committed keys)
         from webindex.build import (
-            DOC_MARKER,
             _with_idf,
             assert_no_hash_collisions,
             resolve_term_hashes,
             term_hash_expr,
         )
 
-        vocab_df = (
-            runs_latest.filter(F.col("term") != DOC_MARKER)
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .persist()
-        )
         _, remap = resolve_term_hashes(vocab_df, primary_fn=self.hash_primary_fn)
         self._write_postings(
             build_postings(
@@ -431,7 +427,7 @@ class IncrementalIndexer:
         ).sortWithinPartitions("term").write.mode("overwrite").parquet(
             f"{out}/term_stats"
         )
-        vocab_df.unpersist()
+        vocab_handle.unpersist()
         assert_no_hash_collisions(spark.read.parquet(f"{out}/term_stats"))
         doc_stats.withColumn(
             "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, "hash", bits)

@@ -18,11 +18,19 @@ from webindex.dedup import tokens_col
 # Real pipelines broadcast a fasttext-style model; the heuristic here is the
 # reference-style rule chain: score(lang) = |tokens ∩ stopwords(lang)|,
 # argmax with deterministic tie-break by lang code.
+# Stopword lists per language (ASCII-only: the shared oracle tokenizer is
+# [a-z0-9]+, so accented forms would never match either side). A real
+# pipeline swaps in a broadcast fasttext-style model; the heuristic's Spark
+# shape (pure column exprs, no UDF) is what scales.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "was"],
     "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
     "fr": ["le", "la", "de", "et", "les", "des", "est", "dans", "qui", "pour"],
+    "it": ["il", "la", "di", "che", "e", "in", "un", "per", "con", "del"],
+    "pt": ["os", "as", "um", "uma", "para", "com", "por", "mais", "como", "mas"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die", "niet"],
+    "sv": ["och", "att", "det", "som", "den", "med", "var", "han", "hon", "men"],
 }
 
 _EN_STOP = STOPWORDS["en"]
