@@ -44,6 +44,16 @@ def get_spark(
         # per batch on multi-KB web pages; with one worker per core that
         # inverts scaling at high core counts (allocator/membw thrash)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # CPU-per-byte of the extract+tokenize scan is ~2 orders above a
+        # plain columnar scan, so the default 128MB input split starves
+        # cores: 300k web-like docs = ~2GB of pages = ~15 splits -> a
+        # 32-core "cluster" runs its hottest stage at half occupancy
+        # (measured: tokenize sped up 1.09x from 8->32 cores at 128MB,
+        # 2.44x at 16MB; local[32] build total -35%). 16MB keeps ~4
+        # tasks/core at this corpus size and
+        # costs nothing JVM-side; on S3 at 100TB, raise it back toward
+        # 64-128MB per the executor count so request overhead stays amortized.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         # shuffle/spill on tmpfs when available: the rootfs here mounts with
         # inline `discard` (TRIM per unlink) — Spark's many short-lived
         # shuffle files turn that into a kernel-time storm (observed 96% sys)
