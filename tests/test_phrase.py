@@ -184,3 +184,44 @@ def test_streaming_positional_compact_matches_batch(spark, tmp_path, oracle):
         assert _hits(topk_phrase(idx, p, 10)) == _hits(
             topk_phrase(batch, p, 10)
         ), p
+
+
+def test_phrase_block_prune_skips_disjoint_ranges(spark):
+    """Metadata range prune: blocks of a hot term whose doc range cannot
+    contain the rare anchor term are never decoded; results identical."""
+    import pandas as pd
+
+    from webindex.query import _phrase_bucket_fn, _query_terms
+
+    texts = {}
+    for i in range(64):
+        if i < 4:
+            texts[i] = "qqanchor the start " + " ".join(f"w{j%13}" for j in range(20))
+        else:
+            texts[i] = "the " + " ".join(f"w{j%13}" for j in range(20))
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "url": [f"u{i}" for i in texts], "text": list(texts.values())}
+    )
+    idx = build_index(
+        spark, spark.createDataFrame(pdf), text_col="text",
+        doc_id_method="provided", range_width=4096, positions=True,
+        conf=BM25Config(block_size=4),
+    )
+    stats = _query_terms(idx, "qqanchor the")
+    hashes = [stats[t][2] for t in ("qqanchor", "the")]
+    sum_idf = stats["qqanchor"][1] + stats["the"][1]
+    rows = idx.postings.filter(F.col("term_hash").isin(hashes)).toPandas()
+    assert rows["bucket"].nunique() == 1  # single bucket: prune is in-bucket
+
+    probe = {}
+    fn = _phrase_bucket_fn(hashes, sum_idf, idx.conf, idx.avgdl, 10, _probe=probe)
+    local = fn(rows)
+    # 'the' alone has 16 blocks; only those overlapping docs 0-3 survive
+    assert probe["blocks_total"] >= 17
+    assert probe["blocks_decoded"] <= 3, probe
+    # results equal the full engine path and the oracle
+    got = [(int(r["doc_id"]), round(float(r["score"]), 9)) for _, r in local.iterrows()]
+    eng = _hits(topk_phrase(idx, "qqanchor the", 10))
+    oracle = OracleIndex(texts)
+    want = [(d, round(s, 9)) for d, s in oracle.topk_phrase("qqanchor the", 10)]
+    assert sorted(got) == sorted([(d, s) for d, s in eng]) and eng == want

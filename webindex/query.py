@@ -644,7 +644,12 @@ def topk_batch(
 
 
 def _phrase_bucket_fn(
-    slot_hashes: list[int], sum_idf: float, conf, avgdl: float, k: int
+    slot_hashes: list[int],
+    sum_idf: float,
+    conf,
+    avgdl: float,
+    k: int,
+    _probe: dict | None = None,
 ):
     """applyInPandas fn: one bucket's positional blocks -> local top-k of the
     EXACT phrase matches. Vectorized position intersection: each phrase slot
@@ -666,11 +671,44 @@ def _phrase_bucket_fn(
         # block order within a term = ascending doc ranges -> keys come out
         # globally sorted per term with zero post-sort
         pdf = pdf.sort_values(["term_hash", "block_id"])
+
+        # ---- metadata range prune BEFORE any decode: a phrase match needs
+        # EVERY term in the same doc, so only doc ranges covered by ALL
+        # terms' blocks can matter. Elementary intervals from the blocks'
+        # [min,max] spans; keep intervals covered by every term; decode a
+        # block iff it overlaps a kept interval. For a rare-anchored phrase
+        # ("zanzibar the") this skips nearly all of the hot term's blocks —
+        # the positional analogue of block-max WAND's interval prune.
+        tmins = pdf["min_doc"].to_numpy(dtype=np.int64)
+        tmaxs = pdf["max_doc"].to_numpy(dtype=np.int64)
+        hashes_arr = pdf["term_hash"].to_numpy(dtype=np.int64)
+        trank = {th: i for i, th in enumerate(distinct)}
+        if len(tmins) == 0 or len(set(hashes_arr.tolist())) < len(distinct):
+            return empty  # a slot term absent from this bucket
+        tranks = np.asarray([trank[t] for t in hashes_arr], dtype=np.int64)
+        bounds = np.unique(np.concatenate((tmins, tmaxs + 1)))
+        n_int = len(bounds) - 1
+        lo = np.searchsorted(bounds, tmins, side="right") - 1
+        hi = np.searchsorted(bounds, tmaxs, side="right") - 1
+        covered = np.zeros((len(distinct), n_int), dtype=bool)
+        for bi in range(len(tmins)):
+            covered[tranks[bi], lo[bi] : hi[bi] + 1] = True
+        keep_int = covered.all(axis=0)
+        if not keep_int.any():
+            return empty
+        block_keep = np.asarray(
+            [keep_int[lo[bi] : hi[bi] + 1].any() for bi in range(len(tmins))]
+        )
+        if _probe is not None:
+            _probe["blocks_total"] = int(len(tmins))
+            _probe["blocks_decoded"] = int(block_keep.sum())
+        pdf = pdf[block_keep]
+
         per_term: dict[int, tuple] = {}
         for th in distinct:
             g = pdf[pdf["term_hash"] == th]
             if len(g) == 0:
-                return empty  # a slot term absent from this bucket
+                return empty  # term's surviving range is empty
             docs_l, dls_l, posdocs_l, pos_l = [], [], [], []
             for dbuf, tbuf, lbuf, pbuf in zip(
                 g["doc_ids"], g["tfs"], g["doc_lens"], g["positions"]
