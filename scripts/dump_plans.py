@@ -29,7 +29,7 @@ def main() -> None:
 
     from webindex.build import assign_doc_ids, build_index, build_runs
     from webindex.pagesgen import generate_pages_df
-    from webindex.query import topk_wand
+    from webindex.query import topk_phrase, topk_wand
     from webindex.session import get_spark
 
     spark = get_spark(app="plans", master="local[8]", shuffle_partitions=8)
@@ -44,6 +44,11 @@ def main() -> None:
     hs = term_hashes(spark, ["the", "data"])
     scan_plan = grab(idx.postings.filter(F.col("term_hash").isin(list(hs.values()))))
     query_plan = grab(topk_wand(idx, "the data", 10))
+    pidx = build_index(
+        spark, pages, text_col="html", doc_id_method="hash",
+        out_dir=f"{wd}/pidx", positions=True,
+    )
+    phrase_plan = grab(topk_phrase(pidx, "the data", 10))
 
     out = REPO / "PLANS.md"
     out.write_text(f"""# PLANS — physical plans of the hot paths (explain("formatted"))
@@ -81,6 +86,18 @@ row-at-a-time Python.
 
 ```
 {query_plan}
+```
+
+## 4. match_phrase top-k over the positional index
+
+What to check: same shape as §3 — `PushedFilters: [In(term_hash, ...)]` on
+the scan (now also reading the `positions` binary column), ONE
+`FlatMapGroupsInPandas` per doc-range bucket (metadata range-prune +
+position-intersect + local top-k fused), `TakeOrderedAndProject` global
+cutoff. No joins; the position intersection never leaves the bucket task.
+
+```
+{phrase_plan}
 ```
 """)
     print(f"wrote {out}")
