@@ -225,3 +225,39 @@ def test_phrase_block_prune_skips_disjoint_ranges(spark):
     oracle = OracleIndex(texts)
     want = [(d, round(s, 9)) for d, s in oracle.topk_phrase("qqanchor the", 10)]
     assert sorted(got) == sorted([(d, s) for d, s in eng]) and eng == want
+
+
+def test_phrase_on_quantized_norms_index(spark, corpus):
+    """positions + quantize_norms compose: the phrase path decodes 1-byte
+    norm codes via the same conf flag, and quantized-dl scores follow the
+    quantized-oracle formula exactly."""
+    import math
+
+    from webindex import codec
+    from webindex.textproc import extract_text, tokenize
+
+    idx = build_index(
+        spark, spark.createDataFrame(corpus), text_col="html",
+        doc_id_method="provided", range_width=32, positions=True,
+        conf=BM25Config(quantize_norms=True),
+    )
+    texts = {int(r["doc_id"]): extract_text(r["html"]) for _, r in corpus.iterrows()}
+    # oracle with QUANTIZED doc lengths (decode(encode(dl)) — what the
+    # engine's blocks store); avgdl stays the exact corpus value
+    import numpy as np_
+
+    toks = {d: tokenize(t) for d, t in texts.items()}
+    avgdl = sum(len(t) for t in toks.values()) / len(toks)
+    N = len(toks)
+    phrase = ["the", "data"]
+    dfs = {t: sum(1 for tk in toks.values() if t in tk) for t in phrase}
+    sidf = sum(math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in phrase)
+    want = []
+    for d, tk in toks.items():
+        ptf = sum(1 for i in range(len(tk) - 1) if tk[i : i + 2] == phrase)
+        if ptf:
+            qdl = int(codec.DL_DECODE_LUT[codec.dl_quantize(np_.array([len(tk)]))[0]])
+            want.append((d, sidf * ptf / (ptf + 1.2 * (1 - 0.75 + 0.75 * qdl / avgdl))))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = _hits(topk_phrase(idx, "the data", 10))
+    assert got == [(d, round(s, 9)) for d, s in want[:10]]
