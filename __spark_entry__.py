@@ -192,16 +192,12 @@ FROM (
 """
 
 
-def _bm25_phrase_oracle_sql(slots: list[str], k: int) -> str:
-    """match_phrase oracle: phrase frequency via a positional window scan
-    over the token list, score = (Σ slot idf, duplicates counted) * BM25
-    impact of the phrase tf — Lucene PhraseQuery semantics, matching
-    webindex.query.topk_phrase."""
-    n = len(slots)
-    cond = " AND ".join(f"toks[i+{j}] = '{t}'" for j, t in enumerate(slots))
+def _phrase_common_ctes(slots: list[str]) -> str:
+    """Shared WITH-clause body for the phrase oracles: token lists, corpus
+    stats, and the phrase's summed idf (duplicates counted)."""
     slot_rows = ", ".join(f"('{t}')" for t in slots)
     return f"""
-WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 d AS (SELECT doc_id, len(toks) AS dl FROM tok),
 c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
 dfs AS (
@@ -213,21 +209,107 @@ dfs AS (
 sidf AS (
   SELECT sum(ln(1.0 + (c.n - dfs.df + 0.5)/(dfs.df + 0.5))) AS v
   FROM (VALUES {slot_rows}) s(term) JOIN dfs USING(term) CROSS JOIN c
-),
+)"""
+
+
+def _bm25_phrase_score_sql(slots: list[str]) -> str:
+    """(doc_id, score) for the exact phrase — phrase frequency via a
+    positional window scan over the token list, score = (Σ slot idf,
+    duplicates counted) * BM25 impact of the phrase tf — Lucene PhraseQuery
+    semantics, matching webindex.query.topk_phrase."""
+    n = len(slots)
+    cond = " AND ".join(f"toks[i+{j}] = '{t}'" for j, t in enumerate(slots))
+    return f"""
+WITH {_phrase_common_ctes(slots)},
 pf AS (
   SELECT doc_id,
          len(list_filter(generate_series(1, len(toks) - {n - 1}),
              i -> {cond})) AS ptf
   FROM tok
 )
-SELECT doc_id, round(score, 4) AS score FROM (
-  SELECT pf.doc_id,
-         sidf.v * pf.ptf / (pf.ptf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl)) AS score
-  FROM pf JOIN d USING(doc_id) CROSS JOIN c CROSS JOIN sidf
-  WHERE pf.ptf > 0
-  ORDER BY score DESC, doc_id ASC LIMIT {k}
-)
+SELECT pf.doc_id,
+       sidf.v * pf.ptf / (pf.ptf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl)) AS score
+FROM pf JOIN d USING(doc_id) CROSS JOIN c CROSS JOIN sidf
+WHERE pf.ptf > 0
 """
+
+
+def _bm25_phrase_slop_score_sql(slots: list[str], slop: int) -> str:
+    """(doc_id, score) for the SLOPPY phrase — the closest-assignment sloppy
+    semantics of webindex.query._phrase_chunk_match, in SQL: each occurrence
+    of slot 0's term anchors a candidate at adjusted position a0 = pos;
+    every other slot i picks its occurrence minimizing
+    (|pos-i - a0|, pos-i) (arg_min over the combined numeric key — sound
+    while doc_len < 2^20 tokens); a match iff the chosen adjusted positions
+    span <= slop; sloppy_tf = Σ 1/(1+span), summed in ascending-a0 order
+    (list_sum ORDER BY a0 = the engine's bincount order, so float64 sums
+    match bit-for-bit)."""
+    n = len(slots)
+    if n == 1:
+        return _bm25_phrase_score_sql(slots)  # every anchor matches at d=0
+    slot_defs = ", ".join(f"({i}, '{t}')" for i, t in enumerate(slots))
+    return f"""
+WITH {_phrase_common_ctes(slots)},
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(0, len(toks) - 1)) AS p
+  FROM tok
+),
+adj AS (
+  SELECT pos.doc_id, s.i, pos.p - s.i AS a
+  FROM pos JOIN (VALUES {slot_defs}) s(i, term) ON pos.term = s.term
+),
+anchors AS (SELECT doc_id, a AS a0 FROM adj WHERE i = 0),
+choice AS (
+  SELECT an.doc_id, an.a0, ad.i,
+         arg_min(ad.a, abs(ad.a - an.a0) * 1048576 + ad.a + {n}) AS ai
+  FROM anchors an JOIN adj ad ON ad.doc_id = an.doc_id AND ad.i > 0
+  GROUP BY an.doc_id, an.a0, ad.i
+),
+spans AS (
+  SELECT doc_id, a0,
+         greatest(max(ai), a0) - least(min(ai), a0) AS dist
+  FROM choice GROUP BY doc_id, a0
+  HAVING count(*) = {n - 1}
+),
+freqs AS (
+  SELECT doc_id, list_sum(list(1.0 / (1 + dist) ORDER BY a0)) AS ptf
+  FROM spans WHERE dist <= {slop} GROUP BY doc_id
+)
+SELECT freqs.doc_id,
+       sidf.v * freqs.ptf / (freqs.ptf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl)) AS score
+FROM freqs JOIN d USING(doc_id) CROSS JOIN c CROSS JOIN sidf
+WHERE freqs.ptf > 0
+"""
+
+
+def _phrase_topk_wrap(score_sql: str, k: int) -> str:
+    return f"""
+SELECT doc_id, round(score, 4) AS score
+FROM ({score_sql})
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_phrase_oracle_sql(slots: list[str], k: int) -> str:
+    return _phrase_topk_wrap(_bm25_phrase_score_sql(slots), k)
+
+
+def _bm25_phrase_slop_oracle_sql(slots: list[str], slop: int, k: int) -> str:
+    return _phrase_topk_wrap(_bm25_phrase_slop_score_sql(slots, slop), k)
+
+
+def _bm25_phrase_batch_oracle_sql(phrases: dict[str, list[str]], k: int) -> str:
+    parts = []
+    for qid, slots in sorted(phrases.items()):
+        parts.append(f"""
+SELECT '{qid}' AS query_id, doc_id, round(score, 4) AS score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM ({_bm25_phrase_score_sql(slots)})
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)""")
+    return "\nUNION ALL\n".join(parts)
 
 
 def _bm25_batch_oracle_sql(queries: dict[str, list[str]], k: int) -> str:
@@ -355,6 +437,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         hits = topk_phrase(_index_pos(spark, sf), "the data", 10)
         return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_phrase_slop(spark, sf):
+        # sloppy match_phrase (slop=2): closest-assignment sloppy semantics,
+        # sloppy_tf = Σ 1/(1+distance) as the BM25 tf input
+        # (webindex/query.py _phrase_chunk_match)
+        from webindex.query import topk_phrase
+
+        hits = topk_phrase(_index_pos(spark, sf), "the data", 10, slop=2)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_phrase_batch(spark, sf):
+        # batch phrase path: many phrases over ONE shared positional scan
+        # with a per-bucket decode cache (webindex/query.py topk_phrase_batch)
+        from webindex.query import topk_phrase_batch
+
+        hits = topk_phrase_batch(
+            _index_pos(spark, sf),
+            {"p1": "the data", "p2": "data the", "p3": "the the"},
+            k=10,
+        )
+        return hits.select(
+            "query_id", "doc_id", F.round("score", 4).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
 
     # --- reference pipeline operators (SURVEY.md §2) over TPC-H-ish tables --
 
@@ -604,6 +710,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", F.col("n_bytes").cast("long").alias("n_bytes"), "md5"
         )
 
+    def multimodal_bmp_stats(spark, sf):
+        # REAL image decode (round 4): deterministic constant-color BMP
+        # payloads decoded by the pure-numpy 24-bit BMP decoder inside the
+        # Arrow mapInPandas pass; channel means have closed forms the oracle
+        # recomputes without touching the bytes
+        # (webindex/multimodal.py decode_bmp / image_channel_stats)
+        from webindex.multimodal import image_channel_stats, synth_bmp_media_df
+
+        stats = image_channel_stats(synth_bmp_media_df(spark, n=50, size=8))
+        return stats.select(
+            "media_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.round("r_mean", 4).alias("r_mean"),
+            F.round("g_mean", 4).alias("g_mean"),
+            F.round("b_mean", 4).alias("b_mean"),
+        )
+
     # --- scalar function library (SURVEY.md §2.7 F-group) -------------------
 
     def fn_base64(spark, sf):
@@ -703,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_hot": bm25_topk_hot,
         "bm25_topk_rare": bm25_topk_rare,
         "bm25_phrase": bm25_phrase,
+        "bm25_phrase_slop": bm25_phrase_slop,
+        "bm25_phrase_batch": bm25_phrase_batch,
         "time_range_agg": time_range_agg,
         "dedup_merge": dedup_merge,
         "argmax_largest_doc": argmax_largest_doc,
@@ -733,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spdx_resolve": spdx_resolve_q,
         "map_record_flatten": map_record_flatten,
         "multimodal_features": multimodal_features,
+        "multimodal_bmp_stats": multimodal_bmp_stats,
     }
 
 
@@ -767,6 +894,10 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len({toks})), 4) AS avgdl FROM docu
     sql["bm25_topk_hot"] = _bm25_oracle_sql(["data", "the"], 10)
     sql["bm25_topk_rare"] = _bm25_oracle_sql(["batch", "group", "scan"], 10)
     sql["bm25_phrase"] = _bm25_phrase_oracle_sql(["the", "data"], 10)
+    sql["bm25_phrase_slop"] = _bm25_phrase_slop_oracle_sql(["the", "data"], 2, 10)
+    sql["bm25_phrase_batch"] = _bm25_phrase_batch_oracle_sql(
+        {"p1": ["the", "data"], "p2": ["data", "the"], "p3": ["the", "the"]}, 10
+    )
 
     sql["time_range_agg"] = """
 SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
@@ -1180,6 +1311,17 @@ SELECT doc_id AS media_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS md5
 FROM documents
+"""
+
+    # engine decodes REAL constant-color BMP bytes (synth_bmp_media_df);
+    # the oracle recomputes the closed-form channel means arithmetically
+    sql["multimodal_bmp_stats"] = """
+SELECT range::BIGINT AS media_id,
+       8::BIGINT AS width, 8::BIGINT AS height,
+       round(CAST(range * 7 % 256 AS DOUBLE), 4) AS r_mean,
+       round(CAST(range * 13 % 256 AS DOUBLE), 4) AS g_mean,
+       round(CAST(range * 29 % 256 AS DOUBLE), 4) AS b_mean
+FROM range(0, 50)
 """
 
     sql["map_record_flatten"] = """

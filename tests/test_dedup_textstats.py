@@ -171,6 +171,46 @@ def test_multimodal_plumbing(spark):
     feats2 = {r["media_id"]: r for r in extract_features(media, 8, fake=True).collect()}
     assert feats2[0]["sha1"] == by_id[0]["sha1"]
     assert feats2[0]["features"] == by_id[0]["features"]
-    # the real decoder is an explicit stub
+    # compressed formats stay an explicit stub (raw BMP/PPM decode is real)
     with pytest.raises(NotImplementedError):
-        decode_image(b"payload", fake=False)
+        decode_image(b"\x89PNG not decodable here", fake=False)
+
+
+def test_multimodal_real_bmp_decode(spark):
+    """Round 4: decode_image is REAL for numpy-decodable rasters. Constant-
+    color BMP fixtures must yield exact closed-form channel means through
+    the full Spark mapInPandas path, and the codec must round-trip
+    arbitrary images in both supported formats."""
+    import numpy as np
+
+    from webindex.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        image_channel_stats,
+        synth_bmp_media_df,
+    )
+
+    rng = np.random.default_rng(9)
+    for h, w in [(1, 1), (5, 3), (8, 8), (6, 7)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_bmp(img)), img)
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+    stats = {
+        r["media_id"]: r
+        for r in image_channel_stats(synth_bmp_media_df(spark, n=30)).collect()
+    }
+    assert len(stats) == 30
+    for i in range(30):
+        r = stats[i]
+        assert (r["width"], r["height"]) == (8, 8)
+        assert (r["r_mean"], r["g_mean"], r["b_mean"]) == (
+            float(7 * i % 256),
+            float(13 * i % 256),
+            float(29 * i % 256),
+        ), i

@@ -55,3 +55,59 @@ def test_point_lookups(two_field):
     url = row[0]["url"]
     back = lookup_url(idx, url).collect()
     assert len(back) == 1 and back[0]["doc_id"] == 5
+
+
+def test_lookup_url_partition_pruned(spark, tmp_path):
+    """Disk-backed url lookup (round 4): the url_index projection is
+    partitioned by url_bucket, so the probe must (a) show a PartitionFilters
+    directory prune in the plan and (b) demonstrably never OPEN files of
+    other buckets — proven by corrupting every other bucket's parquet files
+    and watching the lookup still succeed where a full scan crashes."""
+    import glob
+    import io
+
+    from contextlib import redirect_stdout
+
+    from webindex.build import N_URL_BUCKETS, build_index
+    from webindex.pagesgen import make_pages_pdf
+
+    out = str(tmp_path / "idx")
+    pdf = make_pages_pdf(0, 200)
+    idx = build_index(
+        spark, spark.createDataFrame(pdf), text_col="html",
+        doc_id_method="hash", out_dir=out,
+    )
+    assert idx.url_stats is not None
+    row = idx.doc_stats.orderBy("doc_id").limit(1).collect()[0]
+    url, doc_id = row["url"], row["doc_id"]
+
+    probe = lookup_url(idx, url)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "url_bucket" in plan, plan
+
+    # files-read < total, behaviorally: corrupt EVERY other bucket's files;
+    # the pruned lookup never opens them, an unpruned scan blows up
+    target_bucket = spark.sql(
+        f"SELECT pmod(xxhash64('{url}'), {N_URL_BUCKETS}) AS b"
+    ).collect()[0]["b"]
+    corrupted = 0
+    for d in glob.glob(f"{out}/url_index/url_bucket=*"):
+        if d.endswith(f"url_bucket={target_bucket}"):
+            continue
+        for f in glob.glob(f"{d}/*.parquet"):
+            with open(f, "wb") as fh:
+                fh.write(b"not a parquet file")
+            corrupted += 1
+    assert corrupted > 0  # 200 urls over 64 buckets: other buckets exist
+
+    got = lookup_url(idx, url).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == doc_id
+    assert got[0]["doc_len"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(f"{out}/url_index").groupBy().count().collect()

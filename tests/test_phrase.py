@@ -261,3 +261,131 @@ def test_phrase_on_quantized_norms_index(spark, corpus):
     want.sort(key=lambda x: (-x[1], x[0]))
     got = _hits(topk_phrase(idx, "the data", 10))
     assert got == [(d, round(s, 9)) for d, s in want[:10]]
+
+
+SLOP_PHRASES = [
+    "the data",
+    "data the",            # reversed order: only matchable with slop
+    "index query search",
+    "the w1 data",
+    "the the",             # duplicate term
+    "data",                # single-term sloppy == plain term query
+]
+
+
+def test_phrase_slop_matches_oracle(pidx, oracle):
+    """slop>0 rank-identity vs the naive closest-assignment oracle, across
+    slop levels; slop must be monotone in recall (hits(s1) ⊆ docs(s2) for
+    s1<=s2 is NOT generally true for top-k cutoffs, so we check full-rank
+    equality per slop level instead)."""
+    any_hits = False
+    for p in SLOP_PHRASES:
+        for slop in (1, 2, 5):
+            got = _hits(topk_phrase(pidx, p, 10, slop=slop))
+            want = [(d, round(s, 9)) for d, s in oracle.topk_phrase_slop(p, slop, 10)]
+            assert got == want, (p, slop)
+            any_hits = any_hits or bool(got)
+    assert any_hits
+
+
+def test_phrase_slop_reversed_order_matches(pidx, oracle):
+    """A reversed bigram ("data the" where the corpus has "the data") is
+    invisible at slop=0 but matches at slop>=2 with our adjusted-position
+    semantics (reordering costs 2 moves) — the sloppy path must find it."""
+    exact = _hits(topk_phrase(pidx, "data the", 10))
+    sloppy = _hits(topk_phrase(pidx, "data the", 10, slop=2))
+    want = [(d, round(s, 9)) for d, s in oracle.topk_phrase_slop("data the", 2, 10)]
+    assert sloppy == want
+    # the corpus contains "the data" bigrams, so the sloppy variant must
+    # score at least as many docs as the exact reversed phrase
+    assert len(sloppy) >= len(exact)
+    assert len(sloppy) > 0
+
+
+def test_phrase_batch_parity(pidx):
+    """topk_phrase_batch == per-query topk_phrase, byte-identical (driver-
+    style parity: same doc_ids, same scores, same ranks)."""
+    from webindex.query import topk_phrase_batch
+
+    phrases = {
+        "p1": "the data",
+        "p2": "index query search",
+        "p3": "the the",
+        "p4": "absent phrase here",
+    }
+    batch = topk_phrase_batch(pidx, phrases, k=10)
+    rows = batch.collect()
+    got: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, p in phrases.items():
+        single = [(r["doc_id"], r["score"]) for r in topk_phrase(pidx, p, 10).collect()]
+        assert got.get(qid, []) == single, qid
+
+
+def test_phrase_batch_slop_parity(pidx):
+    from webindex.query import topk_phrase_batch
+
+    phrases = {"s1": "data the", "s2": "the w1 data"}
+    batch = topk_phrase_batch(pidx, phrases, k=10, slop=2)
+    rows = batch.collect()
+    got: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, p in phrases.items():
+        single = [
+            (r["doc_id"], r["score"])
+            for r in topk_phrase(pidx, p, 10, slop=2).collect()
+        ]
+        assert got.get(qid, []) == single, qid
+
+
+def test_phrase_impact_prune_hot_hot(spark):
+    """Impact-UB chunked pruning (round 4): a hot-hot phrase ("aa bb" in
+    every doc) must stop decoding low-impact blocks once the local top-k's
+    θ exceeds their interval bound — decoded blocks strictly drop while
+    results stay byte-identical to the oracle."""
+    import pandas as pd
+
+    from webindex.query import _phrase_bucket_fn, _query_terms
+
+    texts = {}
+    for i in range(64):
+        if i < 8:
+            # short docs, phrase tf 3 -> high impact
+            texts[i] = "aa bb aa bb aa bb"
+        else:
+            # long docs, phrase tf 1 -> low impact
+            texts[i] = "aa bb " + " ".join(f"w{j % 17}" for j in range(120))
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "url": [f"u{i}" for i in texts],
+         "text": list(texts.values())}
+    )
+    idx = build_index(
+        spark, spark.createDataFrame(pdf), text_col="text",
+        doc_id_method="provided", range_width=4096, positions=True,
+        conf=BM25Config(block_size=4),
+    )
+    stats = _query_terms(idx, "aa bb")
+    hashes = [stats[t][2] for t in ("aa", "bb")]
+    sum_idf = stats["aa"][1] + stats["bb"][1]
+    rows = idx.postings.filter(F.col("term_hash").isin(hashes)).toPandas()
+    assert rows["bucket"].nunique() == 1
+
+    probe = {}
+    fn = _phrase_bucket_fn(hashes, sum_idf, idx.conf, idx.avgdl, 5, _probe=probe)
+    local = fn(rows)
+    # both terms cover every doc (16 blocks each at block_size=4): without
+    # the impact prune all 32 would decode; the high-impact intervals
+    # (docs 0-7) fill k=5 first and θ prunes the low-impact tail
+    assert probe["blocks_total"] == 32, probe
+    assert probe["blocks_decoded"] < probe["blocks_total"], probe
+    got = sorted(
+        [(int(r["doc_id"]), round(float(r["score"]), 9)) for _, r in local.iterrows()],
+        key=lambda x: (-x[1], x[0]),
+    )
+    oracle = OracleIndex(texts)
+    want = [(d, round(s, 9)) for d, s in oracle.topk_phrase("aa bb", 5)]
+    assert got == want
+    # and the full engine path agrees
+    assert _hits(topk_phrase(idx, "aa bb", 5)) == want

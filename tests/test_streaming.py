@@ -262,3 +262,30 @@ def test_recrawled_url_collapses(spark, tmp_path):
     q.awaitTermination(120)
     idx = indexer.compact()
     assert idx.n_docs == 30
+
+
+def test_positions_layout_mismatch_fails_loudly(spark, tmp_path):
+    """ADVICE round-4 fix: toggling the positions flag on an existing
+    workdir must raise a clear error instead of writing mixed-schema runs
+    (which a later full compact would either crash on or silently resolve
+    by schema-sampling luck)."""
+    import pytest as _pytest
+
+    from webindex.pagesgen import make_pages_pdf
+    from webindex.streaming import IncrementalIndexer
+
+    pdf = make_pages_pdf(0, 30)
+    workdir = str(tmp_path / "inc")
+    indexer = IncrementalIndexer(spark, workdir, text_col="html")
+    indexer.upsert(spark.createDataFrame(pdf.iloc[:20]), compact_now=True)
+
+    flipped = IncrementalIndexer(spark, workdir, text_col="html", positions=True)
+    with _pytest.raises(ValueError, match="positions"):
+        flipped.upsert(spark.createDataFrame(pdf.iloc[20:]), compact_now=False)
+    with _pytest.raises(ValueError, match="positions"):
+        flipped.compact(full=True)
+
+    # the committed layout still works with the matching flag
+    again = IncrementalIndexer(spark, workdir, text_col="html")
+    idx = again.upsert(spark.createDataFrame(pdf.iloc[20:]), compact_now=True)
+    assert idx.n_docs == 30

@@ -46,6 +46,8 @@ from webindex.textproc import extract_and_tokenize, tokenize
 # docs per range bucket; caps per-task postings for df=N terms. At 10^12 docs
 # the hottest term spreads over ~4M buckets/reducers.
 DEFAULT_RANGE_WIDTH = 1 << 18
+# url_index partition fan-out; see the url_index write in build_index
+N_URL_BUCKETS = 64
 
 
 def adaptive_range_width(n_docs: int) -> int:
@@ -68,6 +70,10 @@ class Index:
     conf: BM25Config = field(default_factory=lambda: DEFAULT)
     range_width: int = DEFAULT_RANGE_WIDTH
     lineage: DataFrame | None = None
+    # url-keyed reverse-lookup projection (url_bucket-partitioned,
+    # url_hash-sorted); None on in-memory / pre-round-4 indexes — lookup_url
+    # then falls back to a doc_stats scan
+    url_stats: DataFrame | None = None
 
 
 # --------------------------------------------------------------------------
@@ -257,7 +263,7 @@ def corpus_stats_agg(runs: DataFrame) -> tuple[int, float]:
     return int(row["n"]), float(row["a"] or 0.0)
 
 
-def vocab_and_corpus_agg(runs: DataFrame) -> tuple[DataFrame, int, float]:
+def vocab_and_corpus_agg(runs: DataFrame) -> tuple[DataFrame, DataFrame, int, float]:
     """ONE map-side-combined pass over runs yields both the vocabulary
     (term, df) AND the corpus stats: the DOC_MARKER sentinel group's row
     count is n_docs and its doc_len sum is the token total (each doc has
@@ -848,6 +854,27 @@ def build_index(
         write_table(term_stats, f"{out_dir}/term_stats", sort_cols=["term"])
         assert_no_hash_collisions(read_table(spark, f"{out_dir}/term_stats"))
         write_table(doc_stats, f"{out_dir}/doc_stats", sort_cols=["doc_id"])
+        # url-keyed reverse-lookup projection: doc_stats is doc_id-sorted
+        # (point lookups by id prune to one file), so a url probe would scan
+        # everything. This thin (url, doc_id) projection is partitioned by
+        # url_bucket = pmod(xxhash64(url), N_URL_BUCKETS) — a url lookup's
+        # bucket predicate constant-folds and Catalyst prunes to ONE
+        # directory — and url_hash-sorted within, so parquet row-group
+        # min/max stats prune inside the directory too. At 10^12 docs raise
+        # N_URL_BUCKETS (or use an Iceberg bucket(url) partition transform);
+        # the lookup code only relies on the pmod contract.
+        write_table(
+            doc_stats.select(
+                "doc_id",
+                "url",
+                "doc_len",
+                F.xxhash64("url").alias("url_hash"),
+                F.pmod(F.xxhash64("url"), F.lit(N_URL_BUCKETS)).alias("url_bucket"),
+            ),
+            f"{out_dir}/url_index",
+            sort_cols=["url_hash"],
+            partition_by="url_bucket",
+        )
         write_table(
             spark.createDataFrame([(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS),
             f"{out_dir}/corpus_stats",
@@ -886,7 +913,25 @@ def build_index(
         avgdl=avgdl,
         conf=conf,
         range_width=range_width,
+        url_stats=(read_table(spark, f"{out_dir}/url_index") if out_dir else None),
     )
+
+
+def _url_index_or_none(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The url_index projection if this index has one (indexes written
+    before round 4 don't — lookup_url then falls back to doc_stats)."""
+    from webindex.io import read_table, table_format
+    from webindex.fsutil import hadoop_fs
+
+    if table_format() == "parquet":
+        fs, jvm = hadoop_fs(spark, out_dir)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{out_dir}/url_index")):
+            return None
+        return read_table(spark, f"{out_dir}/url_index")
+    try:
+        return read_table(spark, f"{out_dir}/url_index")
+    except Exception:
+        return None
 
 
 def load_index(
@@ -909,11 +954,32 @@ def load_index(
     # varint-decode quantized norm bytes as garbage and mis-score quietly,
     # defeating the sidecar's whole guarantee.
     sidecar_exists = True
+    sidecar_rows = None
     if table_format() == "parquet":
         fs, jvm = hadoop_fs(spark, out_dir)
         sidecar_exists = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{out_dir}/conf"))
+    elif table_format() == "iceberg":
+        # the absence check for a catalog table IS the read: catch only the
+        # table-not-found AnalysisException so a genuinely absent conf table
+        # falls back to the caller's conf here too, while any other failure
+        # (auth, network, corrupt metadata) still propagates
+        from pyspark.errors import AnalysisException
+
+        try:
+            sidecar_rows = read_table(spark, f"{out_dir}/conf").collect()
+        except AnalysisException as e:
+            klass = getattr(e, "getErrorClass", lambda: None)() or ""
+            not_found = (
+                "TABLE_OR_VIEW_NOT_FOUND" in klass or "cannot be found" in str(e)
+            )
+            if not not_found:
+                raise
+            sidecar_exists = False
     if sidecar_exists:
-        c = read_table(spark, f"{out_dir}/conf").collect()[0]
+        c = (
+            sidecar_rows if sidecar_rows is not None
+            else read_table(spark, f"{out_dir}/conf").collect()
+        )[0]
         conf = BM25Config(
             k1=float(c["k1"]),
             b=float(c["b"]),
@@ -943,4 +1009,5 @@ def load_index(
         avgdl=float(stats["avgdl"]),
         conf=conf,
         range_width=range_width,
+        url_stats=_url_index_or_none(spark, out_dir),
     )

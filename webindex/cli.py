@@ -3,7 +3,8 @@
 Usage (spark-submit takes an application file, not -m):
   spark-submit --py-files webindex.zip webindex/cli.py build  <pages_path> <workdir> [--quantize-norms] [--positions]
   spark-submit --py-files webindex.zip webindex/cli.py query  <workdir> <query> [k]
-  spark-submit --py-files webindex.zip webindex/cli.py phrase <workdir> "<phrase>" [k]   (needs --positions build)
+  spark-submit --py-files webindex.zip webindex/cli.py phrase <workdir> "<phrase>" [k] [--slop N]   (needs --positions build)
+  spark-submit --py-files webindex.zip webindex/cli.py lookup-url <workdir> <url>
   spark-submit --py-files webindex.zip webindex/cli.py resume <pages_path> <workdir>
 or locally:
   python -m webindex.cli build <pages_path> <workdir>
@@ -64,9 +65,14 @@ def main(argv: list[str]) -> int:
         from webindex.build import load_index
         from webindex.query import topk_phrase
 
+        slop = 0
+        if "--slop" in argv:
+            i = argv.index("--slop")
+            slop = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
         idx = load_index(spark, argv[2])
         k = int(argv[4]) if len(argv) > 4 else 10
-        hits = topk_phrase(idx, argv[3], k)
+        hits = topk_phrase(idx, argv[3], k, slop=slop)
         rows = (
             hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -74,6 +80,13 @@ def main(argv: list[str]) -> int:
         )
         for row in rows:
             print(f"{row['score']:.6f}\t{row['doc_id']}\t{row['url']}")
+    elif cmd == "lookup-url":
+        from webindex.build import load_index
+        from webindex.query import lookup_url
+
+        idx = load_index(spark, argv[2])
+        for row in lookup_url(idx, argv[3]).collect():
+            print(f"{row['doc_id']}\t{row['url']}\t{row['doc_len']}")
     else:
         print(__doc__)
         return 2

@@ -67,6 +67,48 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def topk_phrase_slop(
+        self, phrase: str, slop: int, k: int
+    ) -> list[tuple[int, float]]:
+        """Sloppy match_phrase: the naive per-anchor evaluation of the
+        closest-assignment semantics (webindex.query._phrase_chunk_match):
+        each occurrence of the first slot's term anchors a candidate match
+        at adjusted position a0; every other slot i independently picks the
+        occurrence minimizing (|pos-i - a0|, pos-i); match iff the chosen
+        adjusted positions span <= slop; sloppy_tf = Σ 1/(1+span). Anchors
+        accumulate in ascending-position order (the engine's bincount
+        order) so floats match bit-for-bit."""
+        terms = tokenize(phrase)
+        if not terms or any(t not in self.postings for t in set(terms)):
+            return []
+        sum_idf = sum(self.idf(t) for t in terms)
+        n = len(terms)
+        scores: dict[int, float] = {}
+        for doc_id, toks in self._toks.items():
+            posmap: dict[str, list[int]] = {}
+            for p, t in enumerate(toks):
+                posmap.setdefault(t, []).append(p)
+            if any(t not in posmap for t in terms):
+                continue
+            if n == 1:
+                ptf = float(len(posmap[terms[0]]))
+            else:
+                ptf = 0.0
+                for a0 in posmap[terms[0]]:
+                    chosen = [a0]
+                    for i in range(1, n):
+                        cands = [p - i for p in posmap[terms[i]]]
+                        chosen.append(min(cands, key=lambda a: (abs(a - a0), a)))
+                    d = max(chosen) - min(chosen)
+                    if d <= slop:
+                        ptf += 1.0 / (1 + d)
+            if ptf > 0.0:
+                scores[doc_id] = sum_idf * self.conf.impact(
+                    ptf, self.doc_lens[doc_id], self.avgdl
+                )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def topk_phrase(self, phrase: str, k: int) -> list[tuple[int, float]]:
         """match_phrase (slop=0), Lucene PhraseQuery-under-BM25 semantics:
         a doc matches iff the phrase's tokens occur consecutively; tf = the

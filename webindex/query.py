@@ -643,6 +643,270 @@ def topk_batch(
     )
 
 
+# number of descending-UB interval chunks the per-bucket phrase evaluator
+# processes: the local k-th best score after each chunk prunes the rest
+PHRASE_PRUNE_CHUNKS = 8
+
+
+def _closest_slot_assign(
+    anchor_keys: np.ndarray, slot_keys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """For each anchor packed key (doc_rank<<32 | adjusted_pos+OFF), the
+    slot's packed key closest in adjusted position WITHIN the same doc
+    (distance tie -> the smaller adjusted position). slot_keys must be
+    sorted ascending. Returns (chosen_keys, valid) — valid is False where
+    the slot has no occurrence in the anchor's doc. Vectorized: the closest
+    value in a sorted array is one of the two searchsorted neighbors."""
+    n = len(slot_keys)
+    if n == 0:
+        return anchor_keys, np.zeros(len(anchor_keys), dtype=bool)
+    idx = np.searchsorted(slot_keys, anchor_keys)
+    far = np.int64(1) << np.int64(62)
+    arank = anchor_keys >> np.int64(32)
+    li = np.clip(idx - 1, 0, n - 1)
+    ri = np.clip(idx, 0, n - 1)
+    lcand, rcand = slot_keys[li], slot_keys[ri]
+    lvalid = (idx >= 1) & ((lcand >> np.int64(32)) == arank)
+    rvalid = (idx < n) & ((rcand >> np.int64(32)) == arank)
+    ldist = np.where(lvalid, anchor_keys - lcand, far)
+    rdist = np.where(rvalid, rcand - anchor_keys, far)
+    use_left = ldist <= rdist  # tie -> left = smaller adjusted position
+    return np.where(use_left, lcand, rcand), np.where(use_left, lvalid, rvalid)
+
+
+def _phrase_chunk_match(
+    per_term: dict[int, tuple],
+    slot_hashes: list[int],
+    sum_idf: float,
+    slop: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+):
+    """Phrase matches over one chunk's decoded postings.
+
+    per_term: {term_hash: (docs, dls, posting_docs, positions)} — all arrays
+    doc-ascending, positions ascending within a doc.
+
+    slop=0 — Lucene PhraseQuery: each slot i contributes the sorted key set
+    {doc_rank<<32 | (pos - i + n_slots)}; phrase start positions are the
+    sorted-set intersection over slots (np.intersect1d, no per-doc loop);
+    tf = match count per doc.
+
+    slop>0 — sloppy phrase (Lucene SloppyPhraseScorer semantics, with a
+    deterministic closest-assignment variant of its greedy matcher): every
+    occurrence of the FIRST slot's term anchors one candidate match at
+    adjusted position a0 = pos; each other slot i independently picks its
+    occurrence whose adjusted position (pos - i) is closest to a0 (tie ->
+    smaller); the match distance is d = max(a) - min(a) over the chosen
+    adjusted positions, a match iff d <= slop, and
+    sloppy_tf = Σ_matches 1/(1+d) feeds BM25 as the tf. Reduces exactly to
+    the slop=0 semantics at d=0. Divergence from Lucene noted: Lucene's
+    greedy matcher CONSUMES partner positions across repeats, ours may reuse
+    one partner occurrence for several anchors — deterministic either way.
+
+    Returns (doc_ids, scores) or None."""
+    distinct = sorted(set(slot_hashes))
+    n_slots = len(slot_hashes)
+    all_docs = np.unique(np.concatenate([per_term[t][0] for t in distinct]))
+    dl_of = np.zeros(len(all_docs), dtype=np.int64)
+    for t in distinct:
+        docs_t, dls_t, _, _ = per_term[t]
+        dl_of[np.searchsorted(all_docs, docs_t)] = dls_t
+    shift = np.int64(1) << np.int64(32)
+
+    if slop == 0:
+        cur: np.ndarray | None = None
+        for i, th in enumerate(slot_hashes):
+            _, _, pdocs, ppos = per_term[th]
+            ranks = np.searchsorted(all_docs, pdocs)
+            keys = ranks * shift + (ppos - i + n_slots)
+            cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
+            if cur.size == 0:
+                return None
+        match_ranks, ptf = np.unique(cur >> np.int64(32), return_counts=True)
+        tfv = ptf.astype(np.float64)
+    else:
+        _, _, p0docs, p0pos = per_term[slot_hashes[0]]
+        if len(p0docs) == 0:
+            return None
+        aranks = np.searchsorted(all_docs, p0docs).astype(np.int64)
+        a0 = p0pos.astype(np.int64)
+        akeys = aranks * shift + (a0 + n_slots)
+        amin, amax = a0.copy(), a0.copy()
+        alive = np.ones(len(a0), dtype=bool)
+        for i in range(1, n_slots):
+            _, _, pdocs, ppos = per_term[slot_hashes[i]]
+            ranks = np.searchsorted(all_docs, pdocs).astype(np.int64)
+            skeys = ranks * shift + (ppos.astype(np.int64) - i + n_slots)
+            chosen, valid = _closest_slot_assign(akeys, skeys)
+            ai = (chosen % shift) - n_slots
+            alive &= valid
+            np.minimum(amin, ai, out=amin)
+            np.maximum(amax, ai, out=amax)
+        d = amax - amin  # garbage where ~alive, masked below
+        ok = alive & (d <= slop)
+        if not ok.any():
+            return None
+        # np.bincount adds equal-bin weights in array order = anchors in
+        # ascending position per doc — the deterministic summation order the
+        # oracle mirrors (list_sum ORDER BY a0)
+        w = 1.0 / (1.0 + d[ok].astype(np.float64))
+        tf_all = np.bincount(aranks[ok], weights=w, minlength=len(all_docs))
+        match_ranks = np.nonzero(tf_all > 0.0)[0]
+        tfv = tf_all[match_ranks]
+    doc_ids = all_docs[match_ranks]
+    scores = sum_idf * codec.bm25_impact(tfv, dl_of[match_ranks], avgdl, k1, b)
+    return doc_ids, scores
+
+
+def _phrase_match_bucket(
+    pdf: pd.DataFrame,
+    queries: list[tuple],
+    conf,
+    avgdl: float,
+    k: int,
+    _probe: dict | None = None,
+) -> dict:
+    """One bucket's positional block rows -> {query_id: (doc_ids, scores)}
+    local top-k per phrase query (None where the bucket can't match).
+
+    queries: [(query_id, slot_hashes, sum_idf, slop)]. The decode cache is
+    SHARED across queries — each needed block is decoded at most once per
+    bucket no matter how many queries touch its term.
+
+    Two metadata prunes run before any decode, per query:
+
+    1. ALL-terms interval prune (round 3): elementary doc-range intervals
+       from the blocks' [min,max] spans; only intervals covered by EVERY
+       slot term can contain a match.
+    2. Impact-UB chunked prune (round 4): a sound per-interval upper bound
+       on any phrase score —
+         slop=0: phrase_tf <= min_t tf_t(doc) (each match consumes distinct
+           positions of every slot), so UB = sum_idf * min over slot terms
+           of (max max_impact of that term's blocks covering the interval);
+         slop>0: sloppy_tf <= tf of the FIRST slot's term (one weight <= 1
+           per anchor; partner occurrences may be reused), so UB uses that
+           term's block bound only.
+       Kept intervals are processed in descending-UB chunks
+       (PHRASE_PRUNE_CHUNKS); after each chunk the local k-th best score is
+       a θ that skips every remaining chunk with UB < θ (strict — a pruned
+       doc can then never displace even on the doc_id tie-break). max_impact
+       is drift-scaled by max(1, avgdl/avgdl0) like the WAND path, so the
+       bound stays sound on incrementally-merged indexes. Results are
+       byte-identical to the unpruned evaluation: docs partition into
+       elementary intervals, so chunk-local matching never splits or
+       double-counts a doc."""
+    k1, b, qn = conf.k1, conf.b, conf.quantize_norms
+    pdf = pdf.sort_values(["term_hash", "block_id"]).reset_index(drop=True)
+    tmins = pdf["min_doc"].to_numpy(dtype=np.int64)
+    tmaxs = pdf["max_doc"].to_numpy(dtype=np.int64)
+    hashes_arr = pdf["term_hash"].to_numpy(dtype=np.int64)
+    drift = np.maximum(1.0, avgdl / pdf["avgdl0"].to_numpy(dtype=np.float64))
+    mimp = pdf["max_impact"].to_numpy(dtype=np.float64) * drift
+    rows_of: dict[int, list] = {}
+    for ri, th in enumerate(hashes_arr):
+        rows_of.setdefault(int(th), []).append(ri)
+    rows_of = {t: np.asarray(v, dtype=np.int64) for t, v in rows_of.items()}
+
+    cache: dict[int, tuple] = {}
+    col_doc, col_tf = pdf["doc_ids"], pdf["tfs"]
+    col_dl, col_pos = pdf["doc_lens"], pdf["positions"]
+
+    def dec(ri: int) -> tuple:
+        got = cache.get(ri)
+        if got is None:
+            ids, tfs, dls = codec.decode_block(
+                bytes(col_doc.iloc[ri]), bytes(col_tf.iloc[ri]),
+                bytes(col_dl.iloc[ri]), qn,
+            )
+            pos, _ = codec.decode_positions(bytes(col_pos.iloc[ri]), tfs)
+            got = cache[ri] = (ids, dls, np.repeat(ids, tfs), pos.astype(np.int64))
+        return got
+
+    out: dict = {}
+    for qid, slot_hashes, sum_idf, slop in queries:
+        distinct = sorted(set(slot_hashes))
+        if any(t not in rows_of for t in distinct):
+            out[qid] = None  # a slot term absent from this bucket
+            continue
+        sub = np.concatenate([rows_of[t] for t in distinct])
+        trank = {t: i for i, t in enumerate(distinct)}
+        sm, sx, simp = tmins[sub], tmaxs[sub], mimp[sub]
+        stk = np.asarray([trank[int(hashes_arr[ri])] for ri in sub], dtype=np.int64)
+        if _probe is not None:
+            _probe["blocks_total"] = int(len(sub))
+        bounds = np.unique(np.concatenate((sm, sx + 1)))
+        n_int = len(bounds) - 1
+        lo = np.searchsorted(bounds, sm, side="right") - 1
+        hi = np.searchsorted(bounds, sx, side="right") - 1
+        covered = np.zeros((len(distinct), n_int), dtype=bool)
+        imp_of = np.zeros((len(distinct), n_int), dtype=np.float64)
+        for bi in range(len(sub)):
+            covered[stk[bi], lo[bi] : hi[bi] + 1] = True
+            sl = imp_of[stk[bi], lo[bi] : hi[bi] + 1]
+            np.maximum(sl, simp[bi], out=sl)
+        keep_int = covered.all(axis=0)
+        if not keep_int.any():
+            out[qid] = None
+            continue
+        if slop == 0:
+            ub = sum_idf * np.where(keep_int, imp_of.min(axis=0), -np.inf)
+        else:
+            ub = sum_idf * np.where(keep_int, imp_of[trank[slot_hashes[0]]], -np.inf)
+        kept = np.nonzero(keep_int)[0]
+        order = kept[np.argsort(-ub[kept], kind="stable")]
+        csize = max(1, -(-len(order) // PHRASE_PRUNE_CHUNKS))
+        best_d = np.empty(0, dtype=np.int64)
+        best_s = np.empty(0, dtype=np.float64)
+        theta: float | None = None
+        for c0 in range(0, len(order), csize):
+            chunk = order[c0 : c0 + csize]
+            if theta is not None and float(ub[chunk].max()) < theta:
+                break  # descending order: every later chunk bounds lower still
+            chunk_keep = np.zeros(n_int, dtype=bool)
+            chunk_keep[chunk] = True
+            brow = np.asarray(
+                [chunk_keep[lo[bi] : hi[bi] + 1].any() for bi in range(len(sub))]
+            )
+            per_term: dict[int, tuple] = {}
+            empty_term = False
+            for t in distinct:
+                rr = sub[brow & (stk == trank[t])]
+                if len(rr) == 0:
+                    empty_term = True
+                    break
+                parts = [dec(int(ri)) for ri in rr]
+                docs = np.concatenate([p[0] for p in parts])
+                dls = np.concatenate([p[1] for p in parts])
+                pdocs = np.concatenate([p[2] for p in parts])
+                ppos = np.concatenate([p[3] for p in parts])
+                # keep only docs whose elementary interval is in this chunk
+                dkeep = chunk_keep[np.searchsorted(bounds, docs, side="right") - 1]
+                if not dkeep.any():
+                    empty_term = True
+                    break
+                pkeep = chunk_keep[np.searchsorted(bounds, pdocs, side="right") - 1]
+                per_term[t] = (docs[dkeep], dls[dkeep], pdocs[pkeep], ppos[pkeep])
+            if empty_term:
+                continue
+            res = _phrase_chunk_match(
+                per_term, slot_hashes, sum_idf, slop, avgdl, k1, b
+            )
+            if res is None:
+                continue
+            all_d = np.concatenate((best_d, res[0]))
+            all_s = np.concatenate((best_s, res[1]))
+            sel = np.lexsort((all_d, -all_s))[:k]
+            best_d, best_s = all_d[sel], all_s[sel]
+            if len(best_d) == k:
+                theta = float(best_s[-1])
+        if _probe is not None:
+            _probe["blocks_decoded"] = int(len(cache))
+        out[qid] = (best_d, best_s) if len(best_d) else None
+    return out
+
+
 def _phrase_bucket_fn(
     slot_hashes: list[int],
     sum_idf: float,
@@ -650,127 +914,48 @@ def _phrase_bucket_fn(
     avgdl: float,
     k: int,
     _probe: dict | None = None,
+    slop: int = 0,
 ):
-    """applyInPandas fn: one bucket's positional blocks -> local top-k of the
-    EXACT phrase matches. Vectorized position intersection: each phrase slot
-    i contributes the sorted key set {doc_rank * 2^32 + (pos - i + n_slots)}
-    and the phrase's start positions are the intersection over slots (numpy
-    sorted-set intersect; no per-doc Python loop). phrase_tf = matches per
-    doc; score = (Σ slot idf) * BM25 impact(phrase_tf, dl) — Lucene
-    PhraseQuery semantics (phrase frequency scored like a term frequency,
-    idf summed over the phrase's terms, duplicates counted)."""
-    k1, b, qn = conf.k1, conf.b, conf.quantize_norms
-    n_slots = len(slot_hashes)
-    distinct = sorted(set(slot_hashes))
-
+    """applyInPandas fn: one bucket's positional blocks -> local top-k phrase
+    matches for a single query. Thin wrapper over _phrase_match_bucket (which
+    carries the prune + matching machinery and its scale notes)."""
     empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
         {"doc_id": np.int64, "score": np.float64}
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        # block order within a term = ascending doc ranges -> keys come out
-        # globally sorted per term with zero post-sort
-        pdf = pdf.sort_values(["term_hash", "block_id"])
-
-        # ---- metadata range prune BEFORE any decode: a phrase match needs
-        # EVERY term in the same doc, so only doc ranges covered by ALL
-        # terms' blocks can matter. Elementary intervals from the blocks'
-        # [min,max] spans; keep intervals covered by every term; decode a
-        # block iff it overlaps a kept interval. For a rare-anchored phrase
-        # ("zanzibar the") this skips nearly all of the hot term's blocks —
-        # the positional analogue of block-max WAND's interval prune.
-        tmins = pdf["min_doc"].to_numpy(dtype=np.int64)
-        tmaxs = pdf["max_doc"].to_numpy(dtype=np.int64)
-        hashes_arr = pdf["term_hash"].to_numpy(dtype=np.int64)
-        trank = {th: i for i, th in enumerate(distinct)}
-        if len(tmins) == 0 or len(set(hashes_arr.tolist())) < len(distinct):
-            return empty  # a slot term absent from this bucket
-        tranks = np.asarray([trank[t] for t in hashes_arr], dtype=np.int64)
-        bounds = np.unique(np.concatenate((tmins, tmaxs + 1)))
-        n_int = len(bounds) - 1
-        lo = np.searchsorted(bounds, tmins, side="right") - 1
-        hi = np.searchsorted(bounds, tmaxs, side="right") - 1
-        covered = np.zeros((len(distinct), n_int), dtype=bool)
-        for bi in range(len(tmins)):
-            covered[tranks[bi], lo[bi] : hi[bi] + 1] = True
-        keep_int = covered.all(axis=0)
-        if not keep_int.any():
+        res = _phrase_match_bucket(
+            pdf, [("q", slot_hashes, sum_idf, slop)], conf, avgdl, k, _probe=_probe
+        )
+        r = res.get("q")
+        if r is None:
             return empty
-        block_keep = np.asarray(
-            [keep_int[lo[bi] : hi[bi] + 1].any() for bi in range(len(tmins))]
-        )
-        if _probe is not None:
-            _probe["blocks_total"] = int(len(tmins))
-            _probe["blocks_decoded"] = int(block_keep.sum())
-        pdf = pdf[block_keep]
-
-        per_term: dict[int, tuple] = {}
-        for th in distinct:
-            g = pdf[pdf["term_hash"] == th]
-            if len(g) == 0:
-                return empty  # term's surviving range is empty
-            docs_l, dls_l, posdocs_l, pos_l = [], [], [], []
-            for dbuf, tbuf, lbuf, pbuf in zip(
-                g["doc_ids"], g["tfs"], g["doc_lens"], g["positions"]
-            ):
-                ids, tfs, dls = codec.decode_block(
-                    bytes(dbuf), bytes(tbuf), bytes(lbuf), qn
-                )
-                pos, _ = codec.decode_positions(bytes(pbuf), tfs)
-                docs_l.append(ids)
-                dls_l.append(dls)
-                posdocs_l.append(np.repeat(ids, tfs))
-                pos_l.append(pos)
-            per_term[th] = (
-                np.concatenate(docs_l),
-                np.concatenate(dls_l),
-                np.concatenate(posdocs_l),
-                np.concatenate(pos_l),
-            )
-
-        # global doc rank (consistent across terms) for the packed keys
-        all_docs = np.unique(np.concatenate([per_term[t][0] for t in distinct]))
-        dl_of = np.zeros(len(all_docs), dtype=np.int64)
-        for t in distinct:
-            docs_t, dls_t, _, _ = per_term[t]
-            dl_of[np.searchsorted(all_docs, docs_t)] = dls_t
-
-        cur: np.ndarray | None = None
-        for i, th in enumerate(slot_hashes):
-            _, _, pdocs, ppos = per_term[th]
-            ranks = np.searchsorted(all_docs, pdocs)
-            keys = ranks * np.int64(1 << 32) + (ppos - i + n_slots)
-            cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
-            if cur.size == 0:
-                return empty
-        match_ranks, phrase_tf = np.unique(cur >> np.int64(32), return_counts=True)
-        doc_ids = all_docs[match_ranks]
-        scores = sum_idf * codec.bm25_impact(
-            phrase_tf, dl_of[match_ranks], avgdl, k1, b
-        )
-        sel = np.lexsort((doc_ids, -scores))[:k]
-        return pd.DataFrame({"doc_id": doc_ids[sel], "score": scores[sel]})
+        return pd.DataFrame({"doc_id": r[0], "score": r[1]})
 
     return fn
 
 
-def topk_phrase(index: Index, phrase: str, k: int = 10) -> DataFrame:
-    """match_phrase top-k (slop=0) over a POSITIONAL index
+def topk_phrase(index: Index, phrase: str, k: int = 10, slop: int = 0) -> DataFrame:
+    """match_phrase top-k over a POSITIONAL index
     (build_index(positions=True)).
 
     The reference's ES index stores positions for every text field (mapping-
     less index -> standard analyzer with positions, reference:
     src/nmr_FAIR_DOs/connectors/elasticsearch.py:169-173); this is the native
     equivalent of the match_phrase query that index supports. Semantics =
-    Lucene PhraseQuery under BM25: a doc matches iff the query's tokens occur
-    consecutively (analyzer positions); tf is the phrase frequency, idf the
-    sum over the phrase's term idfs (duplicates counted), length norm as
-    usual. Determinism identical to topk_exact (float64, ties doc_id asc).
+    Lucene PhraseQuery under BM25: at slop=0 a doc matches iff the query's
+    tokens occur consecutively (analyzer positions); tf is the phrase
+    frequency, idf the sum over the phrase's term idfs (duplicates counted),
+    length norm as usual. slop>0 gives sloppy-phrase matching with
+    sloppy_tf = Σ_matches 1/(1+distance) as the tf input (see
+    _phrase_chunk_match for the exact match semantics). Determinism
+    identical to topk_exact (float64, ties doc_id asc).
 
     Scale shape: same one fused stage as topk_wand — IN(term_hash) pushdown
-    to the block scan, per-bucket decode+intersect+local-top-k, global
-    TakeOrdered of k rows per bucket. The position intersection is sorted-set
-    numpy over packed (doc_rank, pos) keys, never a per-doc loop."""
+    to the block scan, per-bucket prune+decode+intersect+local-top-k, global
+    TakeOrdered of k rows per bucket. Pruning is metadata-first: the
+    ALL-terms interval prune plus the impact-UB descending-chunk prune
+    (_phrase_match_bucket) run before any block is decoded."""
     spark = index.postings.sparkSession
     if "positions" not in index.postings.columns:
         raise ValueError(
@@ -790,10 +975,98 @@ def topk_phrase(index: Index, phrase: str, k: int = 10) -> DataFrame:
         F.col("term_hash").isin(sorted(set(slot_hashes)))
     )
     hits = blocks.groupBy("bucket").applyInPandas(
-        _phrase_bucket_fn(slot_hashes, sum_idf, index.conf, index.avgdl, k),
+        _phrase_bucket_fn(slot_hashes, sum_idf, index.conf, index.avgdl, k, slop=slop),
         schema=_HIT,
     )
     return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def topk_phrase_batch(
+    index: Index, queries: dict[str, str], k: int = 10, slop: int = 0
+) -> DataFrame:
+    """Evaluate MANY phrase queries in one pass:
+    (query_id, doc_id, score, rank) — the phrase analogue of topk_batch.
+
+    One scoring job scans the union of all phrases' term hashes (single
+    IN(term_hash) pushdown), and inside each bucket the block decode cache
+    is shared across queries — a hot term's blocks decode once no matter how
+    many phrases contain it. Each query still gets its own interval +
+    impact-UB prune. Per-query jobs pay Spark's fixed job latency per
+    phrase; this pays it once. Results are byte-identical to per-query
+    topk_phrase (same bucket partitioning, same per-chunk determinism)."""
+    spark = index.postings.sparkSession
+    if "positions" not in index.postings.columns:
+        raise ValueError(
+            "phrase queries need a positional index — build with "
+            "build_index(..., positions=True)"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+        ]
+    )
+    local_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    qtoks = {qid: tokenize(p) for qid, p in queries.items()}
+    all_terms = sorted({t for ts in qtoks.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], out_schema)
+    rows = index.term_stats.filter(F.col("term").isin(all_terms)).collect()
+    stats = {
+        r["term"]: (int(r["df"]), float(r["idf"]), int(r["term_hash"])) for r in rows
+    }
+    plan: list[tuple] = []
+    all_hashes: set[int] = set()
+    for qid in sorted(qtoks):
+        toks = qtoks[qid]
+        if not toks or any(t not in stats for t in toks):
+            continue  # absent term => qid has no hits
+        sum_idf = float(sum(stats[t][1] for t in toks))
+        slot_hashes = [stats[t][2] for t in toks]
+        plan.append((qid, slot_hashes, sum_idf, int(slop)))
+        all_hashes.update(slot_hashes)
+    if not plan:
+        return spark.createDataFrame([], out_schema)
+    conf, avgdl = index.conf, index.avgdl
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = _phrase_match_bucket(pdf, plan, conf, avgdl, k)
+        qs, ds, ss = [], [], []
+        for qid, _, _, _ in plan:
+            r = res.get(qid)
+            if r is None:
+                continue
+            qs.extend([qid] * len(r[0]))
+            ds.append(r[0])
+            ss.append(r[1])
+        if not qs:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": str, "doc_id": np.int64, "score": np.float64}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": qs,
+                "doc_id": np.concatenate(ds),
+                "score": np.concatenate(ss),
+            }
+        )
+
+    blocks = index.postings.filter(F.col("term_hash").isin(sorted(all_hashes)))
+    local = blocks.groupBy("bucket").applyInPandas(fn, schema=local_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
 
 
 def topk(index: Index, query: str, k: int = 10, exact: bool = False) -> DataFrame:
@@ -842,8 +1115,26 @@ def lookup_doc(index: Index, doc_id: int) -> DataFrame:
 
 def lookup_url(index: Index, url: str) -> DataFrame:
     """Reverse lookup by url (the reference's digitalObjectLocation probe,
-    lib.py:173-182)."""
-    return index.doc_stats.filter(F.col("url") == url)
+    lib.py:173-182).
+
+    Disk-backed indexes carry a url_index projection partitioned by
+    url_bucket = pmod(xxhash64(url), N) and url_hash-sorted within: the
+    bucket predicate below is a fold-able expression over a literal, so
+    Catalyst partition-prunes to ONE directory (PartitionFilters in the
+    plan) and the url_hash equality prunes row groups inside it — the same
+    two-level pruning lookup_doc gets from the doc_id-sorted layout.
+    Collisions are disambiguated by the final url equality. In-memory /
+    pre-round-4 indexes fall back to the doc_stats scan."""
+    if index.url_stats is None:
+        return index.doc_stats.filter(F.col("url") == url)
+    from webindex.build import N_URL_BUCKETS
+
+    lit = F.lit(url)
+    return index.url_stats.filter(
+        (F.col("url_bucket") == F.pmod(F.xxhash64(lit), F.lit(N_URL_BUCKETS)))
+        & (F.col("url_hash") == F.xxhash64(lit))
+        & (F.col("url") == lit)
+    ).select("doc_id", "url", "doc_len")
 
 
 def topk_with_urls(index: Index, query: str, k: int = 10, exact: bool = False) -> DataFrame:

@@ -132,6 +132,27 @@ class IncrementalIndexer:
 
     # -- ingestion ----------------------------------------------------------
 
+    def _check_positions_layout(self) -> None:
+        """Fail loudly if the constructor's positions flag disagrees with the
+        committed runs layout. The committed runs schema is the ground truth
+        (a schema-only probe — no data read): writing mixed-schema runs
+        partitions would make a later full compact either crash on null
+        position buffers or build blocks whose positional-ness depends on
+        which part-file Spark samples the schema from."""
+        try:
+            cols = self.spark.read.parquet(f"{self.workdir}/runs").columns
+        except Exception:
+            return  # no committed runs yet: the constructor's flag stands
+        committed = "positions" in cols
+        if committed != self.positions:
+            raise ValueError(
+                f"positions={self.positions} but the committed runs at "
+                f"{self.workdir}/runs are "
+                f"{'positional' if committed else 'non-positional'}; "
+                f"construct IncrementalIndexer with positions={committed} "
+                "(or use a fresh workdir to change the layout)"
+            )
+
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch sink: tokenize the micro-batch, write runs + urls
         under their batch_id partition. Re-delivered batches are detected via
@@ -149,6 +170,7 @@ class IncrementalIndexer:
                 return
         except Exception:
             pass
+        self._check_positions_layout()
         t0 = time.monotonic()
         # latest-wins WITHIN the micro-batch: one source batch can contain
         # the same url several times (several crawl files per trigger);
@@ -257,7 +279,9 @@ class IncrementalIndexer:
         except Exception:
             return None
         d = row.asDict()
-        if "k1" in d:  # pre-conf state rows: trust the constructor's conf
+        # round-3+ layout persists the conf: restore it (pre-conf state rows
+        # lack "k1" and fall through to the constructor's conf)
+        if "k1" in d:
             self.conf = BM25Config(
                 k1=float(d["k1"]),
                 b=float(d["b"]),
@@ -341,8 +365,15 @@ class IncrementalIndexer:
         Path = jvm.org.apache.hadoop.fs.Path
         final = Path(f"{out}/term_stats")
         old = Path(f"{out}/_term_stats_old")
-        if fs.exists(old):  # leftover from a crashed commit
-            fs.delete(old, True)
+        if fs.exists(old):
+            # leftover from a crashed commit. If the crash hit between
+            # rename(final→old) and rename(staging→final), the old copy is
+            # the ONLY surviving table — restore it (it becomes `old` again
+            # two lines down); otherwise it's a superseded duplicate: drop it.
+            if not fs.exists(final):
+                fs.rename(old, final)
+            else:
+                fs.delete(old, True)
         if fs.exists(final):
             fs.rename(final, old)
         fs.rename(Path(staging), final)
@@ -356,6 +387,10 @@ class IncrementalIndexer:
         Returns the refreshed Index. Metrics for the merge (delta rows,
         decoded old rows, touched buckets) are appended to
         <workdir>/compactions."""
+        # the layout check runs for FULL compacts too: full=True skips the
+        # state-driven incremental branch but must still not re-encode a
+        # committed positional layout as non-positional (or vice versa)
+        self._check_positions_layout()
         state = None if full else self._read_state()
         done = self._done_batches()
         if state is not None and int(state["max_batch"]) >= (max(done) if done else -1):
