@@ -77,6 +77,11 @@ spark.stop()
 """
 
 
+# window-quality metering shared with bench_scaling.py
+from boxmeter import PhaseMeter as _PhaseMeter  # noqa: E402
+from boxmeter import wait_clean as _wait_clean  # noqa: E402
+
+
 def _settle() -> None:
     for path, val in (
         ("/proc/sys/vm/drop_caches", "1"),
@@ -114,12 +119,22 @@ def main() -> None:
     # solo-local[8] vs 4x-concurrent-local[8] pair per round — the tight
     # back-to-back window that the per-executor efficiency claim rests on
     pair_only = "--pair-only" in sys.argv
-    argv = [a for a in sys.argv if a != "--pair-only"]
+    # --wait-clean[=secs]: hold each round until co-tenant load <= 2 cores
+    wait_clean_s = 0.0
+    argv = []
+    for a in sys.argv:
+        if a == "--pair-only":
+            continue
+        if a.startswith("--wait-clean"):
+            wait_clean_s = float(a.split("=", 1)[1]) if "=" in a else 3600.0
+        else:
+            argv.append(a)
     n_docs = int(argv[1]) if len(argv) > 1 else 300_000
     rounds = int(argv[2]) if len(argv) > 2 else 2
 
     tmp_base = "/dev/shm" if Path("/dev/shm").exists() else None
     results = {"t32": [], "t8_solo": [], "conc_window": [], "conc_each": []}
+    cotenant = {"t32": [], "t8_solo": [], "conc": []}
     all_hits = []
 
     with tempfile.TemporaryDirectory(prefix="conc_", dir=tmp_base) as base:
@@ -131,35 +146,50 @@ def main() -> None:
         )
         for rnd in range(rounds):
             # interleaved within the round so a window shift hits all levels
+            if wait_clean_s:
+                _wait_clean(wait_clean_s)
             if not pair_only:
                 _settle()
-                p = _spawn("t32", 32, "80g", pages, f"{base}/r{rnd}_t32")
-                r = _collect(p, "t32")
+                with _PhaseMeter() as m:
+                    p = _spawn("t32", 32, "80g", pages, f"{base}/r{rnd}_t32")
+                    r = _collect(p, "t32")
                 results["t32"].append(r["elapsed"])
+                cotenant["t32"].append(round(m.cotenant_cores, 2))
                 all_hits.append(("t32", r["hits"]))
-                print(f"[round {rnd}] local[32]: {r['elapsed']:.1f}s", flush=True)
+                print(
+                    f"[round {rnd}] local[32]: {r['elapsed']:.1f}s "
+                    f"(cotenant {m.cotenant_cores:.1f} cores)", flush=True,
+                )
 
             _settle()
-            p = _spawn("t8solo", 8, "20g", pages, f"{base}/r{rnd}_t8")
-            r = _collect(p, "t8solo")
+            with _PhaseMeter() as m:
+                p = _spawn("t8solo", 8, "20g", pages, f"{base}/r{rnd}_t8")
+                r = _collect(p, "t8solo")
             results["t8_solo"].append(r["elapsed"])
+            cotenant["t8_solo"].append(round(m.cotenant_cores, 2))
             all_hits.append(("t8solo", r["hits"]))
-            print(f"[round {rnd}] solo local[8]: {r['elapsed']:.1f}s", flush=True)
+            print(
+                f"[round {rnd}] solo local[8]: {r['elapsed']:.1f}s "
+                f"(cotenant {m.cotenant_cores:.1f} cores)", flush=True,
+            )
 
             _settle()
-            procs = [
-                _spawn(f"c{i}", 8, "20g", pages, f"{base}/r{rnd}_c{i}")
-                for i in range(4)
-            ]
-            rs = [_collect(p, f"c{i}") for i, p in enumerate(procs)]
+            with _PhaseMeter() as m:
+                procs = [
+                    _spawn(f"c{i}", 8, "20g", pages, f"{base}/r{rnd}_c{i}")
+                    for i in range(4)
+                ]
+                rs = [_collect(p, f"c{i}") for i, p in enumerate(procs)]
             window = max(r["end"] for r in rs) - min(r["start"] for r in rs)
             results["conc_window"].append(window)
             results["conc_each"].append([r["elapsed"] for r in rs])
+            cotenant["conc"].append(round(m.cotenant_cores, 2))
             for i, r in enumerate(rs):
                 all_hits.append((f"c{i}", r["hits"]))
             print(
                 f"[round {rnd}] 4x concurrent local[8]: window {window:.1f}s, "
-                f"each {[round(r['elapsed'], 1) for r in rs]}", flush=True,
+                f"each {[round(r['elapsed'], 1) for r in rs]} "
+                f"(cotenant {m.cotenant_cores:.1f} cores)", flush=True,
             )
 
     # rank identity across EVERY run at every layout
@@ -192,6 +222,7 @@ def main() -> None:
         "t8_solo_s": results["t8_solo"],
         "conc_window_s": results["conc_window"],
         "conc_each_s": results["conc_each"],
+        "cotenant_cores": cotenant,
         "thr32_docs_s": round(thr32, 1),
         "thr8_solo_docs_s": round(thr8, 1),
         "thr_aggregate_4x8_docs_s": round(thr_agg, 1),

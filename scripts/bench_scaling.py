@@ -96,6 +96,18 @@ def _settle_memory() -> None:
 
 
 def main() -> None:
+    # --wait-clean[=secs]: before each interleaved pair, poll the box until
+    # co-tenant load is <= 2 cores (boxmeter) so the pair lands in a clean
+    # window; on timeout proceed anyway — every sample records its own
+    # cotenant number either way.
+    wait_clean_s = 0.0
+    argv = []
+    for a in sys.argv:
+        if a.startswith("--wait-clean"):
+            wait_clean_s = float(a.split("=", 1)[1]) if "=" in a else 3600.0
+        else:
+            argv.append(a)
+    sys.argv = argv
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     # optional custom N / 4N core pair, e.g. `... 300000 2 4 16`: a pair
@@ -111,15 +123,28 @@ def main() -> None:
     # Methodology: interleave repeated runs of both levels and take the MIN
     # per level — min wall-clock is the standard noise-robust estimator for
     # "what the job costs when the machine is actually available".
+    from boxmeter import PhaseMeter, wait_clean
+
     times: dict[int, list[float]] = {n_small: [], n_big: []}
+    cotenant: dict[int, list[float]] = {n_small: [], n_big: []}
     hits8 = hits32 = None
     for _ in range(repeats):
+        if wait_clean_s:
+            wait_clean(wait_clean_s)
         _settle_memory()
-        t, hits8 = run_at(n_small, n_docs)
+        with PhaseMeter() as m:
+            t, hits8 = run_at(n_small, n_docs)
         times[n_small].append(t)
+        cotenant[n_small].append(round(m.cotenant_cores, 2))
+        print(f"  local[{n_small}]: {t:.1f}s (cotenant {m.cotenant_cores:.1f} cores)",
+              flush=True)
         _settle_memory()
-        t, hits32 = run_at(n_big, n_docs)
+        with PhaseMeter() as m:
+            t, hits32 = run_at(n_big, n_docs)
         times[n_big].append(t)
+        cotenant[n_big].append(round(m.cotenant_cores, 2))
+        print(f"  local[{n_big}]: {t:.1f}s (cotenant {m.cotenant_cores:.1f} cores)",
+              flush=True)
     t8, t32 = min(times[n_small]), min(times[n_big])
     print(f"samples: local[{n_small}]={[round(x,1) for x in times[n_small]]} "
           f"local[{n_big}]={[round(x,1) for x in times[n_big]]}")
@@ -136,6 +161,8 @@ def main() -> None:
         "cores": [n_small, n_big],
         "samples8": [round(x, 1) for x in times[n_small]],
         "samples32": [round(x, 1) for x in times[n_big]],
+        "cotenant8": cotenant[n_small],
+        "cotenant32": cotenant[n_big],
         "t8": round(t8, 2),
         "t32": round(t32, 2),
         "eff": round(eff, 4),

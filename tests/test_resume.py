@@ -43,6 +43,14 @@ def test_resume_matches_clean_run(spark, tmp_path):
     assert resumed.n_docs == clean.n_docs
     assert abs(resumed.avgdl - clean.avgdl) < 1e-12
 
+    # resumable builds carry the url_index projection too (same contract as
+    # build_index): lookup_url resolves a known url to its doc_id
+    from webindex.query import lookup_url
+
+    some = resumed.doc_stats.limit(1).collect()[0]
+    got = lookup_url(resumed, some["url"]).collect()
+    assert [r["doc_id"] for r in got] == [some["doc_id"]]
+
     # lineage has one done row per bucket with metrics
     lin = resumed.lineage.filter(F.col("status") == "done").collect()
     assert {r["partition_id"] for r in lin} == set(range(8))
