@@ -192,6 +192,22 @@ FROM (
 """
 
 
+def _bm25_match_oracle_sql(terms: list[str], k: int, msm: int) -> str:
+    """ES match with minimum_should_match (operator=and ⇔ msm=len(terms)):
+    same BM25 math, docs matching < msm distinct query terms dropped. The
+    contrib subquery has one row per (doc, matching term), so the count
+    filter is a HAVING over the scoring GROUP BY."""
+    sub = _bm25_score_subquery(terms).rstrip()
+    assert sub.endswith("GROUP BY doc_id")
+    return f"""
+SELECT doc_id, round(score, 4) AS score
+FROM (
+  SELECT doc_id, score FROM ({sub} HAVING count(*) >= {msm})
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+"""
+
+
 def _phrase_common_ctes(slots: list[str]) -> str:
     """Shared WITH-clause body for the phrase oracles: token lists, corpus
     stats, and the phrase's summed idf (duplicates counted)."""
@@ -428,6 +444,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_topk_rare(spark, sf):
         return _bm25_topk(spark, sf, "group scan batch", 10)
+
+    def bm25_match_and(spark, sf):
+        # ES match operator=and: every query term required, scores unchanged
+        # (webindex/query.py topk_match; msm coverage prune at block metadata)
+        from webindex.query import topk_match
+
+        hits = topk_match(_index(spark, sf), "the data merge", 10, operator="and")
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_match_msm(spark, sf):
+        # ES match minimum_should_match=2 over a 3-term query
+        from webindex.query import topk_match
+
+        hits = topk_match(
+            _index(spark, sf), "group scan batch", 10, minimum_should_match=2
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
 
     def bm25_phrase(spark, sf):
         # match_phrase (slop=0) over a POSITIONAL index: Lucene PhraseQuery
@@ -826,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk,
         "bm25_topk_hot": bm25_topk_hot,
         "bm25_topk_rare": bm25_topk_rare,
+        "bm25_match_and": bm25_match_and,
+        "bm25_match_msm": bm25_match_msm,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_slop": bm25_phrase_slop,
         "bm25_phrase_batch": bm25_phrase_batch,
@@ -893,6 +928,8 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len({toks})), 4) AS avgdl FROM docu
     sql["bm25_topk"] = _bm25_oracle_sql(["merge", "spark"], 10)
     sql["bm25_topk_hot"] = _bm25_oracle_sql(["data", "the"], 10)
     sql["bm25_topk_rare"] = _bm25_oracle_sql(["batch", "group", "scan"], 10)
+    sql["bm25_match_and"] = _bm25_match_oracle_sql(["data", "merge", "the"], 10, 3)
+    sql["bm25_match_msm"] = _bm25_match_oracle_sql(["batch", "group", "scan"], 10, 2)
     sql["bm25_phrase"] = _bm25_phrase_oracle_sql(["the", "data"], 10)
     sql["bm25_phrase_slop"] = _bm25_phrase_slop_oracle_sql(["the", "data"], 2, 10)
     sql["bm25_phrase_batch"] = _bm25_phrase_batch_oracle_sql(

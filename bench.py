@@ -185,6 +185,20 @@ def main() -> None:
             ).collect()
             per.append(time.monotonic() - t0)
         extras["phrase_batch_all"] = min(per)
+        # match operator=and (round 4): conjunctive queries on the plain
+        # index — the msm coverage prune working set
+        from webindex.query import topk_match
+
+        mlat = []
+        for q in ["the data", "spark merge index", "data the scan"]:
+            per = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                topk_match(idx, q, 10, operator="and").collect()
+                per.append(time.monotonic() - t0)
+            mlat.append(min(per))
+        mlat.sort()
+        extras["match_and_p50"] = mlat[len(mlat) // 2]
 
         total = sum(
             v

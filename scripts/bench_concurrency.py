@@ -135,6 +135,7 @@ def main() -> None:
     tmp_base = "/dev/shm" if Path("/dev/shm").exists() else None
     results = {"t32": [], "t8_solo": [], "conc_window": [], "conc_each": []}
     cotenant = {"t32": [], "t8_solo": [], "conc": []}
+    steal = {"t32": [], "t8_solo": [], "conc": []}
     all_hits = []
 
     with tempfile.TemporaryDirectory(prefix="conc_", dir=tmp_base) as base:
@@ -155,10 +156,11 @@ def main() -> None:
                     r = _collect(p, "t32")
                 results["t32"].append(r["elapsed"])
                 cotenant["t32"].append(round(m.cotenant_cores, 2))
+                steal["t32"].append(round(m.steal_cores, 2))
                 all_hits.append(("t32", r["hits"]))
                 print(
                     f"[round {rnd}] local[32]: {r['elapsed']:.1f}s "
-                    f"(cotenant {m.cotenant_cores:.1f} cores)", flush=True,
+                    f"(ours {m.our_cores:.1f} / cotenant {m.cotenant_cores:.1f} / steal {m.steal_cores:.1f})", flush=True,
                 )
 
             _settle()
@@ -167,10 +169,11 @@ def main() -> None:
                 r = _collect(p, "t8solo")
             results["t8_solo"].append(r["elapsed"])
             cotenant["t8_solo"].append(round(m.cotenant_cores, 2))
+            steal["t8_solo"].append(round(m.steal_cores, 2))
             all_hits.append(("t8solo", r["hits"]))
             print(
                 f"[round {rnd}] solo local[8]: {r['elapsed']:.1f}s "
-                f"(cotenant {m.cotenant_cores:.1f} cores)", flush=True,
+                f"(ours {m.our_cores:.1f} / cotenant {m.cotenant_cores:.1f} / steal {m.steal_cores:.1f})", flush=True,
             )
 
             _settle()
@@ -184,12 +187,13 @@ def main() -> None:
             results["conc_window"].append(window)
             results["conc_each"].append([r["elapsed"] for r in rs])
             cotenant["conc"].append(round(m.cotenant_cores, 2))
+            steal["conc"].append(round(m.steal_cores, 2))
             for i, r in enumerate(rs):
                 all_hits.append((f"c{i}", r["hits"]))
             print(
                 f"[round {rnd}] 4x concurrent local[8]: window {window:.1f}s, "
                 f"each {[round(r['elapsed'], 1) for r in rs]} "
-                f"(cotenant {m.cotenant_cores:.1f} cores)", flush=True,
+                f"(ours {m.our_cores:.1f} / cotenant {m.cotenant_cores:.1f} / steal {m.steal_cores:.1f})", flush=True,
             )
 
     # rank identity across EVERY run at every layout
@@ -223,6 +227,7 @@ def main() -> None:
         "conc_window_s": results["conc_window"],
         "conc_each_s": results["conc_each"],
         "cotenant_cores": cotenant,
+        "steal_cores": steal,
         "thr32_docs_s": round(thr32, 1),
         "thr8_solo_docs_s": round(thr8, 1),
         "thr_aggregate_4x8_docs_s": round(thr_agg, 1),

@@ -110,6 +110,7 @@ def main() -> None:
     tmp_base = "/dev/shm" if Path("/dev/shm").exists() else None
     times: dict[str, list[float]] = {v: [] for v in VARIANTS}
     cotenant: dict[str, list[float]] = {v: [] for v in VARIANTS}
+    steal: dict[str, list[float]] = {v: [] for v in VARIANTS}
     with tempfile.TemporaryDirectory(prefix="jvmab_", dir=tmp_base) as base:
         pages = f"{base}/pages"
         subprocess.run(
@@ -128,8 +129,9 @@ def main() -> None:
                     t = _run(name, extra, pages, f"{base}/r{rep}_{name}")
                 times[name].append(t)
                 cotenant[name].append(round(m.cotenant_cores, 2))
+                steal[name].append(round(m.steal_cores, 2))
                 print(f"[rep {rep}] {name}: {t:.1f}s "
-                      f"(cotenant {m.cotenant_cores:.1f} cores)", flush=True)
+                      f"(ours {m.our_cores:.1f} / cotenant {m.cotenant_cores:.1f} / steal {m.steal_cores:.1f})", flush=True)
 
     summary = {
         "mode": "jvm_ab",
@@ -137,6 +139,7 @@ def main() -> None:
         "repeats": repeats,
         "times_s": {k: [round(x, 1) for x in v] for k, v in times.items()},
         "cotenant_cores": cotenant,
+        "steal_cores": steal,
         "min_s": {k: round(min(v), 1) for k, v in times.items()},
         "vs_base": {
             k: round(min(times["base"]) / min(v), 3) for k, v in times.items()

@@ -96,14 +96,24 @@ def _settle_memory() -> None:
 
 
 def main() -> None:
-    # --wait-clean[=secs]: before each interleaved pair, poll the box until
-    # co-tenant load is <= 2 cores (boxmeter) so the pair lands in a clean
-    # window; on timeout proceed anyway — every sample records its own
-    # cotenant number either way.
+    # --wait-clean[=secs]: before each leg, poll the box until co-tenant
+    # load is <= 2 cores (boxmeter); on timeout proceed anyway — every
+    # sample records its own cotenant number either way.
+    # --clean-pairs[=secs]: stronger — ALSO re-run any leg whose measured
+    # cotenant load exceeded CLEAN_CORES (the tenant here oscillates on a
+    # minutes timescale, so a pre-run probe alone can't guarantee a clean
+    # sample; the post-run meter can certify one). A pair whose two legs
+    # each measured clean is valid same-conditions evidence regardless of
+    # when each leg ran — the meter, not adjacency, establishes
+    # comparability. All attempts (dirty included) are recorded.
     wait_clean_s = 0.0
+    clean_pairs = False
     argv = []
     for a in sys.argv:
-        if a.startswith("--wait-clean"):
+        if a.startswith("--clean-pairs"):
+            clean_pairs = True
+            wait_clean_s = float(a.split("=", 1)[1]) if "=" in a else 3600.0
+        elif a.startswith("--wait-clean"):
             wait_clean_s = float(a.split("=", 1)[1]) if "=" in a else 3600.0
         else:
             argv.append(a)
@@ -125,27 +135,51 @@ def main() -> None:
     # "what the job costs when the machine is actually available".
     from boxmeter import PhaseMeter, wait_clean
 
+    CLEAN_CORES = 1.5  # a leg measuring above this is not a clean sample
+    STEAL_CORES = 2.0  # hypervisor steal above this also disqualifies a leg
+    MAX_TRIES = 5  # per leg per repetition, in --clean-pairs mode
+
     times: dict[int, list[float]] = {n_small: [], n_big: []}
     cotenant: dict[int, list[float]] = {n_small: [], n_big: []}
-    hits8 = hits32 = None
+    steal: dict[int, list[float]] = {n_small: [], n_big: []}
+    hits_at: dict[int, object] = {n_small: None, n_big: None}
+
+    def _is_clean(cot: float, stl: float) -> bool:
+        return cot <= CLEAN_CORES and stl <= STEAL_CORES
+
+    def leg(cores: int) -> None:
+        for attempt in range(MAX_TRIES):
+            if wait_clean_s:
+                wait_clean(wait_clean_s, thresh_cores=CLEAN_CORES)
+            _settle_memory()
+            with PhaseMeter() as m:
+                t, hits = run_at(cores, n_docs)
+            times[cores].append(t)
+            cotenant[cores].append(round(m.cotenant_cores, 2))
+            steal[cores].append(round(m.steal_cores, 2))
+            hits_at[cores] = hits
+            clean = _is_clean(m.cotenant_cores, m.steal_cores)
+            print(
+                f"  local[{cores}]: {t:.1f}s (ours {m.our_cores:.1f} / cotenant "
+                f"{m.cotenant_cores:.1f} / steal {m.steal_cores:.1f} cores"
+                f"{'' if clean else ' — DIRTY'})", flush=True,
+            )
+            if clean or not clean_pairs:
+                return
+        print(f"  local[{cores}]: giving up after {MAX_TRIES} dirty attempts",
+              flush=True)
+
     for _ in range(repeats):
-        if wait_clean_s:
-            wait_clean(wait_clean_s)
-        _settle_memory()
-        with PhaseMeter() as m:
-            t, hits8 = run_at(n_small, n_docs)
-        times[n_small].append(t)
-        cotenant[n_small].append(round(m.cotenant_cores, 2))
-        print(f"  local[{n_small}]: {t:.1f}s (cotenant {m.cotenant_cores:.1f} cores)",
-              flush=True)
-        _settle_memory()
-        with PhaseMeter() as m:
-            t, hits32 = run_at(n_big, n_docs)
-        times[n_big].append(t)
-        cotenant[n_big].append(round(m.cotenant_cores, 2))
-        print(f"  local[{n_big}]: {t:.1f}s (cotenant {m.cotenant_cores:.1f} cores)",
-              flush=True)
-    t8, t32 = min(times[n_small]), min(times[n_big])
+        leg(n_small)
+        leg(n_big)
+    hits8, hits32 = hits_at[n_small], hits_at[n_big]
+    # prefer the best CLEAN leg per level; fall back to overall min
+    clean8 = [t for t, c, s in zip(times[n_small], cotenant[n_small], steal[n_small])
+              if _is_clean(c, s)]
+    clean32 = [t for t, c, s in zip(times[n_big], cotenant[n_big], steal[n_big])
+               if _is_clean(c, s)]
+    t8 = min(clean8) if clean8 else min(times[n_small])
+    t32 = min(clean32) if clean32 else min(times[n_big])
     print(f"samples: local[{n_small}]={[round(x,1) for x in times[n_small]]} "
           f"local[{n_big}]={[round(x,1) for x in times[n_big]]}")
 
@@ -163,6 +197,9 @@ def main() -> None:
         "samples32": [round(x, 1) for x in times[n_big]],
         "cotenant8": cotenant[n_small],
         "cotenant32": cotenant[n_big],
+        "steal8": steal[n_small],
+        "steal32": steal[n_big],
+        "clean_pair": bool(clean8 and clean32),
         "t8": round(t8, 2),
         "t32": round(t32, 2),
         "eff": round(eff, 4),

@@ -2,7 +2,7 @@
 
 Usage (spark-submit takes an application file, not -m):
   spark-submit --py-files webindex.zip webindex/cli.py build  <pages_path> <workdir> [--quantize-norms] [--positions]
-  spark-submit --py-files webindex.zip webindex/cli.py query  <workdir> <query> [k]
+  spark-submit --py-files webindex.zip webindex/cli.py query  <workdir> <query> [k] [--operator and] [--msm N]
   spark-submit --py-files webindex.zip webindex/cli.py phrase <workdir> "<phrase>" [k] [--slop N]   (needs --positions build)
   spark-submit --py-files webindex.zip webindex/cli.py lookup-url <workdir> <url>
   spark-submit --py-files webindex.zip webindex/cli.py resume <pages_path> <workdir>
@@ -52,12 +52,34 @@ def main(argv: list[str]) -> int:
         idx = build_index_resumable(spark, pages, argv[3])
         print(f"built (resumable): {idx.n_docs} docs -> {argv[3]}/index")
     elif cmd == "query":
-        from webindex.build import load_index
-        from webindex.query import topk_with_urls
+        from pyspark.sql import functions as F
 
+        from webindex.build import load_index
+        from webindex.query import topk_match, topk_with_urls
+
+        operator, msm = "or", 1
+        if "--operator" in argv:
+            i = argv.index("--operator")
+            operator = argv[i + 1]
+            argv = argv[:i] + argv[i + 2 :]
+        if "--msm" in argv:
+            i = argv.index("--msm")
+            msm = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
         idx = load_index(spark, argv[2])
         k = int(argv[4]) if len(argv) > 4 else 10
-        for row in topk_with_urls(idx, argv[3], k).collect():
+        if operator == "and" or msm > 1:
+            hits = topk_match(
+                idx, argv[3], k, operator=operator, minimum_should_match=msm
+            )
+            rows = (
+                hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .collect()
+            )
+        else:
+            rows = topk_with_urls(idx, argv[3], k).collect()
+        for row in rows:
             print(f"{row['score']:.6f}\t{row['doc_id']}\t{row['url']}")
     elif cmd == "phrase":
         from pyspark.sql import functions as F

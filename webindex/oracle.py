@@ -67,6 +67,33 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def topk_match(
+        self, query: str, k: int, minimum_should_match: int = 1
+    ) -> list[tuple[int, float]]:
+        """ES match with minimum_should_match: only docs containing at least
+        msm distinct query terms rank; scores unchanged (sum over present
+        terms). operator="and" is msm = the query's distinct-term count —
+        including terms absent from the corpus (a required clause that can
+        never match ⇒ empty result), which the CALLER expresses by passing
+        that count."""
+        terms = sorted(set(tokenize(query)))
+        scores: dict[int, float] = {}
+        counts: dict[int, int] = {}
+        for term in terms:
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            idf = self.idf(term)
+            for doc_id, tf in plist:
+                contrib = idf * self.conf.impact(tf, self.doc_lens[doc_id], self.avgdl)
+                scores[doc_id] = scores.get(doc_id, 0.0) + contrib
+                counts[doc_id] = counts.get(doc_id, 0) + 1
+        ranked = sorted(
+            ((d, s) for d, s in scores.items() if counts[d] >= minimum_should_match),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        return ranked[:k]
+
     def topk_phrase_slop(
         self, phrase: str, slop: int, k: int
     ) -> list[tuple[int, float]]:

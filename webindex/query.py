@@ -112,6 +112,7 @@ def _interval_prune(
     tranks: np.ndarray,
     n_terms: int,
     theta: float,
+    msm: int = 1,
 ):
     """Block-max WAND at elementary-interval granularity (pure metadata math).
 
@@ -120,6 +121,12 @@ def _interval_prune(
     in an interval with UB < θ cannot reach the top-k; every doc in a kept
     interval has ALL its blocks decoded (any block containing it overlaps its
     interval), so survivors get exact scores.
+
+    msm > 1 adds the conjunctive coverage prune: a doc matching at least
+    `msm` distinct query terms must live in an interval covered by blocks of
+    at least `msm` distinct terms, so under-covered intervals are dropped
+    (for operator=and, msm = n_terms — the intersection prune, the
+    non-positional analogue of the phrase range prune).
 
     Returns (bounds, interval_keep, block_keep) or None when everything is
     pruned."""
@@ -135,6 +142,8 @@ def _interval_prune(
         seg = ub[t, s : e + 1]
         np.maximum(seg, timps[bi], out=seg)
     interval_keep = ub.sum(axis=0) >= theta
+    if msm > 1:
+        interval_keep &= (ub > 0.0).sum(axis=0) >= msm
     if not interval_keep.any():
         return None
     block_keep = np.zeros(len(tmins), dtype=bool)
@@ -151,13 +160,20 @@ def _score_bucket_fn(
     avgdl: float,
     k: int,
     theta: float,
+    msm: int = 1,
 ):
     """applyInPandas fn: one bucket's blocks (all query terms) -> local top-k.
 
     idf_map/term_rank are keyed by term_hash; term_rank orders by the TERM
     STRING ascending (computed driver-side from term_stats), preserving the
     oracle's deterministic summation order even though blocks only carry
-    hashes. Rows sorted by (doc_id, rank), summed with np.add.reduceat."""
+    hashes. Rows sorted by (doc_id, rank), summed with np.add.reduceat.
+
+    msm > 1 (ES minimum_should_match / operator=and): only docs matching at
+    least msm distinct query terms survive — intervals under-covered at the
+    block-metadata level are pruned before any decode, and the per-doc
+    distinct-term count (row count per doc: a doc appears at most once per
+    term, blocks partition doc ranges) filters the rest post-sum."""
     k1, b, qn = conf.k1, conf.b, conf.quantize_norms
 
     empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
@@ -169,7 +185,7 @@ def _score_bucket_fn(
         keep_mask = None  # block-level decode filter
         bounds = None  # elementary interval bounds (kept intervals only)
         interval_keep = None
-        if theta > 0.0:
+        if theta > 0.0 or msm > 1:
             tmins = pdf["min_doc"].to_numpy(dtype=np.int64)
             tmaxs = pdf["max_doc"].to_numpy(dtype=np.int64)
             # blocks encoded at an older avgdl keep a sound upper bound when
@@ -183,7 +199,7 @@ def _score_bucket_fn(
                 * drift
             )
             tranks = pdf["term_hash"].map(term_rank).to_numpy(dtype=np.int64)
-            pruned = _interval_prune(tmins, tmaxs, timps, tranks, n_terms, theta)
+            pruned = _interval_prune(tmins, tmaxs, timps, tranks, n_terms, theta, msm)
             if pruned is None:
                 return empty
             bounds, interval_keep, keep_mask = pruned
@@ -218,6 +234,13 @@ def _score_bucket_fn(
         starts = np.concatenate(([0], np.nonzero(ids[1:] != ids[:-1])[0] + 1))
         doc_ids = ids[starts]
         scores = np.add.reduceat(contribs, starts)
+        if msm > 1:
+            # rows per doc == distinct matching terms (one row per term/doc)
+            counts = np.diff(np.append(starts, len(ids)))
+            ok = counts >= msm
+            if not ok.any():
+                return empty
+            doc_ids, scores = doc_ids[ok], scores[ok]
         # local top-k: score desc, doc_id asc
         sel = np.lexsort((doc_ids, -scores))[:k]
         return pd.DataFrame({"doc_id": doc_ids[sel], "score": scores[sel]})
@@ -239,10 +262,11 @@ def _run_scored(
     term_rank: dict[int, int],
     k: int,
     theta: float,
+    msm: int = 1,
 ) -> DataFrame:
     blocks = index.postings.filter(F.col("term_hash").isin(list(idf_map)))
     hits = blocks.groupBy("bucket").applyInPandas(
-        _score_bucket_fn(idf_map, term_rank, index.conf, index.avgdl, k, theta),
+        _score_bucket_fn(idf_map, term_rank, index.conf, index.avgdl, k, theta, msm),
         schema=_HIT,
     )
     return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -341,6 +365,48 @@ def topk_wand(
     if stats[rterm][0] > k and est_blocks >= seed_min_blocks:
         theta = _theta_seed(index, stats[rterm][2], stats[rterm][1], k)
     return _run_scored(index, idf_map, term_rank, k, theta)
+
+
+def topk_match(
+    index: Index,
+    query: str,
+    k: int = 10,
+    operator: str = "or",
+    minimum_should_match: int = 1,
+    seed_min_blocks: int | None = None,
+) -> DataFrame:
+    """ES `match`-query execution modes over the same index: operator="and"
+    requires EVERY distinct query term in the doc; minimum_should_match=n
+    requires at least n of them. Scoring is unchanged (sum of the present
+    terms' BM25 contributions — Lucene BooleanQuery with required/optional
+    clauses under the default similarity; the reference's mapping-less ES
+    index serves exactly these modes, reference:
+    src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-262).
+
+    The constraint counts against the QUERY's distinct analyzed terms, so a
+    term absent from the corpus makes operator="and" (or an msm above the
+    present-term count) return empty — Lucene's semantics, since an unknown
+    term is a required clause that can never match.
+
+    Constrained queries run with θ=0: the single-term seed bound is a lower
+    bound on the UNCONSTRAINED k-th best score, not the constrained one
+    (fewer docs qualify), so seeding could prune sound results. The msm
+    coverage prune does the heavy lifting instead — elementary doc-range
+    intervals covered by fewer than msm distinct terms' blocks are dropped
+    at block metadata before any decode (for AND this is the intersection
+    prune; two terms that never share a doc range decode nothing)."""
+    spark = index.postings.sparkSession
+    q_terms = sorted(set(tokenize(query)))
+    if not q_terms:
+        return spark.createDataFrame([], _HIT)
+    msm = len(q_terms) if operator == "and" else int(minimum_should_match)
+    if msm <= 1:
+        return topk_wand(index, query, k, seed_min_blocks)
+    stats = _query_terms(index, query)
+    if msm > len(stats):  # a required term is absent from the corpus
+        return spark.createDataFrame([], _HIT)
+    idf_map, term_rank = _maps_of(stats)
+    return _run_scored(index, idf_map, term_rank, k, theta=0.0, msm=msm)
 
 
 def _batch_seed_round(
