@@ -147,20 +147,58 @@ def probe_cotenant(seconds: float = 6.0) -> float:
     return (box_busy_seconds() - b0) / (time.monotonic() - t0)
 
 
+def probe_steal(burn_cores: int = 8, seconds: float = 3.0) -> float:
+    """Hypervisor steal cores under LOAD. Steal is invisible on an idle VM
+    (the hypervisor only denies CPU that is demanded), so an idle
+    probe_cotenant() happily certifies a window in which an actual run will
+    lose 3+ cores to steal — observed round 4: idle probe 0.0-0.2 busy, then
+    steal 3.3 cores for the whole following leg. This probe spins
+    `burn_cores` child processes for `seconds` and returns the measured
+    steal rate during the burn."""
+    import subprocess
+    import sys
+
+    spin = f"import time\nt=time.monotonic()\nwhile time.monotonic()-t<{seconds}: pass\n"
+    _, s0 = box_cpu_seconds()
+    t0 = time.monotonic()
+    procs = [
+        subprocess.Popen([sys.executable, "-c", spin]) for _ in range(burn_cores)
+    ]
+    for p in procs:
+        p.wait()
+    _, s1 = box_cpu_seconds()
+    return (s1 - s0) / max(1e-6, time.monotonic() - t0)
+
+
 def wait_clean(
     max_wait_s: float,
     thresh_cores: float = 2.0,
     probe_s: float = 6.0,
     poll_s: float = 30.0,
+    steal_thresh_cores: float | None = 2.0,
     log=print,
 ) -> float | None:
     """Poll until the box has <= thresh_cores busy, up to max_wait_s.
-    Returns the clean probe value, or None on timeout (caller proceeds
-    anyway — every sample still carries its own PhaseMeter number)."""
+    When steal_thresh_cores is set, a passing idle probe is followed by a
+    probe_steal() burn — the window is clean only if the box is both idle
+    AND actually deliverable. Returns the clean probe value, or None on
+    timeout (caller proceeds anyway — every sample still carries its own
+    PhaseMeter number)."""
     deadline = time.monotonic() + max_wait_s
     while True:
         busy = probe_cotenant(probe_s)
         if busy <= thresh_cores:
+            if steal_thresh_cores is not None:
+                stl = probe_steal()
+                if stl > steal_thresh_cores:
+                    if time.monotonic() >= deadline:
+                        log(f"[boxmeter] wait-clean timed out (steal {stl:.1f} cores); proceeding metered")
+                        return None
+                    log(f"[boxmeter] box idle but steal {stl:.1f} cores, holding {poll_s:.0f}s")
+                    time.sleep(poll_s)
+                    continue
+                log(f"[boxmeter] window clean ({busy:.1f} busy, steal {stl:.1f} cores)")
+                return busy
             log(f"[boxmeter] window clean ({busy:.1f} busy cores)")
             return busy
         if time.monotonic() >= deadline:
