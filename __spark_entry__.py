@@ -208,6 +208,50 @@ FROM (
 """
 
 
+def _bm25_bool_oracle_sql(
+    must: list[str],
+    should: list[str],
+    must_not: list[str],
+    filt: list[str],
+    k: int,
+    msm: int | None = None,
+) -> str:
+    """ES bool query: must/filt required (filt unscored), should optional
+    with minimum_should_match, must_not excludes. Score = the match-family
+    BM25 sum over must+should terms only; docs matching only filter clauses
+    score 0.0 (webindex/query.py topk_bool)."""
+    required = sorted(set(must) | set(filt))
+    scored = sorted(set(must) | set(should))
+    if msm is None:
+        msm = 0 if required else 1
+    sub = _bm25_score_subquery(scored)
+    req_pred = (
+        " AND ".join(f"list_contains(toks, '{t}')" for t in required) or "TRUE"
+    )
+    excl_pred = (
+        " OR ".join(f"list_contains(toks, '{t}')" for t in sorted(set(must_not)))
+        or "FALSE"
+    )
+    msm_pred = ""
+    if msm > 0:
+        cnt = " + ".join(
+            f"CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END"
+            for t in sorted(set(should))
+        )
+        msm_pred = f" AND ({cnt}) >= {msm}"
+    return f"""
+SELECT doc_id, round(score, 4) AS score
+FROM (
+  SELECT u.doc_id AS doc_id, coalesce(s.score, 0.0) AS score
+  FROM (
+    SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    WHERE {req_pred} AND NOT ({excl_pred}){msm_pred}
+  ) u LEFT JOIN ({sub}) s ON u.doc_id = s.doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+"""
+
+
 def _phrase_common_ctes(slots: list[str]) -> str:
     """Shared WITH-clause body for the phrase oracles: token lists, corpus
     stats, and the phrase's summed idf (duplicates counted)."""
@@ -459,6 +503,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         hits = topk_match(
             _index(spark, sf), "group scan batch", 10, minimum_should_match=2
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_bool(spark, sf):
+        # ES bool compound query: must=data (required+scored),
+        # should=merge/batch (optional+scored), filter=the (required,
+        # unscored), must_not=slow (excludes) — Lucene BooleanQuery under
+        # BM25 (webindex/query.py topk_bool; required-coverage prune at
+        # block metadata)
+        from webindex.query import topk_bool
+
+        hits = topk_bool(
+            _index(spark, sf), must="data", should="merge batch",
+            must_not="slow", filter_="the", k=10,
         )
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
@@ -861,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_rare": bm25_topk_rare,
         "bm25_match_and": bm25_match_and,
         "bm25_match_msm": bm25_match_msm,
+        "bm25_bool": bm25_bool,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_slop": bm25_phrase_slop,
         "bm25_phrase_batch": bm25_phrase_batch,
@@ -930,6 +989,9 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len({toks})), 4) AS avgdl FROM docu
     sql["bm25_topk_rare"] = _bm25_oracle_sql(["batch", "group", "scan"], 10)
     sql["bm25_match_and"] = _bm25_match_oracle_sql(["data", "merge", "the"], 10, 3)
     sql["bm25_match_msm"] = _bm25_match_oracle_sql(["batch", "group", "scan"], 10, 2)
+    sql["bm25_bool"] = _bm25_bool_oracle_sql(
+        ["data"], ["merge", "batch"], ["slow"], ["the"], 10
+    )
     sql["bm25_phrase"] = _bm25_phrase_oracle_sql(["the", "data"], 10)
     sql["bm25_phrase_slop"] = _bm25_phrase_slop_oracle_sql(["the", "data"], 2, 10)
     sql["bm25_phrase_batch"] = _bm25_phrase_batch_oracle_sql(

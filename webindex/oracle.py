@@ -94,6 +94,59 @@ class OracleIndex:
         )
         return ranked[:k]
 
+    def topk_bool(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        filter_: str = "",
+        k: int = 10,
+        minimum_should_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Lucene BooleanQuery semantics, naively from the token streams:
+        must/filter_ required (filter_ unscored), should optional+scored with
+        minimum_should_match (default 0 with a required clause, else 1),
+        must_not excludes. Absent must/filter term -> empty; docs matching
+        only filter clauses score 0.0. Mirrors webindex.query.topk_bool."""
+        must_t, should_t = set(tokenize(must)), set(tokenize(should))
+        not_t, filt_t = set(tokenize(must_not)), set(tokenize(filter_))
+        if (must_t | filt_t) & not_t:
+            return []
+        should_t -= not_t
+        required = must_t | filt_t
+        scored = sorted(must_t | should_t)
+        if any(self.df(t) == 0 for t in required):
+            return []
+        msm = minimum_should_match
+        if msm is None:
+            msm = 0 if required else 1
+        present_should = {t for t in should_t if self.df(t)}
+        if msm > len(present_should):
+            return []
+        if not required and not any(self.df(t) for t in scored):
+            return []
+        hits: list[tuple[int, float]] = []
+        for doc_id, toks in self._toks.items():
+            tokset = set(toks)
+            if not required <= tokset:
+                continue
+            if tokset & not_t:
+                continue
+            if msm > 0 and len(tokset & present_should) < msm:
+                continue
+            if not required and not (tokset & set(scored)):
+                continue
+            cnt = Counter(toks)
+            score = 0.0
+            for t in scored:  # term-ascending summation order
+                if t in tokset and self.df(t):
+                    score += self.idf(t) * self.conf.impact(
+                        cnt[t], self.doc_lens[doc_id], self.avgdl
+                    )
+            hits.append((doc_id, score))
+        hits.sort(key=lambda kv: (-kv[1], kv[0]))
+        return hits[:k]
+
     def topk_phrase_slop(
         self, phrase: str, slop: int, k: int
     ) -> list[tuple[int, float]]:

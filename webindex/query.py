@@ -409,6 +409,197 @@ def topk_match(
     return _run_scored(index, idf_map, term_rank, k, theta=0.0, msm=msm)
 
 
+def _bool_bucket_fn(
+    idf_map: dict[int, float],
+    term_rank: dict[int, int],
+    roles: dict[int, tuple[bool, bool, bool, bool]],
+    conf,
+    avgdl: float,
+    k: int,
+    n_required: int,
+    msm: int,
+):
+    """applyInPandas fn: one bucket's blocks (every clause term, all roles)
+    -> local top-k under Lucene BooleanQuery semantics.
+
+    roles: term_hash -> (required, scored, excluded, should). Buckets
+    partition doc space, so a doc's postings for EVERY clause term live in
+    this one group: required presence, must_not absence, and the
+    minimum_should_match count are all decidable locally, and score (sum of
+    the SCORED terms' BM25 contributions, term-ascending) is exact.
+
+    Metadata prune before any decode: an interval must be covered by blocks
+    of ALL n_required required terms (a required term with no block covering
+    a doc range cannot appear in those docs) and by >= msm distinct should
+    terms. Exclusion can't prune at metadata (absence isn't visible there);
+    excluded terms' blocks in kept intervals decode so their docs drop."""
+    k1, b, qn = conf.k1, conf.b, conf.quantize_norms
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": np.int64, "score": np.float64}
+    )
+    term_row = {t: i for i, t in enumerate(sorted(roles))}
+    req_rows = [term_row[t] for t, r in roles.items() if r[0]]
+    shd_rows = [term_row[t] for t, r in roles.items() if r[3]]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmins = pdf["min_doc"].to_numpy(dtype=np.int64)
+        tmaxs = pdf["max_doc"].to_numpy(dtype=np.int64)
+        th_arr = pdf["term_hash"].to_numpy(dtype=np.int64)
+        bounds = np.unique(np.concatenate((tmins, tmaxs + 1)))
+        n_int = len(bounds) - 1
+        if n_int <= 0:
+            return empty
+        lo = np.searchsorted(bounds, tmins, side="right") - 1
+        hi = np.searchsorted(bounds, tmaxs, side="right") - 1
+        cov = np.zeros((len(term_row), n_int), dtype=bool)
+        for bi in range(len(th_arr)):
+            cov[term_row[int(th_arr[bi])], lo[bi] : hi[bi] + 1] = True
+        interval_keep = np.ones(n_int, dtype=bool)
+        if n_required:
+            interval_keep &= cov[req_rows].sum(axis=0) == n_required
+        if msm > 0:
+            interval_keep &= (
+                cov[shd_rows].sum(axis=0) >= msm
+                if shd_rows
+                else np.zeros(n_int, dtype=bool)
+            )
+        if not interval_keep.any():
+            return empty
+
+        ids_all, ranks_all, contribs_all = [], [], []
+        req_all, shd_all, exc_all = [], [], []
+        rows = zip(pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"])
+        for bi, (th, dbuf, tbuf, lbuf) in enumerate(rows):
+            if not interval_keep[lo[bi] : hi[bi] + 1].any():
+                continue
+            th = int(th)
+            required, scored, excluded, should = roles[th]
+            ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
+            ids_all.append(ids)
+            ranks_all.append(np.full(len(ids), term_rank[th], dtype=np.int32))
+            contribs_all.append(
+                idf_map[th] * codec.bm25_impact(tfs, dls, avgdl, k1, b)
+                if scored
+                else np.zeros(len(ids), dtype=np.float64)
+            )
+            req_all.append(np.full(len(ids), np.int32(required)))
+            shd_all.append(np.full(len(ids), np.int32(should)))
+            exc_all.append(np.full(len(ids), np.int32(excluded)))
+        if not ids_all:
+            return empty
+        ids = np.concatenate(ids_all)
+        ranks = np.concatenate(ranks_all)
+        contribs = np.concatenate(contribs_all)
+        reqf = np.concatenate(req_all)
+        shdf = np.concatenate(shd_all)
+        excf = np.concatenate(exc_all)
+        iv = np.searchsorted(bounds, ids, side="right") - 1
+        doc_keep = (iv >= 0) & (iv < n_int)
+        doc_keep[doc_keep] &= interval_keep[iv[doc_keep]]
+        if not doc_keep.any():
+            return empty
+        ids, ranks, contribs = ids[doc_keep], ranks[doc_keep], contribs[doc_keep]
+        reqf, shdf, excf = reqf[doc_keep], shdf[doc_keep], excf[doc_keep]
+        # scored terms rank lowest (term-ascending), so summing ALL rows in
+        # rank order keeps the oracle's float64 order: the unscored rows add
+        # exact 0.0s, which never perturb an IEEE running sum
+        order = np.lexsort((ranks, ids))
+        ids, contribs = ids[order], contribs[order]
+        reqf, shdf, excf = reqf[order], shdf[order], excf[order]
+        starts = np.concatenate(([0], np.nonzero(ids[1:] != ids[:-1])[0] + 1))
+        doc_ids = ids[starts]
+        scores = np.add.reduceat(contribs, starts)
+        ok = np.ones(len(doc_ids), dtype=bool)
+        if n_required:
+            ok &= np.add.reduceat(reqf, starts) == n_required
+        ok &= np.add.reduceat(excf, starts) == 0
+        if msm > 0:
+            ok &= np.add.reduceat(shdf, starts) >= msm
+        if not ok.any():
+            return empty
+        doc_ids, scores = doc_ids[ok], scores[ok]
+        sel = np.lexsort((doc_ids, -scores))[:k]
+        return pd.DataFrame({"doc_id": doc_ids[sel], "score": scores[sel]})
+
+    return fn
+
+
+def topk_bool(
+    index: Index,
+    must: str = "",
+    should: str = "",
+    must_not: str = "",
+    filter_: str = "",
+    k: int = 10,
+    minimum_should_match: int | None = None,
+) -> DataFrame:
+    """ES `bool` query over the native index — Lucene BooleanQuery under
+    BM25 (the reference's ES backend serves exactly this compound shape,
+    reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-262):
+
+      must      required AND scored
+      filter_   required, NOT scored (constant-score context)
+      should    optional, scored; minimum_should_match defaults to 0 when
+                a required clause exists, else 1 (Lucene's default)
+      must_not  excludes any doc containing one of its terms; never scored
+
+    Each clause is an analyzed string; its distinct tokens are the clause
+    terms. Lucene absence semantics: a must/filter term missing from the
+    corpus makes the query unsatisfiable (empty result); a missing should
+    term just can't contribute (and an msm above the number of PRESENT
+    should terms empties the result); a missing must_not term is ignored.
+    A term both required and excluded is a contradiction -> empty. Docs
+    matching only filter clauses score 0.0 (ES behavior), ordered by doc_id.
+
+    One fused stage, θ=0 (conjunctive constraints make the single-term seed
+    bound unsound, as in topk_match); the required-coverage metadata prune
+    does the heavy lifting — a bucket or interval missing any required
+    term's blocks is skipped before decode."""
+    spark = index.postings.sparkSession
+    must_t, should_t = set(tokenize(must)), set(tokenize(should))
+    not_t, filt_t = set(tokenize(must_not)), set(tokenize(filter_))
+    if (must_t | filt_t) & not_t:
+        return spark.createDataFrame([], _HIT)
+    should_t -= not_t  # could never contribute: its docs are all excluded
+    required = must_t | filt_t
+    scored = must_t | should_t
+    all_terms = required | scored | not_t
+    if not all_terms:
+        return spark.createDataFrame([], _HIT)
+    stats = _query_terms(index, " ".join(sorted(all_terms)))
+    if any(t not in stats for t in required):
+        return spark.createDataFrame([], _HIT)
+    msm = minimum_should_match
+    if msm is None:
+        msm = 0 if required else 1
+    present_should = {t for t in should_t if t in stats}
+    if msm > len(present_should):
+        return spark.createDataFrame([], _HIT)
+    present_scored = sorted(t for t in scored if t in stats)
+    if not required and not present_scored:
+        return spark.createDataFrame([], _HIT)
+    present = {t: stats[t] for t in stats}
+    # scored terms first in term-ascending order (the summation order the
+    # oracle uses); the remaining (filter-only / excluded) terms after, in
+    # term order for stability
+    rest = sorted(t for t in present if t not in present_scored)
+    term_rank = {present[t][2]: i for i, t in enumerate(present_scored + rest)}
+    idf_map = {present[t][2]: present[t][1] for t in present_scored}
+    roles = {
+        present[t][2]: (t in required, t in present_scored, t in not_t, t in present_should)
+        for t in present
+    }
+    blocks = index.postings.filter(F.col("term_hash").isin(list(roles)))
+    hits = blocks.groupBy("bucket").applyInPandas(
+        _bool_bucket_fn(
+            idf_map, term_rank, roles, index.conf, index.avgdl, k,
+            len(required), msm,
+        ),
+        schema=_HIT,
+    )
+    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def _batch_seed_round(
     index: Index, seed_terms: dict[int, float], k: int, m: int
 ) -> dict[int, tuple[float, float, bool]]:
