@@ -520,6 +520,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
+    def agg_terms_lang(spark, sf):
+        # ES terms aggregation in filter context: top langs by count of docs
+        # matching "data merge" — the filter resolves from posting blocks,
+        # only matching doc_ids (longs) meet the stored table
+        # (webindex/aggs.py terms_agg)
+        from webindex.aggs import terms_agg
+
+        stored = _docs(spark, sf).select("doc_id", "lang")
+        return terms_agg(_index(spark, sf), stored, "data merge", "lang", size=10)
+
+    def agg_hist_nchars(spark, sf):
+        # ES histogram aggregation (interval=100 over n_chars) for docs
+        # matching "data merge"; empty buckets omitted (min_doc_count=1)
+        from webindex.aggs import histogram_agg
+
+        stored = _docs(spark, sf).select("doc_id", "n_chars")
+        return histogram_agg(
+            _index(spark, sf), stored, "data merge", "n_chars", interval=100
+        )
+
     def bm25_phrase(spark, sf):
         # match_phrase (slop=0) over a POSITIONAL index: Lucene PhraseQuery
         # under BM25 — tf = phrase frequency, idf = sum over the phrase's
@@ -920,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_and": bm25_match_and,
         "bm25_match_msm": bm25_match_msm,
         "bm25_bool": bm25_bool,
+        "agg_terms_lang": agg_terms_lang,
+        "agg_hist_nchars": agg_hist_nchars,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_slop": bm25_phrase_slop,
         "bm25_phrase_batch": bm25_phrase_batch,
@@ -992,6 +1014,20 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len({toks})), 4) AS avgdl FROM docu
     sql["bm25_bool"] = _bm25_bool_oracle_sql(
         ["data"], ["merge", "batch"], ["slow"], ["the"], 10
     )
+    sql["agg_terms_lang"] = f"""
+SELECT lang, doc_count FROM (
+  SELECT lang, count(*)::BIGINT AS doc_count
+  FROM (SELECT doc_id, lang, {toks} AS tk FROM documents)
+  WHERE list_contains(tk, 'data') OR list_contains(tk, 'merge')
+  GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 10
+)
+"""
+    sql["agg_hist_nchars"] = f"""
+SELECT (n_chars // 100) * 100 AS bucket, count(*)::BIGINT AS doc_count
+FROM (SELECT doc_id, n_chars, {toks} AS tk FROM documents)
+WHERE list_contains(tk, 'data') OR list_contains(tk, 'merge')
+GROUP BY bucket ORDER BY bucket
+"""
     sql["bm25_phrase"] = _bm25_phrase_oracle_sql(["the", "data"], 10)
     sql["bm25_phrase_slop"] = _bm25_phrase_slop_oracle_sql(["the", "data"], 2, 10)
     sql["bm25_phrase_batch"] = _bm25_phrase_batch_oracle_sql(
