@@ -540,6 +540,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index(spark, sf), stored, "data merge", "n_chars", interval=100
         )
 
+    def bm25_highlight(spark, sf):
+        # top-k hits + highlight anchor from the positional index: rarest
+        # present query term (min df, tie term-asc) and its first token
+        # position per hit doc (webindex/query.py highlight_topk)
+        from webindex.query import highlight_topk
+
+        hl = highlight_topk(_index_pos(spark, sf), "data merge", 10)
+        return hl.select(
+            "doc_id", F.round("score", 4).alias("score"), "hl_term", "hl_pos"
+        )
+
     def bm25_phrase(spark, sf):
         # match_phrase (slop=0) over a POSITIONAL index: Lucene PhraseQuery
         # under BM25 — tf = phrase frequency, idf = sum over the phrase's
@@ -942,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool": bm25_bool,
         "agg_terms_lang": agg_terms_lang,
         "agg_hist_nchars": agg_hist_nchars,
+        "bm25_highlight": bm25_highlight,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_slop": bm25_phrase_slop,
         "bm25_phrase_batch": bm25_phrase_batch,
@@ -1027,6 +1039,28 @@ SELECT (n_chars // 100) * 100 AS bucket, count(*)::BIGINT AS doc_count
 FROM (SELECT doc_id, n_chars, {toks} AS tk FROM documents)
 WHERE list_contains(tk, 'data') OR list_contains(tk, 'merge')
 GROUP BY bucket ORDER BY bucket
+"""
+    hl_terms = ["data", "merge"]
+    hl_termlist = ", ".join(f"'{t}'" for t in hl_terms)
+    sql["bm25_highlight"] = f"""
+SELECT doc_id, round(score, 4) AS score, hl_term, hl_pos
+FROM (
+  SELECT c.doc_id, c.score, d.term AS hl_term,
+         list_position(k.toks, d.term) - 1 AS hl_pos,
+         row_number() OVER (
+           PARTITION BY c.doc_id ORDER BY d.df ASC, d.term ASC
+         ) AS rn
+  FROM (
+    SELECT doc_id, score FROM ({_bm25_score_subquery(hl_terms)})
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+  ) c
+  JOIN (SELECT doc_id, {toks} AS toks FROM documents) k USING(doc_id)
+  JOIN (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+    WHERE term IN ({hl_termlist}) GROUP BY term
+  ) d ON list_contains(k.toks, d.term)
+) WHERE rn = 1
 """
     sql["bm25_phrase"] = _bm25_phrase_oracle_sql(["the", "data"], 10)
     sql["bm25_phrase_slop"] = _bm25_phrase_slop_oracle_sql(["the", "data"], 2, 10)

@@ -147,6 +147,22 @@ class OracleIndex:
         hits.sort(key=lambda kv: (-kv[1], kv[0]))
         return hits[:k]
 
+    def highlight_topk(
+        self, query: str, k: int = 10
+    ) -> list[tuple[int, float, str, int]]:
+        """(doc_id, score, hl_term, hl_pos): top-k hits with the rarest
+        (min df, tie term-asc) present query term and its first token
+        position. Mirrors webindex.query.highlight_topk."""
+        out = []
+        for doc_id, score in self.topk(query, k):
+            toks = self._toks[doc_id]
+            present = [
+                t for t in sorted(set(tokenize(query))) if self.df(t) and t in toks
+            ]
+            term = min(present, key=lambda t: (self.df(t), t))
+            out.append((doc_id, score, term, toks.index(term)))
+        return out
+
     def topk_phrase_slop(
         self, phrase: str, slop: int, k: int
     ) -> list[tuple[int, float]]:

@@ -1364,6 +1364,98 @@ def topk_best_fields(
     return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+_HL = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("hl_term", T.StringType(), False),
+        T.StructField("hl_pos", T.LongType(), False),
+    ]
+)
+
+
+def highlight_topk(index: Index, query: str, k: int = 10) -> DataFrame:
+    """Top-k BM25 hits plus a deterministic highlight anchor from the
+    positional index: for each hit doc, the RAREST present query term
+    (min df, tie term-asc — the term a highlighter centers its best
+    fragment on) and that term's first token position in the doc.
+
+    ES serves `highlight` on search responses from the same postings +
+    positions the scorer uses (the reference reads relevance-ordered hits
+    whose matched fields drive display, reference:
+    src/nmr_FAIR_DOs/connectors/elasticsearch.py:280-306); this is the
+    index-side half — (hl_term, hl_pos) — leaving only a stored-field
+    substring slice to render a snippet.
+
+    Cost beyond the top-k query itself: one pruned scan of the query
+    terms' positional blocks restricted to the k hit docs' ranges (k range
+    predicates on block min/max metadata — file/row-group pruning applies),
+    decoding at most k x n_terms first-positions. Everything driver-side
+    is k-scale. The rarest-term pick compares integer document frequencies
+    (never floats), so engine and SQL oracle agree exactly."""
+    if "positions" not in index.postings.columns:
+        raise ValueError(
+            "highlight_topk requires a positional index (build with positions=True)"
+        )
+    spark = index.postings.sparkSession
+    hits = topk_wand(index, query, k).collect()  # k rows
+    if not hits:
+        return spark.createDataFrame([], _HL)
+    stats = _query_terms(index, query)
+    hashes = {h: t for t, (_, _, h) in stats.items()}
+    df_of = {t: d for t, (d, _, _) in stats.items()}
+    ids = np.array(sorted({int(r["doc_id"]) for r in hits}), dtype=np.int64)
+    qn = index.conf.quantize_norms
+    cond = F.lit(False)
+    for i in ids.tolist():
+        cond = cond | ((F.col("min_doc") <= i) & (F.col("max_doc") >= i))
+    blocks = index.postings.filter(F.col("term_hash").isin(list(hashes)) & cond)
+
+    def fn(batches):
+        for pdf in batches:
+            th_o, id_o, pos_o = [], [], []
+            for th, dbuf, tbuf, lbuf, pbuf in zip(
+                pdf["term_hash"], pdf["doc_ids"], pdf["tfs"],
+                pdf["doc_lens"], pdf["positions"],
+            ):
+                bids, tfs, _ = codec.decode_block(
+                    bytes(dbuf), bytes(tbuf), bytes(lbuf), qn
+                )
+                mask = np.isin(bids, ids)
+                if not mask.any():
+                    continue
+                pos, starts = codec.decode_positions(bytes(pbuf), tfs)
+                th_o.append(np.full(int(mask.sum()), int(th), dtype=np.int64))
+                id_o.append(bids[mask])
+                pos_o.append(pos[starts][mask])
+            yield pd.DataFrame(
+                {
+                    "term_hash": np.concatenate(th_o) if th_o else np.array([], dtype=np.int64),
+                    "doc_id": np.concatenate(id_o) if id_o else np.array([], dtype=np.int64),
+                    "pos": np.concatenate(pos_o) if pos_o else np.array([], dtype=np.int64),
+                }
+            )
+
+    rows = blocks.mapInPandas(fn, schema="term_hash long, doc_id long, pos long").collect()
+    best: dict[int, tuple[tuple[int, str], int]] = {}
+    for r in rows:
+        t = hashes[int(r["term_hash"])]
+        key = (df_of[t], t)
+        cur = best.get(int(r["doc_id"]))
+        if cur is None or key < cur[0]:
+            best[int(r["doc_id"])] = (key, int(r["pos"]))
+    out = [
+        (
+            int(r["doc_id"]),
+            float(r["score"]),
+            best[int(r["doc_id"])][0][1],
+            best[int(r["doc_id"])][1],
+        )
+        for r in hits
+    ]
+    return spark.createDataFrame(out, _HL)
+
+
 def lookup_doc(index: Index, doc_id: int) -> DataFrame:
     """Point lookup (reference: tpm_connector.py:166-196 getPIDRecord).
     doc_stats is doc_id-sorted parquet -> min/max pruning hits one file."""
