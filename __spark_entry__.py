@@ -540,6 +540,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index(spark, sf), stored, "data merge", "n_chars", interval=100
         )
 
+    def bm25_search_after(spark, sf):
+        # ES search_after pagination: page 2 of "data merge" (k=10), cursor
+        # = page 1's last (score, doc_id) sort values — the oracle expresses
+        # the same page as OFFSET k (webindex/query.py topk_after)
+        from webindex.query import topk_after, topk_wand
+
+        idx = _index(spark, sf)
+        p1 = topk_wand(idx, "data merge", 10).collect()
+        hits = topk_after(
+            idx, "data merge", 10, after=(p1[-1]["score"], p1[-1]["doc_id"])
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
     def bm25_highlight(spark, sf):
         # top-k hits + highlight anchor from the positional index: rarest
         # present query term (min df, tie term-asc) and its first token
@@ -954,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_lang": agg_terms_lang,
         "agg_hist_nchars": agg_hist_nchars,
         "bm25_highlight": bm25_highlight,
+        "bm25_search_after": bm25_search_after,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_slop": bm25_phrase_slop,
         "bm25_phrase_batch": bm25_phrase_batch,
@@ -1039,6 +1053,13 @@ SELECT (n_chars // 100) * 100 AS bucket, count(*)::BIGINT AS doc_count
 FROM (SELECT doc_id, n_chars, {toks} AS tk FROM documents)
 WHERE list_contains(tk, 'data') OR list_contains(tk, 'merge')
 GROUP BY bucket ORDER BY bucket
+"""
+    sql["bm25_search_after"] = f"""
+SELECT doc_id, round(score, 4) AS score
+FROM (
+  SELECT doc_id, score FROM ({_bm25_score_subquery(["data", "merge"])})
+  ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+)
 """
     hl_terms = ["data", "merge"]
     hl_termlist = ", ".join(f"'{t}'" for t in hl_terms)

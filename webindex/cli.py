@@ -2,8 +2,11 @@
 
 Usage (spark-submit takes an application file, not -m):
   spark-submit --py-files webindex.zip webindex/cli.py build  <pages_path> <workdir> [--quantize-norms] [--positions]
-  spark-submit --py-files webindex.zip webindex/cli.py query  <workdir> <query> [k] [--operator and] [--msm N]
+  spark-submit --py-files webindex.zip webindex/cli.py query  <workdir> <query> [k] [--operator and] [--msm N] [--after score:doc_id]
+  spark-submit --py-files webindex.zip webindex/cli.py bool   <workdir> [k] [--must "..."] [--should "..."] [--must-not "..."] [--filter "..."] [--msm N]
   spark-submit --py-files webindex.zip webindex/cli.py phrase <workdir> "<phrase>" [k] [--slop N]   (needs --positions build)
+  spark-submit --py-files webindex.zip webindex/cli.py highlight <workdir> <query> [k]              (needs --positions build)
+  spark-submit --py-files webindex.zip webindex/cli.py agg    <workdir> <stored_parquet> <query> <field> [--interval N]
   spark-submit --py-files webindex.zip webindex/cli.py lookup-url <workdir> <url>
   spark-submit --py-files webindex.zip webindex/cli.py resume <pages_path> <workdir>
 or locally:
@@ -55,9 +58,9 @@ def main(argv: list[str]) -> int:
         from pyspark.sql import functions as F
 
         from webindex.build import load_index
-        from webindex.query import topk_match, topk_with_urls
+        from webindex.query import topk_after, topk_match, topk_with_urls
 
-        operator, msm = "or", 1
+        operator, msm, after = "or", 1, None
         if "--operator" in argv:
             i = argv.index("--operator")
             operator = argv[i + 1]
@@ -66,9 +69,21 @@ def main(argv: list[str]) -> int:
             i = argv.index("--msm")
             msm = int(argv[i + 1])
             argv = argv[:i] + argv[i + 2 :]
+        if "--after" in argv:
+            i = argv.index("--after")
+            s, d = argv[i + 1].split(":")
+            after = (float(s), int(d))
+            argv = argv[:i] + argv[i + 2 :]
         idx = load_index(spark, argv[2])
         k = int(argv[4]) if len(argv) > 4 else 10
-        if operator == "and" or msm > 1:
+        if after is not None:
+            hits = topk_after(idx, argv[3], k, after=after)
+            rows = (
+                hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .collect()
+            )
+        elif operator == "and" or msm > 1:
             hits = topk_match(
                 idx, argv[3], k, operator=operator, minimum_should_match=msm
             )
@@ -80,7 +95,73 @@ def main(argv: list[str]) -> int:
         else:
             rows = topk_with_urls(idx, argv[3], k).collect()
         for row in rows:
-            print(f"{row['score']:.6f}\t{row['doc_id']}\t{row['url']}")
+            print(f"{row['score']:.17g}\t{row['doc_id']}\t{row['url']}")
+    elif cmd == "bool":
+        from pyspark.sql import functions as F
+
+        from webindex.build import load_index
+        from webindex.query import topk_bool
+
+        clauses = {"--must": "", "--should": "", "--must-not": "", "--filter": ""}
+        msm = None
+        for flag in list(clauses):
+            if flag in argv:
+                i = argv.index(flag)
+                clauses[flag] = argv[i + 1]
+                argv = argv[:i] + argv[i + 2 :]
+        if "--msm" in argv:
+            i = argv.index("--msm")
+            msm = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+        idx = load_index(spark, argv[2])
+        k = int(argv[3]) if len(argv) > 3 else 10
+        hits = topk_bool(
+            idx, must=clauses["--must"], should=clauses["--should"],
+            must_not=clauses["--must-not"], filter_=clauses["--filter"],
+            k=k, minimum_should_match=msm,
+        )
+        rows = (
+            hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        for row in rows:
+            print(f"{row['score']:.17g}\t{row['doc_id']}\t{row['url']}")
+    elif cmd == "highlight":
+        from webindex.build import load_index
+        from webindex.query import highlight_topk
+
+        idx = load_index(spark, argv[2])
+        k = int(argv[4]) if len(argv) > 4 else 10
+        for row in highlight_topk(idx, argv[3], k).collect():
+            print(
+                f"{row['score']:.17g}\t{row['doc_id']}\t"
+                f"{row['hl_term']}@{row['hl_pos']}"
+            )
+    elif cmd == "agg":
+        from webindex.aggs import histogram_agg, terms_agg
+        from webindex.build import load_index
+
+        interval = None
+        if "--interval" in argv:
+            i = argv.index("--interval")
+            interval = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+        idx = load_index(spark, argv[2])
+        stored = spark.read.parquet(argv[3])
+        if "doc_id" not in stored.columns:
+            # stored fields keyed like the CLI build keys the index
+            from webindex.build import assign_doc_ids
+
+            stored = assign_doc_ids(stored)
+        if interval is not None:
+            rows = histogram_agg(idx, stored, argv[4], argv[5], interval).collect()
+            for row in rows:
+                print(f"{row['bucket']}\t{row['doc_count']}")
+        else:
+            rows = terms_agg(idx, stored, argv[4], argv[5]).collect()
+            for row in rows:
+                print(f"{row[argv[5]]}\t{row['doc_count']}")
     elif cmd == "phrase":
         from pyspark.sql import functions as F
 
@@ -101,7 +182,7 @@ def main(argv: list[str]) -> int:
             .collect()
         )
         for row in rows:
-            print(f"{row['score']:.6f}\t{row['doc_id']}\t{row['url']}")
+            print(f"{row['score']:.17g}\t{row['doc_id']}\t{row['url']}")
     elif cmd == "lookup-url":
         from webindex.build import load_index
         from webindex.query import lookup_url

@@ -94,6 +94,17 @@ class OracleIndex:
         )
         return ranked[:k]
 
+    def topk_after(
+        self, query: str, k: int, after: tuple[float, int]
+    ) -> list[tuple[int, float]]:
+        """search_after: the k results strictly after cursor (score, doc_id)
+        in (score desc, doc_id asc) order. Mirrors webindex.query.topk_after."""
+        s_a, d_a = after
+        ranked = sorted(self.score_all(query).items(), key=lambda kv: (-kv[1], kv[0]))
+        return [
+            (d, s) for d, s in ranked if s < s_a or (s == s_a and d > d_a)
+        ][:k]
+
     def topk_bool(
         self,
         must: str = "",

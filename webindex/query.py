@@ -161,6 +161,7 @@ def _score_bucket_fn(
     k: int,
     theta: float,
     msm: int = 1,
+    after: tuple[float, int] | None = None,
 ):
     """applyInPandas fn: one bucket's blocks (all query terms) -> local top-k.
 
@@ -241,6 +242,16 @@ def _score_bucket_fn(
             if not ok.any():
                 return empty
             doc_ids, scores = doc_ids[ok], scores[ok]
+        if after is not None:
+            # search_after cursor: keep docs strictly after (s_a, d_a) in
+            # (score desc, doc_id asc) rank order. Scores are deterministic
+            # float64 (fixed summation order), so == against a cursor taken
+            # from a previous page of THIS engine is exact
+            s_a, d_a = after
+            m = (scores < s_a) | ((scores == s_a) & (doc_ids > d_a))
+            if not m.any():
+                return empty
+            doc_ids, scores = doc_ids[m], scores[m]
         # local top-k: score desc, doc_id asc
         sel = np.lexsort((doc_ids, -scores))[:k]
         return pd.DataFrame({"doc_id": doc_ids[sel], "score": scores[sel]})
@@ -263,10 +274,13 @@ def _run_scored(
     k: int,
     theta: float,
     msm: int = 1,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     blocks = index.postings.filter(F.col("term_hash").isin(list(idf_map)))
     hits = blocks.groupBy("bucket").applyInPandas(
-        _score_bucket_fn(idf_map, term_rank, index.conf, index.avgdl, k, theta, msm),
+        _score_bucket_fn(
+            idf_map, term_rank, index.conf, index.avgdl, k, theta, msm, after
+        ),
         schema=_HIT,
     )
     return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -407,6 +421,35 @@ def topk_match(
         return spark.createDataFrame([], _HIT)
     idf_map, term_rank = _maps_of(stats)
     return _run_scored(index, idf_map, term_rank, k, theta=0.0, msm=msm)
+
+
+def topk_after(
+    index: Index,
+    query: str,
+    k: int = 10,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """ES `search_after` pagination: the next k results STRICTLY after the
+    cursor `after = (score, doc_id)` in (score desc, doc_id asc) rank order
+    — the cursor is the previous page's last row's sort values, exactly as
+    the reference pages its scans (reference:
+    src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-306, search_after over
+    sorted hits; ES deprecates from+size for deep pages in favor of this).
+
+    Stateless like ES's: no server-side scroll context — each page is one
+    query carrying the cursor. Scores are deterministic float64 with a
+    fixed summation order, so the == half of the cursor comparison is exact
+    against any cursor this engine produced. Runs with θ=0: a top-k seed
+    bound would prune exactly the below-θ docs later pages must return
+    (deep pagination re-scores candidates — same trade ES makes)."""
+    if after is None:
+        return topk_wand(index, query, k)
+    spark = index.postings.sparkSession
+    stats = _query_terms(index, query)
+    if not stats:
+        return spark.createDataFrame([], _HIT)
+    idf_map, term_rank = _maps_of(stats)
+    return _run_scored(index, idf_map, term_rank, k, theta=0.0, after=after)
 
 
 def _bool_bucket_fn(
