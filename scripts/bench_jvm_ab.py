@@ -102,6 +102,11 @@ def main() -> None:
     for a in sys.argv:
         if a.startswith("--wait-clean"):
             wait_clean_s = float(a.split("=", 1)[1]) if "=" in a else 3600.0
+        elif a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+            for v in list(VARIANTS):
+                if v not in only:
+                    del VARIANTS[v]
         else:
             argv.append(a)
     sys.argv = argv
