@@ -540,6 +540,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index(spark, sf), stored, "data merge", "n_chars", interval=100
         )
 
+    def bm25_prefix(spark, sf):
+        # ES prefix query under the constant-score rewrite: docs containing
+        # any indexed term starting with "mer" score 1.0, doc_id order
+        # (webindex/query.py topk_prefix; distributed dictionary expansion)
+        from webindex.query import topk_prefix
+
+        return topk_prefix(_index(spark, sf), "mer", 10)
+
+    def bm25_fuzzy(spark, sf):
+        # ES fuzzy query: Levenshtein<=1 expansion of "merge" against the
+        # term dictionary (capped 50 by df desc, term asc — Lucene
+        # top_terms), dis_max BM25 over matched expansions
+        # (webindex/query.py topk_fuzzy)
+        from webindex.query import topk_fuzzy
+
+        hits = topk_fuzzy(_index(spark, sf), "merge", 10, fuzziness=1)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
     def bm25_search_after(spark, sf):
         # ES search_after pagination: page 2 of "data merge" (k=10), cursor
         # = page 1's last (score, doc_id) sort values — the oracle expresses
@@ -968,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hist_nchars": agg_hist_nchars,
         "bm25_highlight": bm25_highlight,
         "bm25_search_after": bm25_search_after,
+        "bm25_prefix": bm25_prefix,
+        "bm25_fuzzy": bm25_fuzzy,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_slop": bm25_phrase_slop,
         "bm25_phrase_batch": bm25_phrase_batch,
@@ -1059,6 +1079,37 @@ SELECT doc_id, round(score, 4) AS score
 FROM (
   SELECT doc_id, score FROM ({_bm25_score_subquery(["data", "merge"])})
   ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+)
+"""
+    sql["bm25_prefix"] = f"""
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM (SELECT doc_id, {toks} AS tk FROM documents)
+WHERE len(list_filter(tk, t -> t LIKE 'mer%')) > 0
+ORDER BY doc_id ASC LIMIT 10
+"""
+    sql["bm25_fuzzy"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS dl FROM tok),
+c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+alltf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term
+),
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY term),
+exp AS (
+  SELECT term, df FROM alldf WHERE levenshtein(term, 'merge') <= 1
+  ORDER BY df DESC, term ASC LIMIT 50
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (c.n - e.df + 0.5)/(e.df + 0.5))
+         * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl)) AS contrib
+  FROM alltf tf JOIN exp e USING(term) JOIN d ON tf.doc_id = d.doc_id CROSS JOIN c
+)
+SELECT doc_id, round(score, 4) AS score
+FROM (
+  SELECT doc_id, max(contrib) AS score FROM contrib GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10
 )
 """
     hl_terms = ["data", "merge"]

@@ -1,0 +1,76 @@
+"""Term-level (dictionary-expanded) queries: ES `prefix` (constant-score)
+and `fuzzy` (Levenshtein expansion, dis_max scoring) vs the pure-python
+oracle.
+
+reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-262 (the same
+mapping-less index serves ES's term-level query family)."""
+
+import numpy as np
+import pytest
+
+from webindex.build import build_index
+from webindex.oracle import OracleIndex
+from webindex.pagesgen import make_pages_pdf
+from webindex.query import topk_fuzzy, topk_prefix, topk_wand
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    pdf = make_pages_pdf(0, N_DOCS)
+    pdf.insert(0, "doc_id", np.arange(N_DOCS, dtype=np.int64))
+    return build_index(
+        spark, spark.createDataFrame(pdf), text_col="text",
+        doc_id_method="provided", range_width=32,
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    pdf = make_pages_pdf(0, N_DOCS)
+    return OracleIndex({i: pdf["text"][i] for i in range(N_DOCS)})
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+@pytest.mark.parametrize("prefix", ["mer", "w15", "d"])
+def test_prefix_vs_oracle(idx, oracle, prefix):
+    want = oracle.topk_prefix(prefix, 10)
+    assert _rows(topk_prefix(idx, prefix, 10)) == want
+    # semantic: each hit genuinely contains a term with the prefix
+    for doc_id, score in want:
+        assert score == 1.0
+        assert any(t.startswith(prefix) for t in oracle._toks[doc_id])
+
+
+def test_prefix_max_expansions(idx, oracle):
+    capped = _rows(topk_prefix(idx, "w", 200, max_expansions=3))
+    assert capped == oracle.topk_prefix("w", 200, max_expansions=3)
+    full = _rows(topk_prefix(idx, "w", 200))
+    assert {d for d, _ in capped} <= {d for d, _ in full}
+
+
+def test_prefix_no_match_empty(idx):
+    assert _rows(topk_prefix(idx, "zzqq", 10)) == []
+
+
+@pytest.mark.parametrize("word", ["merge", "w150", "data"])
+def test_fuzzy_vs_oracle(idx, oracle, word):
+    want = [(d, round(s, 9)) for d, s in oracle.topk_fuzzy(word, 10)]
+    assert _rows(topk_fuzzy(idx, word, 10)) == want
+
+
+def test_fuzzy_expansion_bites(idx, oracle):
+    """fuzziness=1 on a tail term matches sibling tail terms (w150 -> w151,
+    w110, ...): the fuzzy result covers docs the exact query misses."""
+    exact = {d for d, _ in _rows(topk_wand(idx, "w150", 200))}
+    fuzzy = {d for d, _ in _rows(topk_fuzzy(idx, "w150", 200, max_expansions=500))}
+    assert exact <= fuzzy
+    assert len(fuzzy) > len(exact)
+
+
+def test_fuzzy_no_match_empty(idx):
+    assert _rows(topk_fuzzy(idx, "zzqqxxunseen", 10)) == []

@@ -37,9 +37,15 @@ def matching_doc_ids(index: Index, query: str, msm: int = 1) -> DataFrame:
     One pruned block scan + per-bucket numpy unique; a doc's postings for
     every query term live in the same doc-range bucket, so bucket-local
     unique is globally unique and bucket-local term counts are exact."""
-    spark = index.postings.sparkSession
     stats = _query_terms(index, query)
-    hashes = [h for (_, _, h) in stats.values()]
+    return ids_for_hashes(index, [h for (_, _, h) in stats.values()], msm)
+
+
+def ids_for_hashes(index: Index, hashes: list[int], msm: int = 1) -> DataFrame:
+    """(doc_id) for docs containing >= msm distinct terms from a term-hash
+    set (the shared kernel for match filters and dictionary-expanded
+    queries like prefix)."""
+    spark = index.postings.sparkSession
     if not hashes or msm > len(hashes):
         return spark.createDataFrame([], _IDS)
     qn = index.conf.quantize_norms

@@ -94,6 +94,47 @@ class OracleIndex:
         )
         return ranked[:k]
 
+    def topk_prefix(
+        self, prefix: str, k: int, max_expansions: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Constant-score prefix query: docs containing any term starting
+        with `prefix` score 1.0, order doc_id asc. Mirrors query.topk_prefix."""
+        terms = [t for t in self.postings if t.startswith(prefix)]
+        if max_expansions is not None:
+            terms = sorted(terms, key=lambda t: (-self.df(t), t))[:max_expansions]
+        docs = sorted({d for t in terms for d, _ in self.postings[t]})
+        return [(d, 1.0) for d in docs[:k]]
+
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def topk_fuzzy(
+        self, word: str, k: int, fuzziness: int = 1, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """Fuzzy query: expansion within Levenshtein `fuzziness` (capped by
+        df desc, term asc), dis_max BM25 over matched expansions. Mirrors
+        webindex.query.topk_fuzzy."""
+        terms = [t for t in self.postings if self._lev(t, word) <= fuzziness]
+        terms = sorted(terms, key=lambda t: (-self.df(t), t))[:max_expansions]
+        scores: dict[int, float] = {}
+        for t in terms:
+            idf = self.idf(t)
+            for doc_id, tf in self.postings[t]:
+                c = idf * self.conf.impact(tf, self.doc_lens[doc_id], self.avgdl)
+                if c > scores.get(doc_id, -1.0):
+                    scores[doc_id] = c
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def topk_after(
         self, query: str, k: int, after: tuple[float, int]
     ) -> list[tuple[int, float]]:

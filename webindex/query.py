@@ -601,6 +601,12 @@ def topk_bool(
     spark = index.postings.sparkSession
     must_t, should_t = set(tokenize(must)), set(tokenize(should))
     not_t, filt_t = set(tokenize(must_not)), set(tokenize(filter_))
+    if should_t and not (must_t | not_t | filt_t) and (
+        minimum_should_match is None or minimum_should_match <= 1
+    ):
+        # pure-should bool IS the match query — route to the WAND path so
+        # it keeps θ-seeded block-max pruning (sound there: no constraints)
+        return topk_wand(index, should, k)
     if (must_t | filt_t) & not_t:
         return spark.createDataFrame([], _HIT)
     should_t -= not_t  # could never contribute: its docs are all excluded
@@ -1405,6 +1411,116 @@ def topk_best_fields(
         .agg(F.min("field").alias("field"))
     )
     return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _expansions(
+    index: Index, pred: F.Column, max_expansions: int | None
+) -> list:
+    """Dictionary expansion rows [(term, df, idf, term_hash)] for a
+    term-level query, deterministically capped like Lucene's top_terms
+    rewrite: highest df first, term asc tie-break. The dictionary filter
+    runs distributed over term_stats (vocab-scale, never collected whole);
+    only the capped expansion set reaches the driver."""
+    rows = index.term_stats.filter(pred).select("term", "df", "idf", "term_hash")
+    if max_expansions is not None:
+        rows = rows.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions)
+    return rows.collect()
+
+
+def topk_prefix(
+    index: Index, prefix: str, k: int = 10, max_expansions: int | None = None
+) -> DataFrame:
+    """ES `prefix` query: docs containing any indexed term starting with
+    `prefix`, under the constant-score rewrite (Lucene PrefixQuery's
+    default CONSTANT_SCORE rewrite — every matching doc scores 1.0; ES
+    serves term-level queries over the same inverted index as the match
+    family, reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-262).
+
+    Results order by doc_id asc (scores all equal). The dictionary
+    expansion is distributed (term_stats filter with a pushed-down string
+    predicate); an optional max_expansions caps it by df desc, term asc —
+    the top_terms rewrite's deterministic pick."""
+    from webindex.aggs import ids_for_hashes
+
+    exp = _expansions(
+        index, F.col("term").startswith(prefix), max_expansions
+    )
+    ids = ids_for_hashes(index, [int(r["term_hash"]) for r in exp])
+    return (
+        ids.withColumn("score", F.lit(1.0))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def _dismax_bucket_fn(idf_map: dict[int, float], conf, avgdl: float, k: int):
+    """applyInPandas fn: one bucket's expansion-term blocks -> local top-k
+    under dis_max scoring (score = MAX over matched expansions of that
+    term's BM25 contribution — order-independent, so no summation-order
+    bookkeeping is needed)."""
+    k1, b, qn = conf.k1, conf.b, conf.quantize_norms
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": np.int64, "score": np.float64}
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_all, contribs_all = [], []
+        for th, dbuf, tbuf, lbuf in zip(
+            pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
+        ):
+            ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
+            ids_all.append(ids)
+            contribs_all.append(
+                idf_map[int(th)] * codec.bm25_impact(tfs, dls, avgdl, k1, b)
+            )
+        if not ids_all:
+            return empty
+        ids = np.concatenate(ids_all)
+        contribs = np.concatenate(contribs_all)
+        order = np.argsort(ids, kind="stable")
+        ids, contribs = ids[order], contribs[order]
+        starts = np.concatenate(([0], np.nonzero(ids[1:] != ids[:-1])[0] + 1))
+        doc_ids = ids[starts]
+        scores = np.maximum.reduceat(contribs, starts)
+        sel = np.lexsort((doc_ids, -scores))[:k]
+        return pd.DataFrame({"doc_id": doc_ids[sel], "score": scores[sel]})
+
+    return fn
+
+
+def topk_fuzzy(
+    index: Index,
+    word: str,
+    k: int = 10,
+    fuzziness: int = 1,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES `fuzzy` query: expand `word` to indexed terms within Levenshtein
+    distance `fuzziness`, score each doc as the MAX BM25 contribution over
+    its matched expansions (dis_max across the expansion disjunction — the
+    deterministic sibling of Lucene's blended-freqs rewrite, chosen so the
+    engine and the SQL oracle agree exactly; max is order-independent, so
+    float summation order doesn't even arise).
+
+    The expansion runs distributed: F.levenshtein against the term_stats
+    dictionary (JVM-side, vocab-scale, never collected uncapped), capped
+    at max_expansions by df desc / term asc — Lucene top_terms_N's pick.
+    The exact term, when indexed, is distance 0 and always qualifies."""
+    spark = index.postings.sparkSession
+    exp = _expansions(
+        index,
+        F.levenshtein(F.col("term"), F.lit(word)) <= fuzziness,
+        max_expansions,
+    )
+    if not exp:
+        return spark.createDataFrame([], _HIT)
+    idf_map = {int(r["term_hash"]): float(r["idf"]) for r in exp}
+    blocks = index.postings.filter(F.col("term_hash").isin(list(idf_map)))
+    hits = blocks.groupBy("bucket").applyInPandas(
+        _dismax_bucket_fn(idf_map, index.conf, index.avgdl, k), schema=_HIT
+    )
+    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 _HL = T.StructType(
