@@ -252,6 +252,56 @@ FROM (
 """
 
 
+def _bm25_phrase_prefix_oracle_sql(
+    fixed: list[str], prefix: str, k: int, max_exp: int = 50
+) -> str:
+    """match_phrase_prefix: last slot expands to dictionary terms LIKE
+    'prefix%' (capped by df desc, term asc); per-expansion exact-phrase
+    score (summed idf: fixed slots + the expansion term); dis_max merge
+    (webindex/query.py topk_phrase_prefix)."""
+    n = len(fixed) + 1
+    fixed_rows = ", ".join(f"('{t}')" for t in fixed)
+    fixed_conds = " AND ".join(
+        f"t.toks[i+{j}] = '{s}'" for j, s in enumerate(fixed)
+    )
+    and_sep = " AND " if fixed_conds else ""
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS dl FROM tok),
+c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+alldf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term
+),
+exp AS (
+  SELECT term, df FROM alldf WHERE term LIKE '{prefix}%'
+  ORDER BY df DESC, term ASC LIMIT {max_exp}
+),
+fixedidf AS (
+  SELECT coalesce(sum(ln(1.0 + (c.n - a.df + 0.5)/(a.df + 0.5))), 0.0) AS v
+  FROM (VALUES {fixed_rows}) s(term) JOIN alldf a USING(term) CROSS JOIN c
+),
+pf AS (
+  SELECT t.doc_id, e.df AS edf,
+         len(list_filter(generate_series(1, len(t.toks) - {n - 1}),
+             i -> {fixed_conds}{and_sep}t.toks[i+{n - 1}] = e.term)) AS ptf
+  FROM tok t CROSS JOIN exp e
+),
+sc AS (
+  SELECT pf.doc_id,
+         (fixedidf.v + ln(1.0 + (c.n - pf.edf + 0.5)/(pf.edf + 0.5)))
+           * pf.ptf / (pf.ptf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl)) AS score
+  FROM pf JOIN d USING(doc_id) CROSS JOIN c CROSS JOIN fixedidf
+  WHERE pf.ptf > 0
+)
+SELECT doc_id, round(score, 4) AS score
+FROM (
+  SELECT doc_id, max(score) AS score FROM sc GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+"""
+
+
 def _phrase_common_ctes(slots: list[str]) -> str:
     """Shared WITH-clause body for the phrase oracles: token lists, corpus
     stats, and the phrase's summed idf (duplicates counted)."""
@@ -539,6 +589,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return histogram_agg(
             _index(spark, sf), stored, "data merge", "n_chars", interval=100
         )
+
+    def bm25_phrase_prefix(spark, sf):
+        # ES match_phrase_prefix (autocomplete): "the s" — last slot expands
+        # to the s* dictionary terms, dis_max over the expanded exact
+        # phrases via ONE shared positional scan
+        # (webindex/query.py topk_phrase_prefix)
+        from webindex.query import topk_phrase_prefix
+
+        hits = topk_phrase_prefix(_index_pos(spark, sf), "the s", 10)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
 
     def bm25_prefix(spark, sf):
         # ES prefix query under the constant-score rewrite: docs containing
@@ -988,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_after": bm25_search_after,
         "bm25_prefix": bm25_prefix,
         "bm25_fuzzy": bm25_fuzzy,
+        "bm25_phrase_prefix": bm25_phrase_prefix,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_slop": bm25_phrase_slop,
         "bm25_phrase_batch": bm25_phrase_batch,
@@ -1081,6 +1142,7 @@ FROM (
   ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
 )
 """
+    sql["bm25_phrase_prefix"] = _bm25_phrase_prefix_oracle_sql(["the"], "s", 10)
     sql["bm25_prefix"] = f"""
 SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM (SELECT doc_id, {toks} AS tk FROM documents)

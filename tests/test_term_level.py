@@ -74,3 +74,32 @@ def test_fuzzy_expansion_bites(idx, oracle):
 
 def test_fuzzy_no_match_empty(idx):
     assert _rows(topk_fuzzy(idx, "zzqqxxunseen", 10)) == []
+
+
+@pytest.fixture(scope="module")
+def idx_pos(spark):
+    pdf = make_pages_pdf(0, N_DOCS)
+    pdf.insert(0, "doc_id", np.arange(N_DOCS, dtype=np.int64))
+    return build_index(
+        spark, spark.createDataFrame(pdf), text_col="text",
+        doc_id_method="provided", range_width=32, positions=True,
+    )
+
+
+@pytest.mark.parametrize("phrase,kw", [
+    ("the d", {}),
+    ("data m", {}),
+    ("the da", {"max_expansions": 2}),
+    ("the w1", {"slop": 1}),
+])
+def test_phrase_prefix_vs_oracle(idx_pos, oracle, phrase, kw):
+    from webindex.query import topk_phrase_prefix
+
+    want = [(d, round(s, 9)) for d, s in oracle.topk_phrase_prefix(phrase, 10, **kw)]
+    assert _rows(topk_phrase_prefix(idx_pos, phrase, 10, **kw)) == want
+
+
+def test_phrase_prefix_no_expansion_empty(idx_pos):
+    from webindex.query import topk_phrase_prefix
+
+    assert _rows(topk_phrase_prefix(idx_pos, "the zzqq", 10)) == []

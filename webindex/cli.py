@@ -7,6 +7,7 @@ Usage (spark-submit takes an application file, not -m):
   spark-submit --py-files webindex.zip webindex/cli.py phrase <workdir> "<phrase>" [k] [--slop N]   (needs --positions build)
   spark-submit --py-files webindex.zip webindex/cli.py highlight <workdir> <query> [k]              (needs --positions build)
   spark-submit --py-files webindex.zip webindex/cli.py agg    <workdir> <stored_parquet> <query> <field> [--interval N]
+  spark-submit --py-files webindex.zip webindex/cli.py phrase-prefix <workdir> "<phrase>" [k] [--slop N] [--max-expansions N]  (needs --positions build)
   spark-submit --py-files webindex.zip webindex/cli.py prefix <workdir> <prefix> [k] [--max-expansions N]
   spark-submit --py-files webindex.zip webindex/cli.py fuzzy  <workdir> <word> [k] [--fuzziness N] [--max-expansions N]
   spark-submit --py-files webindex.zip webindex/cli.py lookup-url <workdir> <url>
@@ -178,6 +179,33 @@ def main(argv: list[str]) -> int:
         idx = load_index(spark, argv[2])
         k = int(argv[4]) if len(argv) > 4 else 10
         hits = topk_phrase(idx, argv[3], k, slop=slop)
+        rows = (
+            hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        for row in rows:
+            print(f"{row['score']:.17g}\t{row['doc_id']}\t{row['url']}")
+    elif cmd == "phrase-prefix":
+        from pyspark.sql import functions as F
+
+        from webindex.build import load_index
+        from webindex.query import topk_phrase_prefix
+
+        slop, max_exp = 0, 50
+        if "--slop" in argv:
+            i = argv.index("--slop")
+            slop = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+        if "--max-expansions" in argv:
+            i = argv.index("--max-expansions")
+            max_exp = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+        idx = load_index(spark, argv[2])
+        k = int(argv[4]) if len(argv) > 4 else 10
+        hits = topk_phrase_prefix(
+            idx, argv[3], k, max_expansions=max_exp, slop=slop
+        )
         rows = (
             hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
             .orderBy(F.desc("score"), F.asc("doc_id"))

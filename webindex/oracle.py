@@ -135,6 +135,32 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def topk_phrase_prefix(
+        self, phrase: str, k: int, max_expansions: int = 50, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """match_phrase_prefix: dis_max over the last-term expansions'
+        exact-phrase scores, evaluated EXHAUSTIVELY per expansion (no
+        top-k union shortcut — the naive cross-check for the engine's
+        union argument). Mirrors webindex.query.topk_phrase_prefix."""
+        toks = tokenize(phrase)
+        if not toks:
+            return []
+        *fixed, last = toks
+        terms = [t for t in self.postings if t.startswith(last)]
+        terms = sorted(terms, key=lambda t: (-self.df(t), t))[:max_expansions]
+        scores: dict[int, float] = {}
+        for t in terms:
+            q = " ".join(fixed + [t])
+            res = (
+                self.topk_phrase(q, self.n_docs)
+                if slop == 0
+                else self.topk_phrase_slop(q, slop, self.n_docs)
+            )
+            for d, s in res:
+                if s > scores.get(d, -1.0):
+                    scores[d] = s
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def topk_after(
         self, query: str, k: int, after: tuple[float, int]
     ) -> list[tuple[int, float]]:

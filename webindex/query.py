@@ -1523,6 +1523,53 @@ def topk_fuzzy(
     return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def topk_phrase_prefix(
+    index: Index,
+    phrase: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    slop: int = 0,
+) -> DataFrame:
+    """ES `match_phrase_prefix` (the autocomplete query): the phrase's LAST
+    term is a prefix, expanded against the term dictionary (capped at
+    max_expansions by df desc / term asc — ES's default cap is 50); a doc
+    scores as the MAX over the expanded exact phrases' scores (dis_max
+    across the expansion disjunction, the same deterministic rewrite
+    topk_fuzzy uses; the reference's ES index serves this family over the
+    same positions, reference:
+    src/nmr_FAIR_DOs/connectors/elasticsearch.py:169-173, :250-262).
+
+    Exactness of the batch-union evaluation: the final top-k is contained
+    in the union of the per-expansion top-k's — if doc d makes the final
+    top-k via expansion e*, fewer than k docs out-rank d in the final
+    order, and every doc out-ranking d within e* (higher score, or equal
+    score with smaller doc_id) has dis_max out-ranking d too, so d is in
+    e*'s own top-k and its exact best score is present in the union. Docs
+    outside their best expansion's top-k can only be UNDER-represented,
+    which cannot promote them past a true top-k doc. So one
+    topk_phrase_batch over the expanded phrases (ONE shared scan, shared
+    per-bucket decode cache) + a max-per-doc merge is byte-exact."""
+    spark = index.postings.sparkSession
+    toks = tokenize(phrase)
+    if not toks:
+        return spark.createDataFrame([], _HIT)
+    *fixed, last = toks
+    exp = _expansions(index, F.col("term").startswith(last), max_expansions)
+    if not exp:
+        return spark.createDataFrame([], _HIT)
+    queries = {
+        f"e{i:04d}": " ".join(fixed + [t])
+        for i, t in enumerate(sorted(r["term"] for r in exp))
+    }
+    res = topk_phrase_batch(index, queries, k, slop=slop)
+    return (
+        res.groupBy("doc_id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 _HL = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
