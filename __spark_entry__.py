@@ -580,6 +580,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stored = _docs(spark, sf).select("doc_id", "lang")
         return terms_agg(_index(spark, sf), stored, "data merge", "lang", size=10)
 
+    def agg_significant_terms(spark, sf):
+        # ES significant_terms: JLH-scored foreground-vs-background term
+        # significance for docs matching "slow" — fg counts from ONE decode
+        # of the postings table semi-joined to the match filter's ids;
+        # background df/n_docs straight from term_stats
+        # (webindex/aggs.py significant_terms)
+        from webindex.aggs import significant_terms
+
+        sig = significant_terms(_index(spark, sf), "slow", size=10)
+        return sig.select("term", "fg_count", F.round("score", 4).alias("score"))
+
     def agg_hist_nchars(spark, sf):
         # ES histogram aggregation (interval=100 over n_chars) for docs
         # matching "data merge"; empty buckets omitted (min_doc_count=1)
@@ -1044,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool": bm25_bool,
         "agg_terms_lang": agg_terms_lang,
         "agg_hist_nchars": agg_hist_nchars,
+        "agg_significant_terms": agg_significant_terms,
         "bm25_highlight": bm25_highlight,
         "bm25_search_after": bm25_search_after,
         "bm25_prefix": bm25_prefix,
@@ -1140,6 +1152,30 @@ SELECT doc_id, round(score, 4) AS score
 FROM (
   SELECT doc_id, score FROM ({_bm25_score_subquery(["data", "merge"])})
   ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+)
+"""
+    sql["agg_significant_terms"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+c AS (SELECT count(*) AS n FROM tok),
+fg AS (SELECT doc_id, toks FROM tok WHERE list_contains(toks, 'slow')),
+fgsize AS (SELECT count(*) AS s FROM fg),
+fgc AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_count
+  FROM (SELECT doc_id, unnest(toks) AS term FROM fg) GROUP BY term
+),
+bdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term
+)
+SELECT term, fg_count, round(score, 4) AS score
+FROM (
+  SELECT f.term, f.fg_count,
+         ((f.fg_count / CAST(fgsize.s AS DOUBLE)) - (b.df / CAST(c.n AS DOUBLE)))
+         * ((f.fg_count / CAST(fgsize.s AS DOUBLE)) / (b.df / CAST(c.n AS DOUBLE)))
+           AS score
+  FROM fgc f JOIN bdf b USING(term) CROSS JOIN fgsize CROSS JOIN c
+  WHERE f.term <> 'slow' AND f.fg_count >= 3
+  ORDER BY score DESC, term ASC LIMIT 10
 )
 """
     sql["bm25_phrase_prefix"] = _bm25_phrase_prefix_oracle_sql(["the"], "s", 10)

@@ -77,6 +77,45 @@ def test_terms_agg_size_cuts(idx, stored):
     assert len(terms_agg(idx, stored, "the", "lang", size=2).collect()) == 2
 
 
+def test_significant_terms(idx, corpus):
+    """JLH scores vs naive recomputation from the token streams."""
+    from webindex.aggs import significant_terms
+
+    query, terms = "w150", ["w150"]
+    match = _matching(corpus, terms)
+    assert match
+    fg_size = len(match)
+    n_docs = N_DOCS
+    # naive: per-term fg_count over matching docs' token sets
+    fg = Counter()
+    df = Counter()
+    for i in range(N_DOCS):
+        toks = set(tokenize(corpus["text"][i]))
+        for t in toks:
+            df[t] += 1
+            if i in match:
+                fg[t] += 1
+    want = []
+    for t, c in fg.items():
+        if t in terms or c < 3:
+            continue
+        fgp = c / float(fg_size)
+        bgp = df[t] / float(n_docs)
+        want.append((t, c, (fgp - bgp) * (fgp / bgp)))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    got = [
+        (r["term"], r["fg_count"], round(r["score"], 9))
+        for r in significant_terms(idx, query, size=10).collect()
+    ]
+    assert got == [(t, c, round(s, 9)) for t, c, s in want[:10]]
+
+
+def test_significant_terms_empty_query(idx):
+    from webindex.aggs import significant_terms
+
+    assert significant_terms(idx, "zzqqxxunseen").count() == 0
+
+
 def test_histogram_agg(idx, stored, corpus):
     got = [
         (r["bucket"], r["doc_count"])

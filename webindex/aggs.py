@@ -70,6 +70,92 @@ def ids_for_hashes(index: Index, hashes: list[int], msm: int = 1) -> DataFrame:
     return blocks.groupBy("bucket").applyInPandas(fn, schema=_IDS)
 
 
+def significant_terms(
+    index: Index,
+    query: str,
+    size: int = 10,
+    min_doc_count: int = 3,
+    msm: int = 1,
+) -> DataFrame:
+    """ES `significant_terms` aggregation: terms unusually frequent in the
+    docs matching `query` (the foreground) relative to the whole corpus
+    (the background), scored with ES's JLH heuristic
+
+        jlh = (fgp - bgp) * (fgp / bgp)
+        fgp = fg_count / fg_size,  bgp = df / n_docs
+
+    The query's own terms are excluded (ES exposes this as the agg's
+    `exclude` option; every matching doc trivially contains one, which is
+    the query echoing back, not a signal). Deterministic order: jlh desc,
+    term asc; terms with fg_count < min_doc_count drop (ES
+    shard_min_doc_count).
+
+    Plan (PLANS.md §7 shape, one extra aggregate over the index itself):
+    the foreground doc set comes from the pruned match-filter scan; the
+    per-term foreground counts come from decoding the FULL postings table
+    once into (term_hash, doc_id) pairs and semi-joining the foreground
+    ids — the background df and n_docs are already in term_stats, so no
+    text is ever scanned. ES pays the same full-term sweep per shard; at
+    100 TB both sides of the join are fixed-width longs and the output is
+    vocab-sized before the top-N cut."""
+    spark = index.postings.sparkSession
+    fg_ids = matching_doc_ids(index, query, msm)
+    fg_size = fg_ids.count()
+    if fg_size == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_count long, score double"
+        )
+    qn = index.conf.quantize_norms
+
+    def pairs(batches):
+        for pdf in batches:
+            th_o, id_o = [], []
+            for th, dbuf, tbuf, lbuf in zip(
+                pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
+            ):
+                ids, _, _ = codec.decode_block(
+                    bytes(dbuf), bytes(tbuf), bytes(lbuf), qn
+                )
+                th_o.append(np.full(len(ids), int(th), dtype=np.int64))
+                id_o.append(ids)
+            yield pd.DataFrame(
+                {
+                    "term_hash": np.concatenate(th_o) if th_o else np.array([], dtype=np.int64),
+                    "doc_id": np.concatenate(id_o) if id_o else np.array([], dtype=np.int64),
+                }
+            )
+
+    fg_counts = (
+        index.postings.mapInPandas(pairs, schema="term_hash long, doc_id long")
+        .join(fg_ids, "doc_id")
+        .groupBy("term_hash")
+        .agg(F.count("*").alias("fg_count"))
+    )
+    exclude = [t for t in _query_terms(index, query)]
+    n_docs = index.n_docs
+    scored = (
+        fg_counts.join(
+            # vocab-sized x vocab-sized on term_hash: a plain equi-join
+            # (AQE picks broadcast only when the dictionary actually fits)
+            index.term_stats.select("term_hash", "term", "df"),
+            "term_hash",
+        )
+        .filter(~F.col("term").isin(exclude))
+        .filter(F.col("fg_count") >= min_doc_count)
+        .withColumn("fgp", F.col("fg_count") / F.lit(float(fg_size)))
+        .withColumn("bgp", F.col("df") / F.lit(float(n_docs)))
+        .withColumn(
+            "score",
+            (F.col("fgp") - F.col("bgp")) * (F.col("fgp") / F.col("bgp")),
+        )
+    )
+    return (
+        scored.select("term", "fg_count", "score")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+    )
+
+
 def terms_agg(
     index: Index,
     stored: DataFrame,
