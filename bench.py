@@ -199,6 +199,39 @@ def main() -> None:
             mlat.append(min(per))
         mlat.sort()
         extras["match_and_p50"] = mlat[len(mlat) // 2]
+        # round-4 ES-surface family (informational): bool compound, fuzzy
+        # dictionary expansion, phrase-prefix autocomplete, terms agg
+        from webindex.aggs import terms_agg
+        from webindex.query import topk_bool, topk_fuzzy, topk_phrase_prefix
+
+        per = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            topk_bool(
+                idx, must="data", should="spark merge", must_not="w199",
+                filter_="the", k=10,
+            ).collect()
+            per.append(time.monotonic() - t0)
+        extras["bool_query"] = min(per)
+        per = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            topk_fuzzy(idx, "merge", 10).collect()
+            per.append(time.monotonic() - t0)
+        extras["fuzzy_query"] = min(per)
+        per = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            topk_phrase_prefix(pidx, "the s", 10).collect()
+            per.append(time.monotonic() - t0)
+        extras["phrase_prefix_query"] = min(per)
+        stored = pages.select(F.xxhash64("url").alias("doc_id"), "lang")
+        per = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            terms_agg(idx, stored, "data merge", "lang", size=10).collect()
+            per.append(time.monotonic() - t0)
+        extras["terms_agg"] = min(per)
 
         total = sum(
             v
