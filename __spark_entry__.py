@@ -611,6 +611,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = topk_phrase_prefix(_index_pos(spark, sf), "the s", 10)
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
+    def bm25_more_like_this(spark, sf):
+        # ES more_like_this with free-text like = doc 0's text: tf/df
+        # filters, top-5 terms by tf*idf, then the plain BM25 disjunction
+        # through the WAND path (webindex/query.py more_like_this)
+        from webindex.query import more_like_this
+
+        like = (
+            _docs(spark, sf).filter(F.col("doc_id") == 0).first()["text"]
+        )
+        hits = more_like_this(
+            _index(spark, sf), like, 10, max_query_terms=5, min_doc_freq=2
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
     def bm25_prefix(spark, sf):
         # ES prefix query under the constant-score rewrite: docs containing
         # any indexed term starting with "mer" score 1.0, doc_id order
@@ -1061,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": bm25_prefix,
         "bm25_fuzzy": bm25_fuzzy,
         "bm25_phrase_prefix": bm25_phrase_prefix,
+        "bm25_more_like_this": bm25_more_like_this,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_slop": bm25_phrase_slop,
         "bm25_phrase_batch": bm25_phrase_batch,
@@ -1152,6 +1167,43 @@ SELECT doc_id, round(score, 4) AS score
 FROM (
   SELECT doc_id, score FROM ({_bm25_score_subquery(["data", "merge"])})
   ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+)
+"""
+    sql["bm25_more_like_this"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS dl FROM tok),
+c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+liketf AS (
+  SELECT term, count(*)::BIGINT AS ltf
+  FROM (SELECT unnest(toks) AS term FROM tok WHERE doc_id = 0) GROUP BY term
+),
+alldf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term
+),
+sel AS (
+  SELECT l.term, a.df, ln(1.0 + (c.n - a.df + 0.5)/(a.df + 0.5)) AS idf
+  FROM liketf l JOIN alldf a USING(term) CROSS JOIN c
+  WHERE l.ltf >= 1 AND a.df >= 2
+  ORDER BY l.ltf * ln(1.0 + (c.n - a.df + 0.5)/(a.df + 0.5)) DESC, l.term ASC
+  LIMIT 5
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         s.idf * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl))
+           AS contrib
+  FROM tf JOIN sel s USING(term) JOIN d USING(doc_id) CROSS JOIN c
+)
+SELECT doc_id, round(score, 4) AS score
+FROM (
+  SELECT doc_id, list_sum(list(contrib ORDER BY term)) AS score
+  FROM contrib GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10
 )
 """
     sql["agg_significant_terms"] = f"""

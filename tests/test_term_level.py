@@ -76,6 +76,29 @@ def test_fuzzy_no_match_empty(idx):
     assert _rows(topk_fuzzy(idx, "zzqqxxunseen", 10)) == []
 
 
+@pytest.mark.parametrize("doc,kw", [
+    (0, {}),
+    (7, {"max_query_terms": 3}),
+    (42, {"min_doc_freq": 5, "max_query_terms": 10}),
+])
+def test_more_like_this_vs_oracle(idx, oracle, doc, kw):
+    from webindex.query import more_like_this
+
+    like = " ".join(oracle._toks[doc])
+    want = [(d, round(s, 9)) for d, s in oracle.more_like_this(like, 10, **kw)]
+    got = _rows(more_like_this(idx, like, 10, **kw))
+    assert got == want
+    # the source doc itself is a strong match and surfaces
+    assert doc in {d for d, _ in got}
+
+
+def test_more_like_this_empty(idx):
+    from webindex.query import more_like_this
+
+    assert _rows(more_like_this(idx, "", 10)) == []
+    assert _rows(more_like_this(idx, "zzqq yyxx", 10)) == []
+
+
 @pytest.fixture(scope="module")
 def idx_pos(spark):
     pdf = make_pages_pdf(0, N_DOCS)

@@ -10,6 +10,7 @@ Usage (spark-submit takes an application file, not -m):
   spark-submit --py-files webindex.zip webindex/cli.py phrase-prefix <workdir> "<phrase>" [k] [--slop N] [--max-expansions N]  (needs --positions build)
   spark-submit --py-files webindex.zip webindex/cli.py prefix <workdir> <prefix> [k] [--max-expansions N]
   spark-submit --py-files webindex.zip webindex/cli.py fuzzy  <workdir> <word> [k] [--fuzziness N] [--max-expansions N]
+  spark-submit --py-files webindex.zip webindex/cli.py mlt    <workdir> "<like text>" [k] [--max-query-terms N] [--min-doc-freq N]
   spark-submit --py-files webindex.zip webindex/cli.py lookup-url <workdir> <url>
   spark-submit --py-files webindex.zip webindex/cli.py resume <pages_path> <workdir>
 or locally:
@@ -237,6 +238,33 @@ def main(argv: list[str]) -> int:
                 idx, argv[3], k, fuzziness=fuzziness,
                 max_expansions=50 if max_exp is None else max_exp,
             )
+        rows = (
+            hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        for row in rows:
+            print(f"{row['score']:.17g}\t{row['doc_id']}\t{row['url']}")
+    elif cmd == "mlt":
+        from pyspark.sql import functions as F
+
+        from webindex.build import load_index
+        from webindex.query import more_like_this
+
+        mqt, mdf = 25, 2
+        if "--max-query-terms" in argv:
+            i = argv.index("--max-query-terms")
+            mqt = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+        if "--min-doc-freq" in argv:
+            i = argv.index("--min-doc-freq")
+            mdf = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+        idx = load_index(spark, argv[2])
+        k = int(argv[4]) if len(argv) > 4 else 10
+        hits = more_like_this(
+            idx, argv[3], k, max_query_terms=mqt, min_doc_freq=mdf
+        )
         rows = (
             hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
             .orderBy(F.desc("score"), F.asc("doc_id"))

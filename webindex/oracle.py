@@ -135,6 +135,30 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def more_like_this(
+        self,
+        like: str,
+        k: int,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+    ) -> list[tuple[int, float]]:
+        """MLT: tf/df-filtered candidates, top max_query_terms by tf·idf
+        (tie term asc), then the plain BM25 disjunction. Mirrors
+        webindex.query.more_like_this."""
+        tf = Counter(tokenize(like))
+        cand = [
+            t
+            for t, c in tf.items()
+            if c >= min_term_freq and self.df(t) >= min_doc_freq
+        ]
+        picked = sorted(cand, key=lambda t: (-tf[t] * self.idf(t), t))[
+            :max_query_terms
+        ]
+        if not picked:
+            return []
+        return self.topk(" ".join(picked), k)
+
     def topk_phrase_prefix(
         self, phrase: str, k: int, max_expansions: int = 50, slop: int = 0
     ) -> list[tuple[int, float]]:

@@ -1523,6 +1523,48 @@ def topk_fuzzy(
     return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def more_like_this(
+    index: Index,
+    like: str,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """ES `more_like_this` with free-text `like` input: analyze the text,
+    keep terms with tf >= min_term_freq in it and df >= min_doc_freq in the
+    corpus, select the max_query_terms most interesting by tf·idf (tie:
+    term asc — ES's interestingness pick), then run the selected terms as
+    a plain BM25 match disjunction through the WAND path (ES builds
+    exactly this rewritten bool-of-terms query; the reference's relevance
+    reads come from the same index, reference:
+    src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-286).
+
+    The `like` text is one document — analysis and selection are
+    driver-side k-scale; corpus stats come from ONE term_stats lookup; the
+    query execution is the standard pruned topk_wand plan."""
+    spark = index.postings.sparkSession
+    toks = tokenize(like)
+    if not toks:
+        return spark.createDataFrame([], _HIT)
+    from collections import Counter
+
+    tf = Counter(toks)
+    cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+    if not cand:
+        return spark.createDataFrame([], _HIT)
+    stats = _query_terms(index, " ".join(cand))
+    picked = sorted(
+        (t for t in cand if t in stats and stats[t][0] >= min_doc_freq),
+        key=lambda t: (-tf[t] * stats[t][1], t),
+    )[:max_query_terms]
+    if not picked:
+        return spark.createDataFrame([], _HIT)
+    # the rewritten query is a plain disjunction — run it through topk_wand
+    # so it keeps θ-seeded block-max pruning and the seed cost gate
+    return topk_wand(index, " ".join(picked), k)
+
+
 def topk_phrase_prefix(
     index: Index,
     phrase: str,
