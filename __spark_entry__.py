@@ -611,6 +611,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = topk_phrase_prefix(_index_pos(spark, sf), "the s", 10)
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
+    def ids_lookup(spark, sf):
+        # ES ids query / mget: multi-id point lookup against the
+        # doc_id-sorted doc_stats table (min/max row-group pruning); the
+        # absent id yields no row (webindex/query.py lookup_docs)
+        from webindex.query import lookup_docs
+
+        return lookup_docs(_index(spark, sf), [0, 5, 17, 123456789]).select(
+            "doc_id", "url", "doc_len"
+        )
+
     def bm25_more_like_this(spark, sf):
         # ES more_like_this with free-text like = doc 0's text: tf/df
         # filters, top-5 terms by tf*idf, then the plain BM25 disjunction
@@ -1076,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy": bm25_fuzzy,
         "bm25_phrase_prefix": bm25_phrase_prefix,
         "bm25_more_like_this": bm25_more_like_this,
+        "ids_lookup": ids_lookup,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_slop": bm25_phrase_slop,
         "bm25_phrase_batch": bm25_phrase_batch,
@@ -1168,6 +1179,10 @@ FROM (
   SELECT doc_id, score FROM ({_bm25_score_subquery(["data", "merge"])})
   ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
 )
+"""
+    sql["ids_lookup"] = f"""
+SELECT doc_id, CAST(doc_id AS VARCHAR) AS url, len({toks})::BIGINT AS doc_len
+FROM documents WHERE doc_id IN (0, 5, 17, 123456789) ORDER BY doc_id
 """
     sql["bm25_more_like_this"] = f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),

@@ -1710,6 +1710,16 @@ def lookup_doc(index: Index, doc_id: int) -> DataFrame:
     return index.doc_stats.filter(F.col("doc_id") == doc_id)
 
 
+def lookup_docs(index: Index, doc_ids: list[int]) -> DataFrame:
+    """ES `ids` query / mget: the multi-id point lookup. One IN filter on
+    the doc_id-sorted doc_stats table — min/max row-group pruning reads
+    only the files covering the requested ids; absent ids simply yield no
+    row (ES mget marks them found:false). Results doc_id asc."""
+    return index.doc_stats.filter(F.col("doc_id").isin(list(doc_ids))).orderBy(
+        "doc_id"
+    )
+
+
 def lookup_url(index: Index, url: str) -> DataFrame:
     """Reverse lookup by url (the reference's digitalObjectLocation probe,
     lib.py:173-182).
