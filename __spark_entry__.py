@@ -621,6 +621,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url", "doc_len"
         )
 
+    def wildcard_match(spark, sf):
+        # ES wildcard query (constant-score): terms matching "me?ge"
+        # (webindex/query.py topk_wildcard; LIKE-pushed dictionary expansion)
+        from webindex.query import topk_wildcard
+
+        return topk_wildcard(_index(spark, sf), "me?ge", 10)
+
     def bm25_more_like_this(spark, sf):
         # ES more_like_this with free-text like = doc 0's text: tf/df
         # filters, top-5 terms by tf*idf, then the plain BM25 disjunction
@@ -1087,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_prefix": bm25_phrase_prefix,
         "bm25_more_like_this": bm25_more_like_this,
         "ids_lookup": ids_lookup,
+        "wildcard_match": wildcard_match,
         "bm25_phrase": bm25_phrase,
         "bm25_phrase_slop": bm25_phrase_slop,
         "bm25_phrase_batch": bm25_phrase_batch,
@@ -1179,6 +1187,12 @@ FROM (
   SELECT doc_id, score FROM ({_bm25_score_subquery(["data", "merge"])})
   ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
 )
+"""
+    sql["wildcard_match"] = f"""
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM (SELECT doc_id, {toks} AS tk FROM documents)
+WHERE len(list_filter(tk, t -> t LIKE 'me_ge')) > 0
+ORDER BY doc_id ASC LIMIT 10
 """
     sql["ids_lookup"] = f"""
 SELECT doc_id, CAST(doc_id AS VARCHAR) AS url, len({toks})::BIGINT AS doc_len

@@ -76,6 +76,22 @@ def test_fuzzy_no_match_empty(idx):
     assert _rows(topk_fuzzy(idx, "zzqqxxunseen", 10)) == []
 
 
+@pytest.mark.parametrize("pattern", ["w1*", "me?ge", "*ata", "w?5*"])
+def test_wildcard_vs_oracle(idx, oracle, pattern):
+    from webindex.query import topk_wildcard
+
+    want = oracle.topk_wildcard(pattern, 10)
+    assert _rows(topk_wildcard(idx, pattern, 10)) == want
+
+
+def test_wildcard_capped_and_empty(idx, oracle):
+    from webindex.query import topk_wildcard
+
+    capped = _rows(topk_wildcard(idx, "w*", 200, max_expansions=3))
+    assert capped == oracle.topk_wildcard("w*", 200, max_expansions=3)
+    assert _rows(topk_wildcard(idx, "zzqq*", 10)) == []
+
+
 @pytest.mark.parametrize("doc,kw", [
     (0, {}),
     (7, {"max_query_terms": 3}),

@@ -105,6 +105,19 @@ class OracleIndex:
         docs = sorted({d for t in terms for d, _ in self.postings[t]})
         return [(d, 1.0) for d in docs[:k]]
 
+    def topk_wildcard(
+        self, pattern: str, k: int, max_expansions: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Constant-score wildcard (*/? over the whole term). Mirrors
+        webindex.query.topk_wildcard."""
+        import fnmatch
+
+        terms = [t for t in self.postings if fnmatch.fnmatchcase(t, pattern)]
+        if max_expansions is not None:
+            terms = sorted(terms, key=lambda t: (-self.df(t), t))[:max_expansions]
+        docs = sorted({d for t in terms for d, _ in self.postings[t]})
+        return [(d, 1.0) for d in docs[:k]]
+
     @staticmethod
     def _lev(a: str, b: str) -> int:
         prev = list(range(len(b) + 1))

@@ -1454,6 +1454,35 @@ def topk_prefix(
     )
 
 
+def topk_wildcard(
+    index: Index, pattern: str, k: int = 10, max_expansions: int | None = None
+) -> DataFrame:
+    """ES `wildcard` query: `*` matches any run, `?` any single char, over
+    the whole term — constant-score rewrite like topk_prefix (Lucene
+    WildcardQuery's default). The pattern maps 1:1 onto SQL LIKE
+    (`*`->`%`, `?`->`_`, literal %/_ escaped), so the dictionary expansion
+    is a pushed-down LIKE over term_stats on BOTH the engine and the
+    oracle — no regex-dialect drift. Expansion capped like top_terms
+    (df desc, term asc) when max_expansions is set."""
+    from webindex.aggs import ids_for_hashes
+
+    like = (
+        pattern.replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+        .replace("?", "_")
+    )
+    exp = _expansions(index, F.col("term").like(like), max_expansions)
+    ids = ids_for_hashes(index, [int(r["term_hash"]) for r in exp])
+    return (
+        ids.withColumn("score", F.lit(1.0))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
 def _dismax_bucket_fn(idf_map: dict[int, float], conf, avgdl: float, k: int):
     """applyInPandas fn: one bucket's expansion-term blocks -> local top-k
     under dis_max scoring (score = MAX over matched expansions of that
