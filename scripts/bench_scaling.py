@@ -142,7 +142,24 @@ def main() -> None:
     times: dict[int, list[float]] = {n_small: [], n_big: []}
     cotenant: dict[int, list[float]] = {n_small: [], n_big: []}
     steal: dict[int, list[float]] = {n_small: [], n_big: []}
+    cap_spin: dict[int, list[float]] = {n_small: [], n_big: []}
+    cap_stream: dict[int, list[float]] = {n_small: [], n_big: []}
     hits_at: dict[int, object] = {n_small: None, n_big: None}
+
+    # Round-4 lesson (BENCH/BASELINE.md): this host's capacity oscillates
+    # several-fold in ways the co-tenant/steal meter CANNOT see (hypervisor
+    # capping shows as busy-but-unproductive cores, zero cotenant, <1 core
+    # steal). A pair is only same-conditions evidence if both legs ran at
+    # comparable RAW capacity, so each leg records an engine-free capacity
+    # probe (32-proc spin + stream, ~10 s) taken immediately before it, and
+    # the pairing step prefers the capacity-MATCHED best pair.
+    from bench_hostcap import _SPIN, _STREAM, _run_level
+
+    def probe_capacity() -> tuple[float, float]:
+        return (
+            _run_level(_SPIN, n_big, 3.0),
+            _run_level(_STREAM, n_big, 3.0),
+        )
 
     def _is_clean(cot: float, stl: float) -> bool:
         return cot <= CLEAN_CORES and stl <= STEAL_CORES
@@ -152,9 +169,12 @@ def main() -> None:
             if wait_clean_s:
                 wait_clean(wait_clean_s, thresh_cores=CLEAN_CORES)
             _settle_memory()
+            spin_c, stream_c = probe_capacity()
             with PhaseMeter() as m:
                 t, hits = run_at(cores, n_docs)
             times[cores].append(t)
+            cap_spin[cores].append(round(spin_c))
+            cap_stream[cores].append(round(stream_c))
             cotenant[cores].append(round(m.cotenant_cores, 2))
             steal[cores].append(round(m.steal_cores, 2))
             hits_at[cores] = hits
@@ -187,6 +207,45 @@ def main() -> None:
     identical = hits8 == hits32
     thr8, thr32 = n_docs / t8, n_docs / t32
 
+    # capacity-matched pairing: among CLEAN legs, the (i, j) pair whose
+    # capacity probes agree best (log-distance over spin and stream); its
+    # efficiency is reported alongside the min-based one. None when either
+    # level has no clean sample.
+    import math
+
+    def _clean_idx(cores: int) -> list[int]:
+        return [
+            i
+            for i, (c, s) in enumerate(zip(cotenant[cores], steal[cores]))
+            if _is_clean(c, s)
+        ]
+
+    capmatch = None
+    ci8, ci32 = _clean_idx(n_small), _clean_idx(n_big)
+    if ci8 and ci32:
+        best = min(
+            ((i, j) for i in ci8 for j in ci32),
+            key=lambda ij: abs(
+                math.log(cap_spin[n_small][ij[0]] / cap_spin[n_big][ij[1]])
+            )
+            + abs(
+                math.log(cap_stream[n_small][ij[0]] / cap_stream[n_big][ij[1]])
+            ),
+        )
+        i, j = best
+        spin_ratio = cap_spin[n_small][i] / cap_spin[n_big][j]
+        stream_ratio = cap_stream[n_small][i] / cap_stream[n_big][j]
+        capmatch = {
+            "t8": round(times[n_small][i], 2),
+            "t32": round(times[n_big][j], 2),
+            "eff": round((times[n_small][i] / times[n_big][j]) / 4.0, 4),
+            "spin_ratio": round(spin_ratio, 3),
+            "stream_ratio": round(stream_ratio, 3),
+            "matched": bool(
+                0.8 <= spin_ratio <= 1.25 and 0.8 <= stream_ratio <= 1.25
+            ),
+        }
+
     import datetime
 
     raw = {
@@ -200,9 +259,14 @@ def main() -> None:
         "steal8": steal[n_small],
         "steal32": steal[n_big],
         "clean_pair": bool(clean8 and clean32),
+        "cap_spin8": cap_spin[n_small],
+        "cap_spin32": cap_spin[n_big],
+        "cap_stream8": cap_stream[n_small],
+        "cap_stream32": cap_stream[n_big],
         "t8": round(t8, 2),
         "t32": round(t32, 2),
         "eff": round(eff, 4),
+        "eff_capmatched": capmatch,
         "rank_identical": identical,
     }
     runs = Path(REPO / "BENCH" / "scaling_runs.jsonl")
