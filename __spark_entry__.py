@@ -601,6 +601,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index(spark, sf), stored, "data merge", "n_chars", interval=100
         )
 
+    def agg_stats(spark, sf):
+        # ES stats metric aggregation (count/min/max/avg/sum over n_chars)
+        # in filter context for "data merge" (webindex/aggs.py stats_agg)
+        from webindex.aggs import stats_agg
+
+        stored = _docs(spark, sf).select("doc_id", "n_chars")
+        return stats_agg(_index(spark, sf), stored, "data merge", "n_chars")
+
+    def agg_extended_stats(spark, sf):
+        # ES extended_stats: stats + sum_of_squares + POPULATION
+        # variance/std (webindex/aggs.py extended_stats_agg)
+        from webindex.aggs import extended_stats_agg
+
+        stored = _docs(spark, sf).select("doc_id", "n_chars")
+        return extended_stats_agg(
+            _index(spark, sf), stored, "data merge", "n_chars"
+        )
+
+    def agg_percentiles(spark, sf):
+        # ES percentiles aggregation over n_chars for "data merge" — exact
+        # linear interpolation (the semantics t-digest approximates), one
+        # row per percent (webindex/aggs.py percentiles_agg)
+        from webindex.aggs import percentiles_agg
+
+        stored = _docs(spark, sf).select("doc_id", "n_chars")
+        return percentiles_agg(_index(spark, sf), stored, "data merge", "n_chars")
+
+    def agg_cardinality(spark, sf):
+        # ES cardinality aggregation (distinct langs among matching docs),
+        # exact form; the HLL++ sketch path (exact=False) is the 100 TB
+        # variant, tested in pytest (webindex/aggs.py cardinality_agg)
+        from webindex.aggs import cardinality_agg
+
+        stored = _docs(spark, sf).select("doc_id", "lang")
+        return cardinality_agg(_index(spark, sf), stored, "data merge", "lang")
+
+    def agg_range(spark, sf):
+        # ES range aggregation: requested [from,to) buckets over n_chars,
+        # ES key format, EMPTY BUCKETS INCLUDED (webindex/aggs.py range_agg)
+        from webindex.aggs import range_agg
+
+        stored = _docs(spark, sf).select("doc_id", "n_chars")
+        return range_agg(
+            _index(spark, sf), stored, "data merge", "n_chars",
+            [(None, 100.0), (100.0, 300.0), (300.0, 10000.0), (10000.0, None)],
+        )
+
+    def agg_date_histogram(spark, sf):
+        # ES date_histogram with a CALENDAR interval (month) — the stored
+        # timestamp derives deterministically from doc_id so the oracle
+        # reconstructs it bit-identically (webindex/aggs.py
+        # date_histogram_agg)
+        from webindex.aggs import date_histogram_agg
+
+        stored = _docs(spark, sf).select("doc_id").withColumn(
+            "ts",
+            F.expr(
+                "timestamp '2025-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, cast(doc_id % 365 as int), 0, 0, 0)"
+            ),
+        )
+        out = date_histogram_agg(
+            _index(spark, sf), stored, "data merge", "ts", "month"
+        )
+        # DATE bucket keys on both sides (hash-stable stringification)
+        return out.select(F.col("bucket").cast("date").alias("bucket"), "doc_count")
+
+    def agg_composite(spark, sf):
+        # ES composite aggregation page 2: (lang, source) buckets strictly
+        # after the cursor ('de','src3'), key-ordered, size=7 — deep
+        # pagination stays O(page) (webindex/aggs.py composite_agg)
+        from webindex.aggs import composite_agg
+
+        stored = _docs(spark, sf).select("doc_id", "lang", "source")
+        return composite_agg(
+            _index(spark, sf), stored, "data merge", ["lang", "source"],
+            size=7, after=("de", "src3"),
+        )
+
+    def agg_top_hits(spark, sf):
+        # ES top_hits under a terms bucketing: per-lang top-2 matching docs
+        # by BM25 (score desc, doc_id asc) (webindex/aggs.py top_hits_agg)
+        from webindex.aggs import top_hits_agg
+
+        stored = _docs(spark, sf).select("doc_id", "lang")
+        return top_hits_agg(
+            _index(spark, sf), stored, "data merge", "lang", hits_per_group=2
+        )
+
+    def agg_significant_sampled(spark, sf):
+        # ES sampler>significant_terms: foreground = top-30 "slow" docs by
+        # relevance; the decode pass prunes to blocks covering sampled ids
+        # and pre-aggregates inside the Arrow batch
+        # (webindex/aggs.py significant_terms sample=30)
+        from webindex.aggs import significant_terms
+
+        sig = significant_terms(_index(spark, sf), "slow", size=10, sample=30)
+        return sig.select("term", "fg_count", F.round("score", 4).alias("score"))
+
+    def bm25_function_score(spark, sf):
+        # ES function_score/field_value_factor: BM25 * log1p(n_chars),
+        # exhaustively scored then re-ranked (the θ bound is unsound under
+        # an unbounded multiplier) (webindex/query.py topk_function_score)
+        from webindex.query import topk_function_score
+
+        stored = _docs(spark, sf).select("doc_id", "n_chars")
+        return topk_function_score(
+            _index(spark, sf), stored, "merge spark", "n_chars", k=10
+        )
+
+    def search_sort_nchars(spark, sf):
+        # ES sort-by-field search: matching docs ordered by n_chars desc
+        # (scoring skipped entirely, like ES track_scores=false)
+        # (webindex/query.py search_sort)
+        from webindex.query import search_sort
+
+        stored = _docs(spark, sf).select("doc_id", "n_chars")
+        return search_sort(
+            _index(spark, sf), stored, "merge spark", "n_chars",
+            ascending=False, k=10,
+        )
+
+    def suggest_spell(spark, sf):
+        # ES term suggester (suggest_mode=missing): corrections for the
+        # misspelled tokens of "mrge datta the" from the index vocabulary,
+        # ranked distance asc / df desc / term asc, 3 per token
+        # (webindex/query.py suggest_terms)
+        from webindex.query import suggest_terms
+
+        return suggest_terms(
+            _index(spark, sf), "mrge datta the", max_edits=2, size=3
+        )
+
     def bm25_phrase_prefix(spark, sf):
         # ES match_phrase_prefix (autocomplete): "the s" — last slot expands
         # to the s* dictionary terms, dis_max over the expanded exact
@@ -1086,6 +1219,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool": bm25_bool,
         "agg_terms_lang": agg_terms_lang,
         "agg_hist_nchars": agg_hist_nchars,
+        "agg_stats": agg_stats,
+        "agg_extended_stats": agg_extended_stats,
+        "agg_percentiles": agg_percentiles,
+        "agg_cardinality": agg_cardinality,
+        "agg_range": agg_range,
+        "agg_date_histogram": agg_date_histogram,
+        "agg_composite": agg_composite,
+        "agg_top_hits": agg_top_hits,
+        "agg_significant_sampled": agg_significant_sampled,
+        "bm25_function_score": bm25_function_score,
+        "search_sort_nchars": search_sort_nchars,
+        "suggest_spell": suggest_spell,
         "agg_significant_terms": agg_significant_terms,
         "bm25_highlight": bm25_highlight,
         "bm25_search_after": bm25_search_after,
@@ -1180,6 +1325,148 @@ SELECT (n_chars // 100) * 100 AS bucket, count(*)::BIGINT AS doc_count
 FROM (SELECT doc_id, n_chars, {toks} AS tk FROM documents)
 WHERE list_contains(tk, 'data') OR list_contains(tk, 'merge')
 GROUP BY bucket ORDER BY bucket
+"""
+    # shared "docs matching 'data merge'" filter for the agg-family oracles
+    _m = f"""
+m AS (
+  SELECT doc_id, lang, source, n_chars
+  FROM (SELECT doc_id, lang, source, n_chars, {toks} AS tk FROM documents)
+  WHERE list_contains(tk, 'data') OR list_contains(tk, 'merge')
+)
+"""
+    sql["agg_stats"] = f"""
+WITH {_m}
+SELECT count(n_chars)::BIGINT AS count, min(n_chars)::DOUBLE AS min,
+       max(n_chars)::DOUBLE AS max, round(avg(n_chars), 4) AS avg,
+       sum(n_chars)::DOUBLE AS sum
+FROM m
+"""
+    sql["agg_extended_stats"] = f"""
+WITH {_m}
+SELECT count(n_chars)::BIGINT AS count, min(n_chars)::DOUBLE AS min,
+       max(n_chars)::DOUBLE AS max, round(avg(n_chars), 4) AS avg,
+       sum(n_chars)::DOUBLE AS sum,
+       sum(n_chars::DOUBLE * n_chars::DOUBLE) AS sum_of_squares,
+       round(var_pop(n_chars), 4) AS variance,
+       round(stddev_pop(n_chars), 4) AS std_deviation
+FROM m
+"""
+    sql["agg_percentiles"] = f"""
+WITH {_m},
+q AS (
+  SELECT quantile_cont(n_chars, [0.01, 0.25, 0.50, 0.75, 0.99]) AS vals FROM m
+)
+SELECT (unnest([1.0, 25.0, 50.0, 75.0, 99.0]))::DOUBLE AS percent,
+       (round(unnest(vals), 4))::DOUBLE AS value
+FROM q ORDER BY percent
+"""
+    sql["agg_cardinality"] = f"""
+WITH {_m}
+SELECT count(DISTINCT lang)::BIGINT AS value FROM m
+"""
+    sql["agg_range"] = f"""
+WITH {_m}
+SELECT key, doc_count FROM (
+  SELECT 0 AS i, '*-100.0' AS key,
+         coalesce(sum(CASE WHEN n_chars < 100 THEN 1 END), 0)::BIGINT AS doc_count
+  FROM m
+  UNION ALL
+  SELECT 1, '100.0-300.0',
+         coalesce(sum(CASE WHEN n_chars >= 100 AND n_chars < 300 THEN 1 END), 0)::BIGINT
+  FROM m
+  UNION ALL
+  SELECT 2, '300.0-10000.0',
+         coalesce(sum(CASE WHEN n_chars >= 300 AND n_chars < 10000 THEN 1 END), 0)::BIGINT
+  FROM m
+  UNION ALL
+  SELECT 3, '10000.0-*',
+         coalesce(sum(CASE WHEN n_chars >= 10000 THEN 1 END), 0)::BIGINT
+  FROM m
+) ORDER BY i
+"""
+    sql["agg_date_histogram"] = f"""
+WITH {_m}
+SELECT (date_trunc('month',
+         TIMESTAMP '2025-01-01 00:00:00' + (doc_id % 365) * INTERVAL 1 DAY
+       ))::DATE AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM m GROUP BY bucket ORDER BY bucket
+"""
+    sql["agg_composite"] = f"""
+WITH {_m}
+SELECT lang, source, count(*)::BIGINT AS doc_count
+FROM m
+WHERE (lang, source) > ('de', 'src3')
+GROUP BY lang, source ORDER BY lang, source LIMIT 7
+"""
+    sql["agg_top_hits"] = f"""
+WITH s AS ({_bm25_score_subquery(["data", "merge"])})
+SELECT "group", rank, doc_id, score FROM (
+  SELECT d.lang AS "group",
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC
+         )::INT AS rank,
+         s.doc_id, round(s.score, 4) AS score
+  FROM s JOIN documents d USING (doc_id)
+) WHERE rank <= 2 ORDER BY "group", rank
+"""
+    sql["agg_significant_sampled"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+c AS (SELECT count(*) AS n FROM tok),
+s AS ({_bm25_score_subquery(["slow"])}),
+top AS (SELECT doc_id FROM s ORDER BY score DESC, doc_id ASC LIMIT 30),
+fg AS (SELECT t.doc_id, t.toks FROM tok t JOIN top USING (doc_id)),
+fgsize AS (SELECT count(*) AS s FROM fg),
+fgc AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_count
+  FROM (SELECT doc_id, unnest(toks) AS term FROM fg) GROUP BY term
+),
+bdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term
+)
+SELECT term, fg_count, round(score, 4) AS score
+FROM (
+  SELECT f.term, f.fg_count,
+         ((f.fg_count / CAST(fgsize.s AS DOUBLE)) - (b.df / CAST(c.n AS DOUBLE)))
+         * ((f.fg_count / CAST(fgsize.s AS DOUBLE)) / (b.df / CAST(c.n AS DOUBLE)))
+           AS score
+  FROM fgc f JOIN bdf b USING(term) CROSS JOIN fgsize CROSS JOIN c
+  WHERE f.term <> 'slow' AND f.fg_count >= 3
+  ORDER BY score DESC, term ASC LIMIT 10
+)
+"""
+    sql["bm25_function_score"] = f"""
+WITH s AS ({_bm25_score_subquery(["merge", "spark"])})
+SELECT doc_id, round(s.score * ln(1 + d.n_chars), 4) AS score
+FROM s JOIN documents d USING (doc_id)
+ORDER BY s.score * ln(1 + d.n_chars) DESC, doc_id ASC LIMIT 10
+"""
+    sql["search_sort_nchars"] = f"""
+SELECT doc_id, n_chars
+FROM (SELECT doc_id, n_chars, {toks} AS tk FROM documents)
+WHERE list_contains(tk, 'merge') OR list_contains(tk, 'spark')
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+    sql["suggest_spell"] = f"""
+WITH vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents) GROUP BY term
+),
+q AS (SELECT unnest(['datta', 'mrge', 'the']) AS input),
+miss AS (SELECT input FROM q WHERE input NOT IN (SELECT term FROM vocab)),
+cand AS (
+  SELECT m.input, v.term AS suggestion,
+         levenshtein(v.term, m.input)::INT AS distance, v.df
+  FROM miss m JOIN vocab v
+    ON abs(len(v.term) - len(m.input)) <= 2
+   AND levenshtein(v.term, m.input) BETWEEN 1 AND 2
+)
+SELECT input, suggestion, distance, df FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY input ORDER BY distance ASC, df DESC, suggestion ASC
+  ) AS rn FROM cand
+) WHERE rn <= 3 ORDER BY input, distance, df DESC, suggestion
 """
     sql["bm25_search_after"] = f"""
 SELECT doc_id, round(score, 4) AS score

@@ -1,0 +1,292 @@
+"""Round-4 ES-surface extensions: metric aggs (stats / extended_stats /
+percentiles / cardinality), bucket aggs (range / date_histogram / composite
+pagination / top_hits), sampler>significant_terms, function_score,
+sort-by-field search, the term suggester, and fuzzy prefix_length — each
+checked against naive recomputation from the raw token streams (and the
+pure-python OracleIndex where relevance is involved).
+
+reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-306 (the ES
+backend these shapes mirror serves search + aggregation reads)."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webindex.aggs import (
+    cardinality_agg,
+    composite_agg,
+    date_histogram_agg,
+    extended_stats_agg,
+    match_scores,
+    percentiles_agg,
+    range_agg,
+    significant_terms,
+    stats_agg,
+    top_hits_agg,
+)
+from webindex.build import build_index
+from webindex.oracle import OracleIndex
+from webindex.pagesgen import make_pages_pdf
+from webindex.query import (
+    search_sort,
+    suggest_terms,
+    topk_function_score,
+    topk_fuzzy,
+)
+from webindex.textproc import tokenize
+
+N_DOCS = 200
+LANGS = ["en", "de", "fr"]
+QUERY = "data merge"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = make_pages_pdf(0, N_DOCS)
+    pdf.insert(0, "doc_id", np.arange(N_DOCS, dtype=np.int64))
+    pdf["lang"] = [LANGS[i % 3] for i in range(N_DOCS)]
+    pdf["src"] = [f"s{i % 5}" for i in range(N_DOCS)]
+    pdf["n_chars"] = pdf["text"].str.len().astype(np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus):
+    return build_index(
+        spark, spark.createDataFrame(corpus), text_col="text",
+        doc_id_method="provided", range_width=32,
+    )
+
+
+@pytest.fixture(scope="module")
+def stored(spark, corpus):
+    return spark.createDataFrame(corpus[["doc_id", "lang", "src", "n_chars"]])
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex({i: corpus["text"][i] for i in range(N_DOCS)})
+
+
+def _matching(corpus, query, msm=1):
+    terms = set(tokenize(query))
+    return {
+        i
+        for i in range(N_DOCS)
+        if len(set(tokenize(corpus["text"][i])) & terms) >= msm
+    }
+
+
+def _vals(corpus, query):
+    m = _matching(corpus, query)
+    return np.array(
+        [int(corpus["n_chars"][i]) for i in sorted(m)], dtype=np.float64
+    )
+
+
+def test_stats_agg(idx, stored, corpus):
+    row = stats_agg(idx, stored, QUERY, "n_chars").collect()[0]
+    v = _vals(corpus, QUERY)
+    assert row["count"] == len(v)
+    assert row["min"] == v.min() and row["max"] == v.max()
+    assert row["avg"] == round(v.mean(), 4)
+    assert row["sum"] == v.sum()
+
+
+def test_extended_stats_agg(idx, stored, corpus):
+    row = extended_stats_agg(idx, stored, QUERY, "n_chars").collect()[0]
+    v = _vals(corpus, QUERY)
+    assert row["sum_of_squares"] == (v * v).sum()
+    # ES sigma semantics: POPULATION variance/std
+    assert row["variance"] == pytest.approx(np.var(v), abs=1e-3)
+    assert row["std_deviation"] == pytest.approx(np.std(v), abs=1e-3)
+
+
+def test_percentiles_agg(idx, stored, corpus):
+    rows = percentiles_agg(idx, stored, QUERY, "n_chars").collect()
+    v = _vals(corpus, QUERY)
+    got = {r["percent"]: r["value"] for r in rows}
+    for p in (1.0, 25.0, 50.0, 75.0, 99.0):
+        # numpy's default interpolation is the same linear rule
+        assert got[p] == pytest.approx(np.percentile(v, p), abs=1e-3)
+
+
+def test_cardinality_exact_and_hll(idx, stored, corpus):
+    exact = cardinality_agg(idx, stored, QUERY, "lang").collect()[0]["value"]
+    m = _matching(corpus, QUERY)
+    assert exact == len({corpus["lang"][i] for i in sorted(m)})
+    # the 100 TB path: HLL++ sketch, rel error well under 10% at this scale
+    approx = cardinality_agg(idx, stored, QUERY, "lang", exact=False).collect()[
+        0
+    ]["value"]
+    assert abs(approx - exact) <= max(1, 0.1 * exact)
+
+
+def test_range_agg_includes_empty_buckets(idx, stored, corpus):
+    ranges = [(None, 100.0), (100.0, 400.0), (400.0, 100000.0), (100000.0, None)]
+    rows = range_agg(idx, stored, QUERY, "n_chars", ranges).collect()
+    v = _vals(corpus, QUERY)
+    assert [r["key"] for r in rows] == [
+        "*-100.0", "100.0-400.0", "400.0-100000.0", "100000.0-*",
+    ]
+    assert rows[0]["doc_count"] == int((v < 100).sum())
+    assert rows[1]["doc_count"] == int(((v >= 100) & (v < 400)).sum())
+    assert rows[2]["doc_count"] == int((v >= 400).sum())
+    # ES returns every requested range — the empty tail bucket is present
+    assert rows[3]["doc_count"] == 0
+
+
+def test_date_histogram_calendar_months(spark, idx, stored, corpus):
+    ts = stored.withColumn(
+        "ts",
+        F.expr(
+            "timestamp '2025-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(doc_id % 90 as int), 0, 0, 0)"
+        ),
+    )
+    rows = date_histogram_agg(idx, ts, QUERY, "ts", "month").collect()
+    m = _matching(corpus, QUERY)
+    base = datetime.date(2025, 1, 1)
+    want: dict[datetime.date, int] = {}
+    for i in sorted(m):
+        d = base + datetime.timedelta(days=int(i) % 90)
+        key = d.replace(day=1)
+        want[key] = want.get(key, 0) + 1
+    got = {r["bucket"].date(): r["doc_count"] for r in rows}
+    assert got == want
+    assert [r["bucket"] for r in rows] == sorted(r["bucket"] for r in rows)
+
+
+def test_composite_agg_pagination_walk(idx, stored, corpus):
+    # full bucket set, key-ordered
+    m = _matching(corpus, QUERY)
+    want: dict[tuple[str, str], int] = {}
+    for i in sorted(m):
+        key = (corpus["lang"][i], corpus["src"][i])
+        want[key] = want.get(key, 0) + 1
+    full = sorted(want.items())
+    # walk pages of 4 via after-keys; concatenation == full, no overlap
+    pages, after = [], None
+    while True:
+        rows = composite_agg(
+            idx, stored, QUERY, ["lang", "src"], size=4, after=after
+        ).collect()
+        if not rows:
+            break
+        pages.extend(((r["lang"], r["src"]), r["doc_count"]) for r in rows)
+        after = (rows[-1]["lang"], rows[-1]["src"])
+        if len(rows) < 4:
+            break
+    assert pages == full
+
+
+def test_top_hits_agg(idx, stored, corpus, oracle):
+    rows = top_hits_agg(idx, stored, QUERY, "lang", hits_per_group=2).collect()
+    scores = oracle.score_all(QUERY)
+    for lang in LANGS:
+        group = [
+            (i, s)
+            for i, s in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+            if corpus["lang"][i] == lang
+        ][:2]
+        got = [(r["doc_id"], r["score"]) for r in rows if r["group"] == lang]
+        assert [g[0] for g in got] == [w[0] for w in group]
+        for (gd, gs), (wd, ws) in zip(got, group):
+            assert gs == round(ws, 4)
+    # output ordered (group, rank)
+    keys = [(r["group"], r["rank"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_sampled_significant_terms_covering_sample_matches_unsampled(idx):
+    # a sample >= the match set is the whole foreground: identical output
+    unsampled = significant_terms(idx, "data", size=8).collect()
+    sampled = significant_terms(idx, "data", size=8, sample=N_DOCS).collect()
+    assert unsampled  # the fixture corpus must actually contain the term
+    assert [tuple(r) for r in sampled] == [tuple(r) for r in unsampled]
+
+
+def test_sampled_significant_terms_fg_capped(idx):
+    rows = significant_terms(idx, "data", size=50, sample=5, min_doc_count=1).collect()
+    # no foreground count can exceed the sample size
+    assert rows and all(r["fg_count"] <= 5 for r in rows)
+
+
+def test_function_score_field_value_factor(idx, stored, corpus, oracle):
+    rows = topk_function_score(idx, stored, QUERY, "n_chars", k=10).collect()
+    scores = oracle.score_all(QUERY)
+    want = sorted(
+        (
+            (i, s * np.log1p(float(corpus["n_chars"][i])))
+            for i, s in scores.items()
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert [r["doc_id"] for r in rows] == [w[0] for w in want]
+    for r, (_, ws) in zip(rows, want):
+        assert r["score"] == pytest.approx(round(ws, 4), abs=1e-4)
+
+
+def test_search_sort_skips_scoring(idx, stored, corpus):
+    rows = search_sort(idx, stored, QUERY, "n_chars", ascending=False, k=10).collect()
+    m = _matching(corpus, QUERY)
+    want = sorted(
+        ((int(corpus["n_chars"][i]), i) for i in m), key=lambda t: (-t[0], t[1])
+    )[:10]
+    assert [(r["n_chars"], r["doc_id"]) for r in rows] == want
+    assert "score" not in rows[0].asDict()
+
+
+def test_suggest_terms_ranking_and_missing_mode(idx, corpus):
+    vocab: dict[str, set] = {}
+    for i in range(N_DOCS):
+        for t in set(tokenize(corpus["text"][i])):
+            vocab.setdefault(t, set()).add(i)
+    some_known = next(iter(sorted(vocab)))
+    rows = suggest_terms(idx, f"mrge {some_known}", max_edits=2, size=3).collect()
+    # suggest_mode=missing: the known token gets no suggestions
+    assert all(r["input"] == "mrge" for r in rows)
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    cand = [
+        (lev(t, "mrge"), -len(ids), t)
+        for t, ids in vocab.items()
+        if 0 < lev(t, "mrge") <= 2
+    ]
+    want = sorted(cand)[:3]
+    assert [(r["distance"], -r["df"], r["suggestion"]) for r in rows] == want
+
+
+def test_fuzzy_prefix_length_restricts_expansion(idx, corpus):
+    base = topk_fuzzy(idx, "merge", k=200, fuzziness=1).collect()
+    pref = topk_fuzzy(idx, "merge", k=200, fuzziness=1, prefix_length=1).collect()
+    # prefix_length=1 keeps only expansions starting with 'm' — a subset of
+    # the unrestricted match set, identical when all expansions share the
+    # prefix, never larger
+    assert {r["doc_id"] for r in pref} <= {r["doc_id"] for r in base}
+    # per-doc dis_max scores can only drop when expansions are removed
+    b = {r["doc_id"]: r["score"] for r in base}
+    for r in pref:
+        assert r["score"] <= b[r["doc_id"]] + 1e-12
+
+
+def test_match_scores_is_exhaustive(idx, corpus, oracle):
+    got = {r["doc_id"]: r["score"] for r in match_scores(idx, QUERY).collect()}
+    want = oracle.score_all(QUERY)
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, abs=1e-9)

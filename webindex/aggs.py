@@ -76,6 +76,7 @@ def significant_terms(
     size: int = 10,
     min_doc_count: int = 3,
     msm: int = 1,
+    sample: int | None = None,
 ) -> DataFrame:
     """ES `significant_terms` aggregation: terms unusually frequent in the
     docs matching `query` (the foreground) relative to the whole corpus
@@ -97,27 +98,84 @@ def significant_terms(
     ids — the background df and n_docs are already in term_stats, so no
     text is ever scanned. ES pays the same full-term sweep per shard; at
     100 TB both sides of the join are fixed-width longs and the output is
-    vocab-sized before the top-N cut."""
+    vocab-sized before the top-N cut.
+
+    `sample` is ES's `sampler` parent aggregation: the foreground shrinks
+    to the top-`sample` matching docs by BM25 relevance (ES sampler's
+    shard_size semantics — "the best docs are the representative ones"),
+    which changes the COST SHAPE of the sweep: the sampled ids are a
+    driver-known set (sample is small by construction), so the decode pass
+    (a) prunes every block whose [min_doc, max_doc] doc range contains no
+    sampled id — block metadata only, nothing decompressed — and (b)
+    filters decoded postings to the sample and pre-aggregates (term_hash,
+    partial count) INSIDE the Arrow batch, so the shuffle carries at most
+    |vocab ∩ sample's terms| short rows per task instead of one row per
+    posting. The full-corpus sweep this agg's unsampled form pays (and ES
+    pays per shard) disappears."""
     spark = index.postings.sparkSession
-    fg_ids = matching_doc_ids(index, query, msm)
-    fg_size = fg_ids.count()
+    qn = index.conf.quantize_norms
+    sample_arr = None
+    if sample is not None:
+        top = (
+            match_scores(index, query, msm)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(sample)
+            .select("doc_id")
+            .collect()
+        )
+        sample_arr = np.sort(np.array([r["doc_id"] for r in top], dtype=np.int64))
+        fg_size = len(sample_arr)
+    else:
+        fg_ids = matching_doc_ids(index, query, msm)
+        fg_size = fg_ids.count()
     if fg_size == 0:
         return spark.createDataFrame(
             [], "term string, fg_count long, score double"
         )
-    qn = index.conf.quantize_norms
 
     def pairs(batches):
         for pdf in batches:
             th_o, id_o = [], []
-            for th, dbuf, tbuf, lbuf in zip(
-                pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
-            ):
+            rows = zip(
+                pdf["term_hash"],
+                pdf["doc_ids"],
+                pdf["tfs"],
+                pdf["doc_lens"],
+                pdf["min_doc"],
+                pdf["max_doc"],
+            )
+            for th, dbuf, tbuf, lbuf, mn, mx in rows:
+                if sample_arr is not None:
+                    # block-range prune: any sampled id inside [mn, mx]?
+                    lo = np.searchsorted(sample_arr, int(mn), side="left")
+                    if lo >= len(sample_arr) or sample_arr[lo] > int(mx):
+                        continue
                 ids, _, _ = codec.decode_block(
                     bytes(dbuf), bytes(tbuf), bytes(lbuf), qn
                 )
+                if sample_arr is not None:
+                    ids = ids[
+                        sample_arr[
+                            np.clip(
+                                np.searchsorted(sample_arr, ids),
+                                0,
+                                len(sample_arr) - 1,
+                            )
+                        ]
+                        == ids
+                    ]
+                    if len(ids) == 0:
+                        continue
                 th_o.append(np.full(len(ids), int(th), dtype=np.int64))
                 id_o.append(ids)
+            if sample_arr is not None and th_o:
+                # batch-local partial aggregate: (term_hash, count) only
+                th_all = np.concatenate(th_o)
+                u, c = np.unique(th_all, return_counts=True)
+                yield pd.DataFrame(
+                    {"term_hash": u, "doc_id": c.astype(np.int64)}
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "term_hash": np.concatenate(th_o) if th_o else np.array([], dtype=np.int64),
@@ -125,12 +183,26 @@ def significant_terms(
                 }
             )
 
-    fg_counts = (
-        index.postings.mapInPandas(pairs, schema="term_hash long, doc_id long")
-        .join(fg_ids, "doc_id")
-        .groupBy("term_hash")
-        .agg(F.count("*").alias("fg_count"))
-    )
+    blocks = index.postings
+    if sample_arr is not None:
+        # coarse pushable range guard (Catalyst min/max row-group pruning);
+        # the fine per-block searchsorted prune runs inside the UDF
+        blocks = blocks.filter(
+            (F.col("max_doc") >= int(sample_arr[0]))
+            & (F.col("min_doc") <= int(sample_arr[-1]))
+        )
+    decoded = blocks.mapInPandas(pairs, schema="term_hash long, doc_id long")
+    if sample_arr is not None:
+        # doc_id column carries the batch-local partial count here
+        fg_counts = decoded.groupBy("term_hash").agg(
+            F.sum("doc_id").alias("fg_count")
+        )
+    else:
+        fg_counts = (
+            decoded.join(fg_ids, "doc_id")
+            .groupBy("term_hash")
+            .agg(F.count("*").alias("fg_count"))
+        )
     exclude = [t for t in _query_terms(index, query)]
     n_docs = index.n_docs
     scored = (
@@ -198,4 +270,258 @@ def histogram_agg(
         .groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("doc_count"))
         .orderBy("bucket")
+    )
+
+
+def match_scores(index: Index, query: str, msm: int = 1) -> DataFrame:
+    """(doc_id, score) for EVERY doc matching >= msm query terms — exhaustive
+    BM25 (θ=0, no top-k cut). The shared scored-match kernel for
+    aggregations that need relevance per bucket member (top_hits, sampler,
+    function_score re-ranking) rather than a global top-k.
+
+    Same fused one-Exchange plan as the topk family (PLANS.md §7): pruned
+    IN(term_hash) block scan, one bucket groupBy, per-bucket decode+score.
+    The only difference is k=None — the local cut is skipped, so the output
+    is match-set-sized (bounded by the query terms' df sum), not k."""
+    from webindex.query import _maps_of, _query_terms, _score_bucket_fn, _HIT
+
+    spark = index.postings.sparkSession
+    stats = _query_terms(index, query)
+    if not stats or msm > len(stats):
+        return spark.createDataFrame([], _HIT)
+    idf_map, term_rank = _maps_of(stats)
+    blocks = index.postings.filter(F.col("term_hash").isin(list(idf_map)))
+    return blocks.groupBy("bucket").applyInPandas(
+        _score_bucket_fn(idf_map, term_rank, index.conf, index.avgdl, None, 0.0, msm),
+        schema=_HIT,
+    )
+
+
+def stats_agg(
+    index: Index, stored: DataFrame, query: str, field: str, msm: int = 1
+) -> DataFrame:
+    """ES `stats` metric aggregation over a numeric stored field in filter
+    context: one row (count, min, max, avg, sum) across the matching docs.
+    One pruned match scan + doc_id equi-join + a map-side-combined global
+    aggregate — the output is a single row regardless of corpus size."""
+    ids = matching_doc_ids(index, query, msm)
+    c = F.col(field)
+    return stored.join(ids, "doc_id").agg(
+        F.count(c).cast("long").alias("count"),
+        F.min(c).cast("double").alias("min"),
+        F.max(c).cast("double").alias("max"),
+        F.round(F.avg(c), 4).alias("avg"),
+        F.sum(c).cast("double").alias("sum"),
+    )
+
+
+def extended_stats_agg(
+    index: Index, stored: DataFrame, query: str, field: str, msm: int = 1
+) -> DataFrame:
+    """ES `extended_stats`: stats plus sum_of_squares and POPULATION
+    variance/std-deviation (ES's default sigma semantics)."""
+    ids = matching_doc_ids(index, query, msm)
+    c = F.col(field).cast("double")
+    return stored.join(ids, "doc_id").agg(
+        F.count(c).cast("long").alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.round(F.avg(c), 4).alias("avg"),
+        F.sum(c).alias("sum"),
+        F.sum(c * c).alias("sum_of_squares"),
+        F.round(F.var_pop(c), 4).alias("variance"),
+        F.round(F.stddev_pop(c), 4).alias("std_deviation"),
+    )
+
+
+def percentiles_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    field: str,
+    percents: list[float] | None = None,
+    msm: int = 1,
+) -> DataFrame:
+    """ES `percentiles` aggregation: one row per requested percent with the
+    linearly-interpolated value (exact — the semantics ES's t-digest
+    approximates; at driver-test scale exact and t-digest agree, and exact
+    is what a SQL oracle can verify). Output (percent, value), percent asc.
+
+    Scale: Spark's exact `percentile` needs the field's values for the
+    matching set on one reducer per group — fine for a single global row
+    even at 100 TB match sets ONLY if the match set fits; the documented
+    scale path is `approx_percentile` (t-digest-style sketch, map-side
+    combined), which this function exposes via exact=False."""
+    if percents is None:
+        percents = [1.0, 25.0, 50.0, 75.0, 99.0]
+    ids = matching_doc_ids(index, query, msm)
+    fracs = F.array(*[F.lit(p / 100.0) for p in percents])
+    row = stored.join(ids, "doc_id").agg(
+        F.percentile(F.col(field), fracs).alias("vals")
+    )
+    pcts = F.array(*[F.lit(float(p)) for p in percents])
+    return (
+        row.select(F.posexplode(pcts).alias("i", "percent"), "vals")
+        .select("percent", F.round(F.col("vals")[F.col("i")], 4).alias("value"))
+        .orderBy("percent")
+    )
+
+
+def cardinality_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    field: str,
+    msm: int = 1,
+    exact: bool = True,
+) -> DataFrame:
+    """ES `cardinality` aggregation: distinct count of `field` over matching
+    docs. exact=True is a real distinct (the oracle-checkable semantics);
+    exact=False is the HLL++ sketch (`approx_count_distinct`) — ES's actual
+    algorithm and the 100 TB path: map-side-combined fixed-size registers,
+    no distinct shuffle of the raw values."""
+    ids = matching_doc_ids(index, query, msm)
+    joined = stored.join(ids, "doc_id")
+    if exact:
+        return joined.agg(F.countDistinct(field).cast("long").alias("value"))
+    return joined.agg(F.approx_count_distinct(field).cast("long").alias("value"))
+
+
+def range_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    field: str,
+    ranges: list[tuple[float | None, float | None]],
+    msm: int = 1,
+) -> DataFrame:
+    """ES `range` aggregation: one bucket per requested [from, to) range
+    (from inclusive, to exclusive — ES semantics), EMPTY BUCKETS INCLUDED
+    (ES always returns every requested range). Bucket key formatted the ES
+    way: "*-100.0", "100.0-300.0", "300.0-*"; output ordered as requested.
+
+    The per-range conditional counts ride ONE aggregate row (sum of CASE
+    per range — a single pass, no per-range scan), then unpivot to rows
+    with stack() — fully lazy, no driver round-trip; requested-range
+    cardinality is tiny by construction."""
+    ids = matching_doc_ids(index, query, msm)
+    joined = stored.join(ids, "doc_id")
+    c = F.col(field).cast("double")
+
+    def key_of(lo: float | None, hi: float | None) -> str:
+        return f"{'*' if lo is None else float(lo)}-{'*' if hi is None else float(hi)}"
+
+    aggs = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= float(lo))
+        if hi is not None:
+            cond = cond & (c < float(hi))
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"r{i}")
+        )
+    stack = ", ".join(
+        f"{i}, '{key_of(lo, hi)}', r{i}" for i, (lo, hi) in enumerate(ranges)
+    )
+    return (
+        joined.agg(*aggs)
+        .select(
+            F.expr(f"stack({len(ranges)}, {stack}) AS (idx, key, doc_count)")
+        )
+        .orderBy("idx")
+        .select("key", "doc_count")
+    )
+
+
+def date_histogram_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    field: str,
+    calendar_interval: str = "month",
+    msm: int = 1,
+) -> DataFrame:
+    """ES `date_histogram` with a CALENDAR interval (month/week/day/...):
+    bucket key = date_trunc(interval, ts), count per bucket, empty buckets
+    omitted (min_doc_count=1), key asc. Calendar intervals are why this
+    isn't histogram_agg: buckets are irregular wall-clock spans, which
+    date_trunc handles and a fixed divisor can't."""
+    ids = matching_doc_ids(index, query, msm)
+    bucket = F.date_trunc(calendar_interval, F.col(field))
+    return (
+        stored.join(ids, "doc_id")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def composite_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    msm: int = 1,
+) -> DataFrame:
+    """ES `composite` aggregation: the paginated multi-source bucket walk.
+    Buckets are the distinct source-tuples among matching docs, ordered by
+    the tuple ascending; `after` resumes STRICTLY past a previous page's
+    last key (ES after_key). Unlike terms aggs, composite never needs the
+    full bucket set on one node — the tuple-ordered limit is a
+    TakeOrdered, and the after cursor prunes before the aggregate, so
+    deep pagination stays O(page) like search_after does for hits."""
+    ids = matching_doc_ids(index, query, msm)
+    joined = stored.join(ids, "doc_id")
+    if after is not None:
+        cur = F.struct(*[F.lit(v).alias(s) for s, v in zip(sources, after)])
+        joined = joined.filter(F.struct(*sources) > cur)
+    return (
+        joined.groupBy(*sources)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(*[F.asc(s) for s in sources])
+        .limit(size)
+    )
+
+
+def top_hits_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    group_field: str,
+    hits_per_group: int = 2,
+    msm: int = 1,
+) -> DataFrame:
+    """ES `top_hits` sub-aggregation under a terms bucketing: for every
+    value of `group_field`, the top `hits_per_group` matching docs by
+    relevance (score desc, doc_id asc — the engine's rank order). Output
+    (group, rank, doc_id, score) ordered by (group, rank).
+
+    Scores come from the exhaustive match kernel (match_scores) — top_hits
+    ranks INSIDE buckets, so a global top-k can't feed it; the per-group
+    cut is a window rank over a group-keyed shuffle, partial-aggregated by
+    Spark's WindowGroupLimit pushdown (rank filter is pushed map-side), so
+    no group ever materializes more than its local frontier."""
+    from pyspark.sql import Window
+
+    scores = match_scores(index, query, msm)
+    w = (
+        Window.partitionBy(group_field)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return (
+        stored.join(scores, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= hits_per_group)
+        .select(
+            F.col(group_field).alias("group"),
+            "rank",
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy("group", "rank")
     )

@@ -1524,6 +1524,7 @@ def topk_fuzzy(
     k: int = 10,
     fuzziness: int = 1,
     max_expansions: int = 50,
+    prefix_length: int = 0,
 ) -> DataFrame:
     """ES `fuzzy` query: expand `word` to indexed terms within Levenshtein
     distance `fuzziness`, score each doc as the MAX BM25 contribution over
@@ -1535,13 +1536,25 @@ def topk_fuzzy(
     The expansion runs distributed: F.levenshtein against the term_stats
     dictionary (JVM-side, vocab-scale, never collected uncapped), capped
     at max_expansions by df desc / term asc — Lucene top_terms_N's pick.
-    The exact term, when indexed, is distance 0 and always qualifies."""
+    The exact term, when indexed, is distance 0 and always qualifies.
+
+    The levenshtein pass is guarded by two pushable pre-filters so the
+    expensive DP never runs on the bulk of a web-scale vocabulary:
+    (a) the sound length band |len(term) - len(word)| <= fuzziness (edit
+    distance >= length difference — cheap integer comparisons the scan
+    evaluates first), and (b) ES's `prefix_length` option: the first
+    prefix_length characters must match exactly (a startswith the scan can
+    push as a string-range predicate; Lucene's default is 0 but real
+    deployments set 1-2 precisely for this cost reason). levenshtein
+    itself uses the bounded threshold form (early-exit DP, Spark 3.5+)."""
     spark = index.postings.sparkSession
-    exp = _expansions(
-        index,
-        F.levenshtein(F.col("term"), F.lit(word)) <= fuzziness,
-        max_expansions,
+    pred = (F.length("term") >= len(word) - fuzziness) & (
+        F.length("term") <= len(word) + fuzziness
     )
+    if prefix_length > 0:
+        pred = pred & F.col("term").startswith(word[:prefix_length])
+    lev = F.levenshtein(F.col("term"), F.lit(word), fuzziness)
+    exp = _expansions(index, pred & (lev >= 0) & (lev <= fuzziness), max_expansions)
     if not exp:
         return spark.createDataFrame([], _HIT)
     idf_map = {int(r["term_hash"]): float(r["idf"]) for r in exp}
@@ -1779,4 +1792,139 @@ def topk_with_urls(index: Index, query: str, k: int = 10, exact: bool = False) -
         hits.join(index.doc_stats.select("doc_id", "url"), "doc_id", "left")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .select("doc_id", "url", "score")
+    )
+
+
+def topk_function_score(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    field: str,
+    modifier: str = "log1p",
+    factor: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES `function_score` with `field_value_factor`: final score =
+    BM25(query, doc) * modifier(factor * doc[field]). Supported modifiers:
+    log1p (ES log1p), sqrt, none — all order-preserving but NOT rank-
+    preserving across docs, so the BM25 θ bound is unsound for the combined
+    score; this path scores the match set exhaustively (θ=0 — what ES
+    itself does: function_score rewrites to a scored filter), joins the
+    stored field, and takes the re-ranked top-k. A WAND-style bound exists
+    when the modifier is bounded over the field's value range (max-impact ×
+    max-modifier per block) — documented as the web-scale follow-up.
+
+    Output (doc_id, score), score desc / doc_id asc, rounded 4dp."""
+    from webindex.aggs import match_scores
+
+    mods = {
+        "log1p": lambda c: F.log1p(c),
+        "sqrt": lambda c: F.sqrt(c),
+        "none": lambda c: c,
+    }
+    if modifier not in mods:
+        raise ValueError(f"unsupported modifier {modifier!r}")
+    base = match_scores(index, query)
+    fv = mods[modifier](F.col(field).cast("double") * F.lit(float(factor)))
+    return (
+        base.join(stored.select("doc_id", field), "doc_id")
+        .select("doc_id", (F.col("score") * fv).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def search_sort(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    field: str,
+    ascending: bool = False,
+    k: int = 10,
+    msm: int = 1,
+) -> DataFrame:
+    """ES search with `sort` on a stored field: matching docs ordered by the
+    field instead of relevance. ES skips scoring entirely when sort is a
+    field (track_scores=false default) — so does this: the match filter is
+    the constant-score block scan (no BM25 work), the field comes from the
+    doc_id-keyed join, the cut is a TakeOrdered on (field, doc_id asc).
+    Output (doc_id, <field>)."""
+    ids = matching_doc_ids_of(index, query, msm)
+    key = F.asc(field) if ascending else F.desc(field)
+    return (
+        stored.select("doc_id", field)
+        .join(ids, "doc_id")
+        .orderBy(key, F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def matching_doc_ids_of(index: Index, query: str, msm: int = 1) -> DataFrame:
+    """Re-export of aggs.matching_doc_ids (import-cycle-free helper for the
+    query-side entry points)."""
+    from webindex.aggs import matching_doc_ids
+
+    return matching_doc_ids(index, query, msm)
+
+
+def suggest_terms(
+    index: Index,
+    text: str,
+    max_edits: int = 2,
+    size: int = 3,
+) -> DataFrame:
+    """ES term suggester: per misspelled input token, candidate corrections
+    from the index vocabulary within `max_edits` Levenshtein, ranked the ES
+    way — edit distance asc, then document frequency desc, then term asc —
+    capped at `size` per input token. Input tokens that exist in the
+    dictionary verbatim get no suggestions (ES suggest_mode=missing).
+
+    The dictionary pass runs DISTRIBUTED over term_stats with the sound
+    length-band pre-filter (|len(term) - len(q)| <= max_edits — edit
+    distance is bounded below by the length difference) pushed to the scan
+    BEFORE the levenshtein evaluation, and Spark 3.5+'s bounded
+    `levenshtein(l, r, threshold)` form, which early-exits the DP row scan
+    past the band. Output (input, suggestion, distance, df), ordered
+    (input, distance, df desc, suggestion)."""
+    from pyspark.sql import Window
+
+    from webindex.textproc import tokenize
+
+    spark = index.term_stats.sparkSession
+    toks = sorted(set(tokenize(text)))
+    out_schema = "input string, suggestion string, distance int, df long"
+    if not toks:
+        return spark.createDataFrame([], out_schema)
+    known = {
+        r["term"]
+        for r in index.term_stats.filter(F.col("term").isin(toks)).collect()
+    }
+    missing = [t for t in toks if t not in known]
+    if not missing:
+        return spark.createDataFrame([], out_schema)
+    qdf = F.broadcast(
+        spark.createDataFrame([(t, len(t)) for t in missing], "input string, qlen int")
+    )
+    cand = (
+        index.term_stats.select("term", "df", F.length("term").alias("tlen"))
+        .join(
+            qdf,
+            (F.col("tlen") >= F.col("qlen") - max_edits)
+            & (F.col("tlen") <= F.col("qlen") + max_edits),
+        )
+        .withColumn(
+            "distance", F.levenshtein(F.col("term"), F.col("input"), max_edits)
+        )
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_edits))
+        .filter(F.col("distance") > 0)
+    )
+    w = Window.partitionBy("input").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select("input", F.col("term").alias("suggestion"), "distance", "df")
+        .orderBy("input", "distance", F.desc("df"), "suggestion")
     )
