@@ -1,0 +1,196 @@
+"""Document deletes on the incremental index: ES DELETE /_doc and
+_delete_by_query analogues (tombstone batches applied physically at
+compaction — the Lucene live-docs + segment-merge reclaim model).
+
+Semantics pinned here:
+  * delete-then-compact == a batch build that never saw the doc (postings,
+    doc_stats, n_docs, avgdl, df — everything shrinks);
+  * per doc the latest EVENT wins: crawl-then-delete removes,
+    delete-then-recrawl resurrects, both orderings inside one delta;
+  * deleting an unknown url is a recorded no-op;
+  * applying a tombstone is O(touched buckets), never a corpus rewrite.
+
+reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:175-232 (the ES
+backend's index/upsert/bulk surface this engine mirrors; deletes are the
+missing verb of that CRUD set)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webindex.build import build_index
+from webindex.pagesgen import make_pages_pdf
+from webindex.query import lookup_url, topk
+from webindex.streaming import IncrementalIndexer
+
+
+def _topk_list(idx, query, k=10):
+    return [(r["doc_id"], round(r["score"], 9)) for r in topk(idx, query, k).collect()]
+
+
+def _queries():
+    return ("the data", "w042 w099", "index query merge")
+
+
+def _assert_same_index(got, want):
+    assert got.n_docs == want.n_docs
+    assert abs(got.avgdl - want.avgdl) < 1e-9
+    for q in _queries():
+        assert _topk_list(got, q) == _topk_list(want, q), q
+    g = {(r["term"], r["df"]) for r in got.term_stats.select("term", "df").collect()}
+    w = {(r["term"], r["df"]) for r in want.term_stats.select("term", "df").collect()}
+    assert g == w
+
+
+def test_delete_equals_batch_build_without_deleted(spark, tmp_path):
+    pdf = make_pages_pdf(0, 140)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    indexer = IncrementalIndexer(spark, str(tmp_path / "inc"), text_col="html")
+    indexer.start(src).awaitTermination(120)
+    idx0 = indexer.compact()
+    assert idx0.n_docs == 140
+
+    victims = list(pdf["url"].iloc[5:15])
+    idx1 = indexer.delete(victims)
+
+    survivors = pdf[~pdf["url"].isin(victims)]
+    batch_idx = build_index(
+        spark, spark.createDataFrame(survivors), text_col="html",
+        doc_id_method="hash",
+    )
+    assert idx1.n_docs == 130
+    _assert_same_index(idx1, batch_idx)
+    # the deleted doc is gone from point lookups too
+    assert lookup_url(idx1, victims[0]).count() == 0
+
+
+def test_delete_before_first_compact_full_path(spark, tmp_path):
+    """Tombstones present when the FIRST (full) compact runs: the full path
+    must apply them, not just the incremental one."""
+    pdf = make_pages_pdf(0, 80)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    indexer = IncrementalIndexer(spark, str(tmp_path / "inc"), text_col="html")
+    indexer.start(src).awaitTermination(120)
+    victims = list(pdf["url"].iloc[:7])
+    idx = indexer.delete(victims, compact_now=False)
+    assert idx is None
+    idx = indexer.compact()
+    batch_idx = build_index(
+        spark,
+        spark.createDataFrame(pdf[~pdf["url"].isin(victims)]),
+        text_col="html",
+        doc_id_method="hash",
+    )
+    _assert_same_index(idx, batch_idx)
+
+
+def test_delete_then_recrawl_resurrects(spark, tmp_path):
+    pdf = make_pages_pdf(0, 60)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    indexer = IncrementalIndexer(spark, str(tmp_path / "inc"), text_col="html")
+    indexer.start(src).awaitTermination(120)
+    indexer.compact()
+
+    url = pdf["url"].iloc[3]
+    idx = indexer.delete([url])
+    assert idx.n_docs == 59
+    assert lookup_url(idx, url).count() == 0
+
+    # recrawl the same url (newer batch) -> the doc is live again
+    idx2 = indexer.upsert(spark.createDataFrame(pdf.iloc[3:4]))
+    assert idx2.n_docs == 60
+    assert lookup_url(idx2, url).count() == 1
+    batch_idx = build_index(
+        spark, spark.createDataFrame(pdf), text_col="html", doc_id_method="hash"
+    )
+    _assert_same_index(idx2, batch_idx)
+
+
+def test_crawl_and_delete_in_one_delta_latest_event_wins(spark, tmp_path):
+    """Crawl (batch N) then delete (batch N+1) applied by ONE compact: the
+    delete is newer, the doc must not appear even though its runs are in the
+    same delta window."""
+    pdf = make_pages_pdf(0, 50)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf.iloc[:40]).coalesce(1).write.mode("append").parquet(src)
+    indexer = IncrementalIndexer(spark, str(tmp_path / "inc"), text_col="html")
+    indexer.start(src).awaitTermination(120)
+    indexer.compact()
+
+    # delta: 10 new docs ingested, then 2 of them deleted, then ONE compact
+    new = pdf.iloc[40:]
+    indexer.upsert(spark.createDataFrame(new), compact_now=False)
+    victims = list(new["url"].iloc[:2])
+    idx = indexer.delete(victims)
+
+    batch_idx = build_index(
+        spark,
+        spark.createDataFrame(pdf[~pdf["url"].isin(victims)]),
+        text_col="html",
+        doc_id_method="hash",
+    )
+    assert idx.n_docs == 48
+    _assert_same_index(idx, batch_idx)
+
+
+def test_delete_unknown_url_is_noop(spark, tmp_path):
+    pdf = make_pages_pdf(0, 30)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    indexer = IncrementalIndexer(spark, str(tmp_path / "inc"), text_col="html")
+    indexer.start(src).awaitTermination(120)
+    idx0 = indexer.compact()
+    before = _topk_list(idx0, "the data")
+    idx1 = indexer.delete(["https://never-crawled.example/x"])
+    assert idx1.n_docs == 30
+    assert _topk_list(idx1, "the data") == before
+
+
+def test_delete_by_query_matches_snapshot(spark, tmp_path):
+    pdf = make_pages_pdf(0, 90)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    indexer = IncrementalIndexer(spark, str(tmp_path / "inc"), text_col="html")
+    indexer.start(src).awaitTermination(120)
+    idx0 = indexer.compact()
+
+    from webindex.aggs import matching_doc_ids
+
+    victims = {r["doc_id"] for r in matching_doc_ids(idx0, "w042").collect()}
+    assert victims  # fixture must actually match something
+    # capture the snapshot BEFORE the delete swaps the table files out
+    stats_before = idx0.doc_stats.select("doc_id", "url").collect()
+    idx1 = indexer.delete_by_query("w042")
+    assert idx1.n_docs == 90 - len(victims)
+    # no surviving doc matches the query any more
+    assert matching_doc_ids(idx1, "w042").count() == 0
+    # and df/scores reflect the shrunken corpus exactly
+    surviving_urls = {r["url"] for r in stats_before if r["doc_id"] not in victims}
+    batch_pdf = pdf[pdf["url"].isin(surviving_urls)]
+    batch_idx = build_index(
+        spark, spark.createDataFrame(batch_pdf), text_col="html",
+        doc_id_method="hash",
+    )
+    _assert_same_index(idx1, batch_idx)
+
+
+def test_delete_is_o_touched_buckets(spark, tmp_path):
+    """Tombstoning one doc must decode/rewrite only that doc's bucket."""
+    pdf = make_pages_pdf(0, 160)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    workdir = str(tmp_path / "inc")
+    indexer = IncrementalIndexer(spark, workdir, text_col="html", range_width=16)
+    indexer.start(src).awaitTermination(120)
+    idx0 = indexer.compact()
+    all_buckets = idx0.postings.select("bucket").distinct().count()
+    assert all_buckets > 4
+
+    indexer.delete([pdf["url"].iloc[0]])
+    comp = spark.read.parquet(f"{workdir}/compactions").collect()
+    inc = [r for r in comp if r["kind"] == "incremental"]
+    assert len(inc) == 1
+    assert inc[0]["touched_buckets"] == 1

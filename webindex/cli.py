@@ -13,6 +13,9 @@ Usage (spark-submit takes an application file, not -m):
   spark-submit --py-files webindex.zip webindex/cli.py mlt    <workdir> "<like text>" [k] [--max-query-terms N] [--min-doc-freq N]
   spark-submit --py-files webindex.zip webindex/cli.py lookup-url <workdir> <url>
   spark-submit --py-files webindex.zip webindex/cli.py resume <pages_path> <workdir>
+  spark-submit --py-files webindex.zip webindex/cli.py ingest <pages_path> <inc_workdir> [--positions]   (incremental: stream + compact)
+  spark-submit --py-files webindex.zip webindex/cli.py delete <inc_workdir> <url> [<url> ...]
+  spark-submit --py-files webindex.zip webindex/cli.py delete-by-query <inc_workdir> "<query>" [--msm N]
 or locally:
   python -m webindex.cli build <pages_path> <workdir>
 
@@ -279,6 +282,34 @@ def main(argv: list[str]) -> int:
         idx = load_index(spark, argv[2])
         for row in lookup_url(idx, argv[3]).collect():
             print(f"{row['doc_id']}\t{row['url']}\t{row['doc_len']}")
+    elif cmd == "ingest":
+        from webindex.streaming import IncrementalIndexer
+
+        positions = "--positions" in argv
+        argv = [a for a in argv if a != "--positions"]
+        indexer = IncrementalIndexer(
+            spark, argv[3], text_col="html", positions=positions
+        )
+        indexer.start(argv[2], trigger_available_now=True).awaitTermination()
+        idx = indexer.compact()
+        print(f"ingested+compacted: {idx.n_docs} docs -> {argv[3]}/index")
+    elif cmd == "delete":
+        from webindex.streaming import IncrementalIndexer
+
+        indexer = IncrementalIndexer(spark, argv[2], text_col="html")
+        idx = indexer.delete(argv[3:])
+        print(f"deleted {len(argv) - 3} url(s): {idx.n_docs} docs remain")
+    elif cmd == "delete-by-query":
+        from webindex.streaming import IncrementalIndexer
+
+        msm = 1
+        if "--msm" in argv:
+            i = argv.index("--msm")
+            msm = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+        indexer = IncrementalIndexer(spark, argv[2], text_col="html")
+        idx = indexer.delete_by_query(argv[3], msm=msm)
+        print(f"delete-by-query {argv[3]!r}: {idx.n_docs} docs remain")
     else:
         print(__doc__)
         return 2

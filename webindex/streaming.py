@@ -253,6 +253,79 @@ class IncrementalIndexer:
         self._process_batch(pages, next_id)
         return self.compact() if compact_now else None
 
+    def delete(self, urls, compact_now: bool = True) -> "Index | None":
+        """ES DELETE /<index>/_doc/<id> analogue: tombstone documents by url.
+
+        A delete is an EVENT in the same total batch order as crawls: the
+        tombstone batch gets the next batch id and is recorded in lineage, so
+        per doc the latest event wins — delete-then-recrawl resurrects the
+        doc, crawl-then-delete removes it (ES versioned-delete semantics).
+        Tombstones are applied PHYSICALLY at the next compact (the segment
+        merge, exactly where Lucene reclaims deleted docs): the dead docs'
+        posting rows are dropped from their touched buckets only, doc_stats
+        rows removed, and n_docs / avgdl / df all shrink accordingly —
+        deleted docs stop influencing every score. Like upsert, visibility
+        is at compact() (the refresh point of this engine).
+
+        `urls` is a list[str] or a DataFrame with a url column. Deleting a
+        url that was never crawled is a recorded no-op (ES returns
+        result=not_found)."""
+        spark = self.spark
+        if isinstance(urls, DataFrame):
+            u = urls.select("url").distinct()
+        else:
+            u = spark.createDataFrame(
+                [(x,) for x in urls], "url string"
+            ).distinct()
+        done = self._done_batches()
+        batch_id = (max(done) + 1) if done else 0
+        t0 = time.monotonic()
+        # doc_id derivation MUST match the ingest side (assign_doc_ids
+        # "hash"): the tombstone kills exactly the doc the url maps to
+        u.select(
+            F.xxhash64(F.col("url")).alias("doc_id"),
+            "url",
+            F.lit(int(batch_id)).alias("batch_id"),
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(
+            f"{self.workdir}/deletes"
+        )
+        from webindex.fsutil import dir_bytes
+
+        nbytes = dir_bytes(spark, f"{self.workdir}/deletes/batch_id={batch_id}")
+        spark.createDataFrame(
+            [(int(batch_id), 0, 0, int(nbytes), float(time.monotonic() - t0), "done")],
+            schema=schema.LINEAGE,
+        ).write.mode("append").parquet(f"{self.workdir}/lineage")
+        return self.compact() if compact_now else None
+
+    def delete_by_query(
+        self, query: str, msm: int = 1, compact_now: bool = True
+    ) -> "Index | None":
+        """ES _delete_by_query: tombstone every doc matching `query` (>= msm
+        distinct terms — filter-context match, no scoring). Like ES, the
+        match set is a SNAPSHOT of the current index: the constant-score
+        block scan resolves matching doc_ids, their urls come from the
+        doc_id-keyed doc_stats join, and the whole set becomes one tombstone
+        batch through delete()."""
+        from webindex.aggs import matching_doc_ids
+
+        idx = self.compact()
+        ids = matching_doc_ids(idx, query, msm)
+        urls = idx.doc_stats.join(ids, "doc_id", "semi").select("url")
+        return self.delete(urls, compact_now)
+
+    def _new_tombstones(self, min_batch: int | None = None) -> DataFrame | None:
+        """(doc_id, batch_id) tombstone events, optionally only those after
+        min_batch (the compaction frontier). None when no deletes table
+        exists — the zero-cost common case."""
+        try:
+            d = self.spark.read.parquet(f"{self.workdir}/deletes")
+        except Exception:
+            return None
+        if min_batch is not None:
+            d = d.filter(F.col("batch_id") > min_batch)
+        return d.select("doc_id", "batch_id")
+
     # -- compaction / query-side --------------------------------------------
 
     def _done_batches(self) -> list[int]:
@@ -414,6 +487,23 @@ class IncrementalIndexer:
                 Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
             ),
         ).filter(F.col("rn") == 1).select("doc_id", "url")
+        # tombstones: per doc the LATEST event wins across the full history —
+        # a doc whose newest delete outranks its newest crawl is dead and
+        # contributes nothing to postings, doc_stats, n_docs, or avgdl
+        tombs = self._new_tombstones()
+        if tombs is not None:
+            crawl_latest = doc_urls.groupBy("doc_id").agg(
+                F.max("batch_id").alias("cb")
+            )
+            dead = (
+                tombs.groupBy("doc_id")
+                .agg(F.max("batch_id").alias("db"))
+                .join(crawl_latest, "doc_id", "left")
+                .filter(F.col("cb").isNull() | (F.col("db") > F.col("cb")))
+                .select("doc_id")
+            )
+            runs_latest = runs_latest.join(dead, "doc_id", "left_anti")
+            doc_urls_latest = doc_urls_latest.join(dead, "doc_id", "left_anti")
         doc_stats = self._doc_stats_of(runs_latest, doc_urls_latest)
         from webindex.build import vocab_and_corpus_agg
 
@@ -490,37 +580,67 @@ class IncrementalIndexer:
         doc_urls = spark.read.parquet(f"{self.workdir}/doc_urls").filter(
             F.col("batch_id").isin(delta_batches)
         )
+        # tombstone events newer than the compaction frontier: a delete
+        # outranked by a same-delta recrawl is void (latest event wins); a
+        # delete of a never-seen doc is a no-op that still advances state
+        old_doc_stats = spark.read.parquet(f"{out}/doc_stats")
+        dead_ids = None
+        tombs = self._new_tombstones(min_batch=int(state["max_batch"]))
+        if tombs is not None:
+            crawl_latest = doc_urls.groupBy("doc_id").agg(
+                F.max("batch_id").alias("cb")
+            )
+            dead_ids = (
+                tombs.groupBy("doc_id")
+                .agg(F.max("batch_id").alias("db"))
+                .join(crawl_latest, "doc_id", "left")
+                .filter(F.col("cb").isNull() | (F.col("db") > F.col("cb")))
+                .select("doc_id")
+                .persist()
+            )
+            if dead_ids.count() == 0:
+                dead_ids.unpersist()
+                dead_ids = None
+
         # latest-wins WITHIN the delta; rows from batches already compacted
         # are handled below by dropping re-crawled docs from the old blocks
-        delta_runs = self._latest_wins(runs, doc_urls).persist()
+        delta_runs = self._latest_wins(runs, doc_urls)
+        if dead_ids is not None:
+            delta_runs = delta_runs.join(dead_ids, "doc_id", "left_anti")
+        delta_runs = delta_runs.persist()
         delta_docs = delta_runs.filter(F.col("term") == DOC_MARKER).select(
             "doc_id", "doc_len"
         ).persist()
-        buckets = [
-            int(r["bucket"])
-            for r in delta_docs.select(
-                bucket_expr(F.col("doc_id"), old_n, range_width, "hash", bits).alias(
-                    "bucket"
-                )
+        bcol = bucket_expr(F.col("doc_id"), old_n, range_width, "hash", bits)
+        bucket_src = delta_docs.select(bcol.alias("bucket"))
+        if dead_ids is not None:
+            # dead docs' committed rows live in their own buckets: those
+            # must decode+rewrite too (doc_stats is bucket-partitioned, so
+            # this is a thin semi-join, not an id->bucket recompute)
+            bucket_src = bucket_src.unionByName(
+                old_doc_stats.join(dead_ids, "doc_id", "semi").select("bucket")
             )
-            .distinct()
-            .collect()
+        buckets = [
+            int(r["bucket"]) for r in bucket_src.distinct().collect()
         ]
         n_delta = delta_docs.count()
-        if n_delta == 0:
+        if n_delta == 0 and dead_ids is None:
             delta_runs.unpersist(); delta_docs.unpersist()
             return self._load_index(old_n, old_sum / max(1, old_n), range_width)
 
-        # ---- old state for the touched docs (thin, partition-pruned reads)
-        old_doc_stats = spark.read.parquet(f"{out}/doc_stats")
-        recrawled = old_doc_stats.join(delta_docs.select("doc_id"), "doc_id", "semi")
-        r = recrawled.agg(
+        # ---- old state for the removed docs: re-crawled (superseded) and
+        # tombstoned committed docs leave the corpus counts together
+        removal = delta_docs.select("doc_id")
+        if dead_ids is not None:
+            removal = removal.unionByName(dead_ids)
+        removed = old_doc_stats.join(removal, "doc_id", "semi")
+        r = removed.agg(
             F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s")
         ).collect()[0]
-        n_recrawled, sum_recrawled = int(r["n"]), float(r["s"])
+        n_removed, sum_removed = int(r["n"]), float(r["s"])
         d = delta_docs.agg(F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s")).collect()[0]
-        n_docs = old_n - n_recrawled + n_delta
-        sum_dl = old_sum - sum_recrawled + float(d["s"])
+        n_docs = old_n - n_removed + n_delta
+        sum_dl = old_sum - sum_removed + float(d["s"])
         avgdl = sum_dl / max(1, n_docs)
 
         # ---- merge: decode ONLY touched buckets' blocks, drop re-crawled
@@ -534,8 +654,8 @@ class IncrementalIndexer:
         old_rows = decode_postings_to_runs(
             old_blocks, quantize_norms=self.conf.quantize_norms
         ).join(
-            F.broadcast(delta_docs.select("doc_id")) if n_delta < 1_000_000
-            else delta_docs.select("doc_id"),
+            # removal = re-crawled delta docs + tombstoned committed docs
+            F.broadcast(removal) if n_delta < 1_000_000 else removal,
             "doc_id",
             "left_anti",
         ).persist()
@@ -609,10 +729,9 @@ class IncrementalIndexer:
         delta_stats = delta_docs.join(delta_urls, "doc_id").select(
             "doc_id", "url", F.col("doc_len").cast("int").alias("doc_len")
         )
-        bcol = bucket_expr(F.col("doc_id"), old_n, range_width, "hash", bits)
         kept_old = (
             old_doc_stats.filter(F.col("bucket").isin(buckets))
-            .join(delta_docs.select("doc_id"), "doc_id", "left_anti")
+            .join(removal, "doc_id", "left_anti")
             .select("doc_id", "url", "doc_len")
         )
         ds_staging = f"{out}/_doc_stats_staging"
@@ -640,6 +759,8 @@ class IncrementalIndexer:
             touched=len(buckets),
         )
         delta_runs.unpersist(); delta_docs.unpersist()
+        if dead_ids is not None:
+            dead_ids.unpersist()
         return self._load_index(n_docs, avgdl, range_width)
 
     def _log_compaction(
