@@ -734,6 +734,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index(spark, sf), "mrge datta the", max_edits=2, size=3
         )
 
+    def count_matches_q(spark, sf):
+        # ES _count API: match-set size with no scoring and no hits
+        # (webindex/query.py count_matches)
+        from webindex.query import count_matches
+
+        return count_matches(_index(spark, sf), "data merge")
+
+    def explain_score(spark, sf):
+        # ES _explain API: per-term BM25 breakdown for one doc — contribs
+        # sum to exactly the doc's topk score (webindex/query.py explain_doc)
+        from webindex.query import explain_doc
+
+        exp = explain_doc(_index(spark, sf), "data merge the", 7)
+        return exp.select(
+            "term", "tf", "doc_len",
+            F.round("idf", 4).alias("idf"),
+            F.round("contrib", 4).alias("contrib"),
+        )
+
+    def complete_prefix(spark, sf):
+        # ES completion suggester: popularity-ranked prefix completion from
+        # the index vocabulary (webindex/query.py complete_terms)
+        from webindex.query import complete_terms
+
+        return complete_terms(_index(spark, sf), "s", 5)
+
     def bm25_phrase_prefix(spark, sf):
         # ES match_phrase_prefix (autocomplete): "the s" — last slot expands
         # to the s* dictionary terms, dis_max over the expanded exact
@@ -1231,6 +1257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_function_score": bm25_function_score,
         "search_sort_nchars": search_sort_nchars,
         "suggest_spell": suggest_spell,
+        "count_matches": count_matches_q,
+        "explain_score": explain_score,
+        "complete_prefix": complete_prefix,
         "agg_significant_terms": agg_significant_terms,
         "bm25_highlight": bm25_highlight,
         "bm25_search_after": bm25_search_after,
@@ -1447,6 +1476,38 @@ SELECT doc_id, n_chars
 FROM (SELECT doc_id, n_chars, {toks} AS tk FROM documents)
 WHERE list_contains(tk, 'merge') OR list_contains(tk, 'spark')
 ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+    sql["count_matches"] = f"""
+WITH {_m}
+SELECT count(*)::BIGINT AS count FROM m
+"""
+    sql["explain_score"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS dl FROM tok),
+c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT term, count(*)::BIGINT AS tf
+  FROM (SELECT unnest(toks) AS term FROM tok WHERE doc_id = 7)
+  WHERE term IN ('data', 'merge', 'the') GROUP BY term
+),
+alldf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term
+)
+SELECT tf.term, tf.tf,
+       (SELECT dl FROM d WHERE doc_id = 7)::BIGINT AS doc_len,
+       round(ln(1.0 + (c.n - a.df + 0.5)/(a.df + 0.5)), 4) AS idf,
+       round(ln(1.0 + (c.n - a.df + 0.5)/(a.df + 0.5)) * tf.tf
+             / (tf.tf + {K1} * (1 - {B} + {B} * (SELECT dl FROM d WHERE doc_id = 7) / c.avgdl)),
+             4) AS contrib
+FROM tf JOIN alldf a USING (term) CROSS JOIN c
+ORDER BY tf.term
+"""
+    sql["complete_prefix"] = f"""
+SELECT term AS suggestion, count(DISTINCT doc_id)::BIGINT AS df
+FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+WHERE term LIKE 's%'
+GROUP BY term ORDER BY df DESC, suggestion ASC LIMIT 5
 """
     sql["suggest_spell"] = f"""
 WITH vocab AS (

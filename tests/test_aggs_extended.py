@@ -290,3 +290,48 @@ def test_match_scores_is_exhaustive(idx, corpus, oracle):
     assert set(got) == set(want)
     for d, s in want.items():
         assert got[d] == pytest.approx(s, abs=1e-9)
+
+
+def test_count_matches(idx, corpus):
+    from webindex.query import count_matches
+
+    got = count_matches(idx, QUERY).collect()[0]["count"]
+    assert got == len(_matching(corpus, QUERY))
+    assert count_matches(idx, "zzzabsent").collect()[0]["count"] == 0
+
+
+def test_explain_doc_contribs_sum_to_score(idx, corpus, oracle):
+    from webindex.query import explain_doc
+
+    scores = oracle.score_all(QUERY)
+    doc = sorted(scores)[0]
+    rows = explain_doc(idx, QUERY, doc).collect()
+    assert rows  # the doc matches at least one term
+    assert [r["term"] for r in rows] == sorted(r["term"] for r in rows)
+    assert sum(r["contrib"] for r in rows) == pytest.approx(scores[doc], abs=1e-9)
+    toks = tokenize(corpus["text"][doc])
+    for r in rows:
+        assert r["tf"] == toks.count(r["term"])
+        assert r["doc_len"] == len(toks)
+        assert r["idf"] == pytest.approx(oracle.idf(r["term"]), abs=1e-9)
+
+
+def test_explain_doc_absent_doc_is_empty(idx):
+    from webindex.query import explain_doc
+
+    assert explain_doc(idx, QUERY, 10**15).count() == 0
+
+
+def test_complete_terms_popularity_ranked(idx, corpus):
+    from webindex.query import complete_terms
+
+    vocab: dict[str, set] = {}
+    for i in range(N_DOCS):
+        for t in set(tokenize(corpus["text"][i])):
+            vocab.setdefault(t, set()).add(i)
+    want = sorted(
+        ((t, len(ids)) for t, ids in vocab.items() if t.startswith("w1")),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    got = [(r["suggestion"], r["df"]) for r in complete_terms(idx, "w1", 5).collect()]
+    assert got == want

@@ -1928,3 +1928,81 @@ def suggest_terms(
         .select("input", F.col("term").alias("suggestion"), "distance", "df")
         .orderBy("input", "distance", F.desc("df"), "suggestion")
     )
+
+
+def count_matches(index: Index, query: str, msm: int = 1) -> DataFrame:
+    """ES _count API: how many docs match, no scoring, no hits. One pruned
+    constant-score block scan; the count aggregate is map-side combined so
+    the driver sees a single long regardless of match-set size."""
+    from webindex.aggs import matching_doc_ids
+
+    return matching_doc_ids(index, query, msm).agg(
+        F.count("*").cast("long").alias("count")
+    )
+
+
+def explain_doc(index: Index, query: str, doc_id: int) -> DataFrame:
+    """ES _explain API: the per-term BM25 breakdown of one doc's score for
+    `query`. Output (term, tf, doc_len, idf, contrib), term asc — contrib =
+    idf * tf / (tf + k1*(1 - b + b*dl/avgdl)), so sum(contrib) is exactly
+    the score the topk path produces for this doc (same float64 terms).
+
+    The scan prunes twice without knowing the doc's bucket: term_hash
+    IN (...) plus the block doc-range guard min_doc <= id <= max_doc — at
+    most one block per query term survives (blocks partition doc ranges),
+    so the decode cost is O(|query| blocks) however big the index is."""
+    stats = _query_terms(index, query)
+    spark = index.postings.sparkSession
+    out_schema = (
+        "term string, tf long, doc_len long, idf double, contrib double"
+    )
+    if not stats:
+        return spark.createDataFrame([], out_schema)
+    idf_map = {h: idf for (_, idf, h) in stats.values()}
+    term_of = {h: t for t, (_, _, h) in stats.items()}
+    k1, b, qn = index.conf.k1, index.conf.b, index.conf.quantize_norms
+    avgdl = index.avgdl
+    did = int(doc_id)
+
+    def fn(batches):
+        rows = {"term": [], "tf": [], "doc_len": [], "idf": [], "contrib": []}
+        for pdf in batches:
+            for th, dbuf, tbuf, lbuf in zip(
+                pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
+            ):
+                ids, tfs, dls = codec.decode_block(
+                    bytes(dbuf), bytes(tbuf), bytes(lbuf), qn
+                )
+                pos = np.searchsorted(ids, did)
+                if pos >= len(ids) or ids[pos] != did:
+                    continue
+                tf, dl = int(tfs[pos]), float(dls[pos])
+                idf = idf_map[int(th)]
+                contrib = idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                rows["term"].append(term_of[int(th)])
+                rows["tf"].append(tf)
+                rows["doc_len"].append(int(dl))
+                rows["idf"].append(idf)
+                rows["contrib"].append(contrib)
+        yield pd.DataFrame(rows)
+
+    blocks = index.postings.filter(
+        F.col("term_hash").isin(list(idf_map))
+        & (F.col("min_doc") <= did)
+        & (F.col("max_doc") >= did)
+    )
+    return blocks.mapInPandas(fn, schema=out_schema).orderBy("term")
+
+
+def complete_terms(index: Index, prefix: str, size: int = 5) -> DataFrame:
+    """ES completion suggester over the index vocabulary: terms starting
+    with `prefix`, popularity-ranked (df desc, term asc). The dictionary
+    filter is a pushed string predicate over term_stats; only `size` rows
+    ever reach the driver (ES backs this with an FST — at our scale the
+    pruned columnar dictionary scan is the same read profile)."""
+    return (
+        index.term_stats.filter(F.col("term").startswith(prefix))
+        .select(F.col("term").alias("suggestion"), "df")
+        .orderBy(F.desc("df"), F.asc("suggestion"))
+        .limit(size)
+    )
