@@ -734,6 +734,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index(spark, sf), "mrge datta the", max_edits=2, size=3
         )
 
+    def bm25_boosting(spark, sf):
+        # ES boosting query: rank by "data merge", demote (x0.4, never
+        # exclude) docs matching "slow" (webindex/query.py topk_boosting)
+        from webindex.query import topk_boosting
+
+        hits = topk_boosting(_index(spark, sf), "data merge", "slow", 0.4, 10)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_dismax(spark, sf):
+        # ES top-level dis_max over two queries with tie_breaker=0.3:
+        # score = max + 0.3*(sum-max) (webindex/query.py topk_dismax)
+        from webindex.query import topk_dismax
+
+        hits = topk_dismax(
+            _index(spark, sf), ["data merge", "the index"], 0.3, 10
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_collapse(spark, sf):
+        # ES field collapsing: flat relevance top-k, best doc per lang
+        # (webindex/query.py topk_collapse)
+        from webindex.query import topk_collapse
+
+        stored = _docs(spark, sf).select("doc_id", "lang")
+        return topk_collapse(_index(spark, sf), stored, "data merge", "lang", 10)
+
     def count_matches_q(spark, sf):
         # ES _count API: match-set size with no scoring and no hits
         # (webindex/query.py count_matches)
@@ -1258,6 +1284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_sort_nchars": search_sort_nchars,
         "suggest_spell": suggest_spell,
         "count_matches": count_matches_q,
+        "bm25_boosting": bm25_boosting,
+        "bm25_dismax": bm25_dismax,
+        "bm25_collapse": bm25_collapse,
         "explain_score": explain_score,
         "complete_prefix": complete_prefix,
         "agg_significant_terms": agg_significant_terms,
@@ -1476,6 +1505,48 @@ SELECT doc_id, n_chars
 FROM (SELECT doc_id, n_chars, {toks} AS tk FROM documents)
 WHERE list_contains(tk, 'merge') OR list_contains(tk, 'spark')
 ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+    sql["bm25_boosting"] = f"""
+WITH s AS ({_bm25_score_subquery(["data", "merge"])}),
+neg AS (
+  SELECT doc_id FROM (SELECT doc_id, {toks} AS tk FROM documents)
+  WHERE list_contains(tk, 'slow')
+),
+adj AS (
+  SELECT s.doc_id,
+         CASE WHEN s.doc_id IN (SELECT doc_id FROM neg)
+              THEN s.score * 0.4 ELSE s.score END AS score
+  FROM s
+)
+SELECT doc_id, round(score, 4) AS score
+FROM adj ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    sql["bm25_dismax"] = f"""
+WITH s0 AS ({_bm25_score_subquery(["data", "merge"])}),
+s1 AS ({_bm25_score_subquery(["index", "the"])}),
+j AS (
+  SELECT coalesce(s0.doc_id, s1.doc_id) AS doc_id,
+         coalesce(s0.score, 0.0) AS a, coalesce(s1.score, 0.0) AS b
+  FROM s0 FULL JOIN s1 ON s0.doc_id = s1.doc_id
+)
+SELECT doc_id,
+       round(greatest(a, b) + 0.3 * (a + b - greatest(a, b)), 4) AS score
+FROM j
+ORDER BY greatest(a, b) + 0.3 * (a + b - greatest(a, b)) DESC, doc_id ASC
+LIMIT 10
+"""
+    sql["bm25_collapse"] = f"""
+WITH s AS ({_bm25_score_subquery(["data", "merge"])}),
+ranked AS (
+  SELECT s.doc_id, d.lang, s.score,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, round(score, 4) AS score
+FROM ranked WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     sql["count_matches"] = f"""
 WITH {_m}

@@ -335,3 +335,58 @@ def test_complete_terms_popularity_ranked(idx, corpus):
     )[:5]
     got = [(r["suggestion"], r["df"]) for r in complete_terms(idx, "w1", 5).collect()]
     assert got == want
+
+
+def test_boosting_demotes_never_excludes(idx, corpus, oracle):
+    from webindex.query import topk_boosting
+
+    rows = topk_boosting(idx, QUERY, "fast", 0.3, k=400).collect()
+    pos = oracle.score_all(QUERY)
+    neg = _matching(corpus, "fast")
+    want = sorted(
+        ((i, s * (0.3 if i in neg else 1.0)) for i, s in pos.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    got = [(r["doc_id"], r["score"]) for r in rows]
+    assert [g[0] for g in got] == [w[0] for w in want[: len(got)]]
+    # every positive match is still present (demotion, not exclusion)
+    assert {g[0] for g in got} == set(pos)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_dismax_tie_breaker(idx, oracle):
+    from webindex.query import topk_dismax
+
+    q1, q2 = QUERY, "the index"
+    s1, s2 = oracle.score_all(q1), oracle.score_all(q2)
+    for tb in (0.0, 0.4, 1.0):
+        rows = topk_dismax(idx, [q1, q2], tb, k=10).collect()
+        combined = {}
+        for d in set(s1) | set(s2):
+            a, b = s1.get(d, 0.0), s2.get(d, 0.0)
+            combined[d] = max(a, b) + tb * (a + b - max(a, b))
+        want = sorted(combined.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert [(r["doc_id"],) for r in rows] == [(w[0],) for w in want], tb
+        for r, (_, ws) in zip(rows, want):
+            assert r["score"] == pytest.approx(ws, abs=1e-9)
+
+
+def test_collapse_one_per_group(idx, corpus, oracle):
+    from webindex.query import topk_collapse
+
+    stored = None
+    import pyspark.sql  # noqa: F401  (spark session via idx)
+
+    spark = idx.postings.sparkSession
+    stored = spark.createDataFrame(corpus[["doc_id", "lang"]])
+    rows = topk_collapse(idx, stored, QUERY, "lang", k=10).collect()
+    scores = oracle.score_all(QUERY)
+    best = {}
+    for d, s in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0])):
+        best.setdefault(corpus["lang"][d], (d, s))
+    want = sorted(best.values(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["doc_id"], r["lang"]) for r in rows] == [
+        (d, corpus["lang"][d]) for d, _ in want
+    ]
+    assert len({r["lang"] for r in rows}) == len(rows)

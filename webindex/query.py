@@ -2006,3 +2006,113 @@ def complete_terms(index: Index, prefix: str, size: int = 5) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("suggestion"))
         .limit(size)
     )
+
+
+def topk_boosting(
+    index: Index,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """ES `boosting` query: rank by the positive query's BM25 score, but
+    demote (not exclude) docs matching the negative query — score × 
+    negative_boost when any negative term is present. Lucene evaluates the
+    negative side as an unscored filter; so does this: one constant-score
+    match scan for the negative set, left-joined onto the positive match
+    scores (both fixed-width doc_id keys), then the top-k cut.
+
+    Exhaustive on the positive side: demotion can promote docs from below
+    any θ frontier, so the WAND bound is unsound here (same reasoning as
+    function_score; ES rewrites identically)."""
+    from webindex.aggs import match_scores, matching_doc_ids
+
+    pos = match_scores(index, positive)
+    neg = matching_doc_ids(index, negative).withColumn("neg", F.lit(True))
+    return (
+        pos.join(neg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("neg"), F.col("score") * F.lit(float(negative_boost)))
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def topk_dismax(
+    index: Index,
+    queries: list[str],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES top-level `dis_max` query over N subqueries: per doc,
+    score = max(subquery scores) + tie_breaker * (sum - max) — Lucene
+    DisjunctionMaxQuery. tie_breaker=0 is pure best-clause;
+    tie_breaker=1 degenerates to a bool/should sum.
+
+    Each subquery's scores come from the shared exhaustive kernel; the
+    combine is a doc_id-keyed outer zip of K match-set-sized frames (K is
+    the query count, small by construction) — no text, no positions, no
+    per-row Python."""
+    from webindex.aggs import match_scores
+
+    spark = index.postings.sparkSession
+    frames = [
+        match_scores(index, q).withColumnRenamed("score", f"s{i}")
+        for i, q in enumerate(queries)
+    ]
+    if not frames:
+        return spark.createDataFrame([], _HIT)
+    joined = frames[0]
+    for f in frames[1:]:
+        joined = joined.join(f, "doc_id", "full")
+    cols = [F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(len(frames))]
+    mx = cols[0]
+    total = cols[0]
+    for c in cols[1:]:
+        mx = F.greatest(mx, c)
+        total = total + c
+    score = mx + F.lit(float(tie_breaker)) * (total - mx)
+    return (
+        joined.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def topk_collapse(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    collapse_field: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES field collapsing (`collapse` on a search): the flat top-k ranked
+    by relevance, keeping only the BEST doc per collapse-field value —
+    dedup-by-group at rank time, unlike top_hits which returns per-group
+    lists. Output (doc_id, <field>, score), score desc / doc_id asc.
+
+    One window rank over the group-keyed shuffle (WindowGroupLimit pushes
+    the rank<=1 filter map-side), then the global TakeOrdered — the
+    collapse never materializes more than each group's frontier."""
+    from pyspark.sql import Window
+
+    from webindex.aggs import match_scores
+
+    scores = match_scores(index, query)
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        stored.select("doc_id", collapse_field)
+        .join(scores, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", collapse_field, "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", collapse_field, F.round("score", 4).alias("score"))
+    )
