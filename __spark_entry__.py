@@ -702,8 +702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_function_score(spark, sf):
         # ES function_score/field_value_factor: BM25 * log1p(n_chars),
-        # exhaustively scored then re-ranked (the θ bound is unsound under
-        # an unbounded multiplier) (webindex/query.py topk_function_score)
+        # scored under the scaled bound combined <= bm25 * mod(max(field))
+        # (webindex/query.py topk_function_score; byte-identical to the
+        # exhaustive rewrite ES itself uses)
         from webindex.query import topk_function_score
 
         stored = _docs(spark, sf).select("doc_id", "n_chars")

@@ -28,6 +28,7 @@ from webindex.aggs import (
     stats_agg,
     top_hits_agg,
 )
+from webindex.bm25 import BM25Config
 from webindex.build import build_index
 from webindex.oracle import OracleIndex
 from webindex.pagesgen import make_pages_pdf
@@ -390,3 +391,78 @@ def test_collapse_one_per_group(idx, corpus, oracle):
         (d, corpus["lang"][d]) for d, _ in want
     ]
     assert len({r["lang"] for r in rows}) == len(rows)
+
+
+def test_function_score_pruned_identical_and_prunes(spark):
+    """The round-4 scaled θ bound (combined <= bm25 * M): pruned and
+    exhaustive paths must return byte-identical rows, and on a corpus where
+    most matches carry low BM25 the bucket scorer must actually skip
+    decoding blocks under θ_fs/M."""
+    import pandas as pd
+
+    from webindex.query import (
+        _maps_of,
+        _query_terms,
+        _score_bucket_fn,
+        topk_wand,
+    )
+
+    n = 256
+    texts, boost = {}, {}
+    for i in range(n):
+        if i < 8:
+            texts[i] = "aa aa aa aa"  # short, tf 4 -> high bm25
+        else:
+            texts[i] = "aa " + " ".join(f"w{j % 23}" for j in range(160))
+        boost[i] = 100 + (i % 7)
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "url": [f"u{i}" for i in texts],
+         "text": list(texts.values()),
+         "pop": [boost[i] for i in texts]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    idx = build_index(
+        spark, sdf, text_col="text", doc_id_method="provided",
+        range_width=4096, conf=BM25Config(block_size=8),
+    )
+    stored = sdf.select("doc_id", "pop")
+
+    got_pruned = [
+        (r["doc_id"], r["score"])
+        for r in topk_function_score(
+            idx, stored, "aa", "pop", k=5, pruned=True
+        ).collect()
+    ]
+    got_exh = [
+        (r["doc_id"], r["score"])
+        for r in topk_function_score(
+            idx, stored, "aa", "pop", k=5, pruned=False
+        ).collect()
+    ]
+    assert got_pruned == got_exh and len(got_pruned) == 5
+
+    # decode-count check at the bucket level with the θ the pruned path uses
+    stats = _query_terms(idx, "aa")
+    idf_map, term_rank = _maps_of(stats)
+    seed = sorted(
+        (
+            (r["score"] * np.log1p(float(boost[r["doc_id"]])), r["doc_id"])
+            for r in topk_wand(idx, "aa", 5).collect()
+        ),
+        key=lambda kv: (-kv[0], kv[1]),
+    )[:5]
+    theta_fs = seed[-1][0]
+    big_m = np.log1p(float(max(boost.values())))
+    theta_bm25 = float(np.nextafter(theta_fs / big_m, 0.0))
+    assert theta_bm25 > 0.0
+    rows = idx.postings.filter(
+        F.col("term_hash").isin(list(idf_map))
+    ).toPandas()
+    probe = {}
+    fn = _score_bucket_fn(
+        idf_map, term_rank, idx.conf, idx.avgdl, None, theta_bm25,
+        _probe=probe,
+    )
+    for _, grp in rows.groupby("bucket"):
+        fn(grp.reset_index(drop=True))
+    assert probe["blocks_total"] > probe.get("blocks_decoded", 0), probe

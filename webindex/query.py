@@ -162,6 +162,7 @@ def _score_bucket_fn(
     theta: float,
     msm: int = 1,
     after: tuple[float, int] | None = None,
+    _probe: dict | None = None,
 ):
     """applyInPandas fn: one bucket's blocks (all query terms) -> local top-k.
 
@@ -206,10 +207,14 @@ def _score_bucket_fn(
             bounds, interval_keep, keep_mask = pruned
 
         ids_all, terms_all, contribs_all = [], [], []
+        if _probe is not None:
+            _probe["blocks_total"] = _probe.get("blocks_total", 0) + len(pdf)
         rows = zip(pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"])
         for bi, (th, dbuf, tbuf, lbuf) in enumerate(rows):
             if keep_mask is not None and not keep_mask[bi]:
                 continue
+            if _probe is not None:
+                _probe["blocks_decoded"] = _probe.get("blocks_decoded", 0) + 1
             th = int(th)
             ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
             ids_all.append(ids)
@@ -1803,35 +1808,89 @@ def topk_function_score(
     modifier: str = "log1p",
     factor: float = 1.0,
     k: int = 10,
+    pruned: bool = True,
 ) -> DataFrame:
     """ES `function_score` with `field_value_factor`: final score =
     BM25(query, doc) * modifier(factor * doc[field]). Supported modifiers:
     log1p (ES log1p), sqrt, none — all order-preserving but NOT rank-
-    preserving across docs, so the BM25 θ bound is unsound for the combined
-    score; this path scores the match set exhaustively (θ=0 — what ES
-    itself does: function_score rewrites to a scored filter), joins the
-    stored field, and takes the re-ranked top-k. A WAND-style bound exists
-    when the modifier is bounded over the field's value range (max-impact ×
-    max-modifier per block) — documented as the web-scale follow-up.
+    preserving across docs, so the plain BM25 θ is unsound for the combined
+    score. ES itself rewrites function_score to an exhaustively-scored
+    filter; this path does better with a SOUND scaled bound (round 4,
+    closing the SCALE.md limit):
+
+      combined(doc) = bm25(doc) · fv(doc) <= bm25(doc) · M,
+      M = max over docs of modifier(factor·field)
+        = modifier(factor · extremum(field))   (modifier order-preserving;
+          extremum = max when factor >= 0 else min — one column agg that a
+          real deployment reads from table stats or precomputes once)
+
+    so with θ_fs = the k-th best combined score among ANY candidate set (a
+    lower bound on the true k-th best — seeded here from the plain-BM25
+    top-k re-ranked, k rows through one pruned WAND query), every doc with
+    bm25 < θ_fs / M is out, and the fused scorer's existing interval prune
+    runs with θ_bm25 = θ_fs/M (nudged one ulp toward 0 so a float rounding
+    of the division can never prune a true tie; interval_keep is >=, so
+    boundary docs survive). The main pass returns exact bm25 for every
+    surviving doc (k=None — no local-k cut, which would be unsound under
+    re-ranking); the field join + multiply + global top-k are unchanged, so
+    results are byte-identical to the exhaustive path
+    (test_function_score_pruned_identical). Falls back to θ=0 whenever the
+    bound is useless or unsound: M non-finite (e.g. log1p of a negative),
+    M <= 0, or fewer than k seed candidates.
 
     Output (doc_id, score), score desc / doc_id asc, rounded 4dp."""
-    from webindex.aggs import match_scores
+    import math
 
     mods = {
         "log1p": lambda c: F.log1p(c),
         "sqrt": lambda c: F.sqrt(c),
         "none": lambda c: c,
     }
+    py_mods = {
+        "log1p": lambda v: math.log1p(v),
+        "sqrt": lambda v: math.sqrt(v) if v >= 0 else float("nan"),
+        "none": lambda v: v,
+    }
     if modifier not in mods:
         raise ValueError(f"unsupported modifier {modifier!r}")
-    base = match_scores(index, query)
     fv = mods[modifier](F.col(field).cast("double") * F.lit(float(factor)))
-    return (
-        base.join(stored.select("doc_id", field), "doc_id")
-        .select("doc_id", (F.col("score") * fv).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-        .select("doc_id", F.round("score", 4).alias("score"))
+    fielded = stored.select("doc_id", field)
+
+    def _ranked(base: DataFrame) -> DataFrame:
+        return (
+            base.join(fielded, "doc_id")
+            .select("doc_id", (F.col("score") * fv).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    theta_bm25 = 0.0
+    stats = _query_terms(index, query)
+    if not stats:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame([], _HIT)
+    if pruned:
+        ext = F.max if factor >= 0 else F.min
+        row = fielded.agg(ext(F.col(field).cast("double")).alias("x")).collect()
+        x = row[0]["x"] if row else None
+        big_m = py_mods[modifier](float(factor) * float(x)) if x is not None else None
+        if big_m is not None and math.isfinite(big_m) and big_m > 0.0:
+            seed = _ranked(topk_wand(index, query, k)).collect()
+            if len(seed) == k:
+                theta_fs = float(seed[-1]["score"])
+                if theta_fs > 0.0:
+                    theta_bm25 = float(np.nextafter(theta_fs / big_m, 0.0))
+
+    idf_map, term_rank = _maps_of(stats)
+    blocks = index.postings.filter(F.col("term_hash").isin(list(idf_map)))
+    base = blocks.groupBy("bucket").applyInPandas(
+        _score_bucket_fn(
+            idf_map, term_rank, index.conf, index.avgdl, None, theta_bm25
+        ),
+        schema=_HIT,
+    )
+    return _ranked(base).select(
+        "doc_id", F.round("score", 4).alias("score")
     )
 
 
