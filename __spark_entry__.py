@@ -761,6 +761,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stored = _docs(spark, sf).select("doc_id", "lang")
         return topk_collapse(_index(spark, sf), stored, "data merge", "lang", 10)
 
+    def bm25_rescore(spark, sf):
+        # ES rescore (window rescoring, score_mode=total): the top-40 by
+        # "data merge" re-scored as 1.0*bm25 + 2.0*phrase("the data");
+        # docs outside the window can never enter
+        # (webindex/query.py topk_rescore)
+        from webindex.query import topk_rescore
+
+        hits = topk_rescore(
+            _index_pos(spark, sf), "data merge", "the data",
+            window=40, query_weight=1.0, rescore_weight=2.0, k=10,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_sqs(spark, sf):
+        # ES simple_query_string: term clause + quoted phrase clause +
+        # negated term, OR-combined
+        # (webindex/query.py simple_query_string)
+        from webindex.query import simple_query_string
+
+        hits = simple_query_string(
+            _index_pos(spark, sf), 'data "the data" -slow', k=10
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
     def count_matches_q(spark, sf):
         # ES _count API: match-set size with no scoring and no hits
         # (webindex/query.py count_matches)
@@ -1288,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosting": bm25_boosting,
         "bm25_dismax": bm25_dismax,
         "bm25_collapse": bm25_collapse,
+        "bm25_rescore": bm25_rescore,
+        "bm25_sqs": bm25_sqs,
         "explain_score": explain_score,
         "complete_prefix": complete_prefix,
         "agg_significant_terms": agg_significant_terms,
@@ -1547,6 +1573,35 @@ ranked AS (
 )
 SELECT doc_id, lang, round(score, 4) AS score
 FROM ranked WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    sql["bm25_rescore"] = f"""
+WITH base AS (
+  SELECT doc_id, score FROM ({_bm25_score_subquery(["data", "merge"])})
+  ORDER BY score DESC, doc_id ASC LIMIT 40
+),
+ph AS ({_bm25_phrase_score_sql(["the", "data"])})
+SELECT base.doc_id,
+       round(1.0 * base.score + 2.0 * coalesce(ph.score, 0.0), 4) AS score
+FROM base LEFT JOIN ph ON base.doc_id = ph.doc_id
+ORDER BY 1.0 * base.score + 2.0 * coalesce(ph.score, 0.0) DESC,
+         base.doc_id ASC
+LIMIT 10
+"""
+    sql["bm25_sqs"] = f"""
+WITH s0 AS ({_bm25_score_subquery(["data"])}),
+s1 AS ({_bm25_phrase_score_sql(["the", "data"])}),
+neg AS (
+  SELECT doc_id FROM (SELECT doc_id, {toks} AS tk FROM documents)
+  WHERE list_contains(tk, 'slow')
+),
+j AS (
+  SELECT coalesce(s0.doc_id, s1.doc_id) AS doc_id,
+         coalesce(s0.score, 0.0) + coalesce(s1.score, 0.0) AS score
+  FROM s0 FULL JOIN s1 ON s0.doc_id = s1.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM j WHERE doc_id NOT IN (SELECT doc_id FROM neg)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     sql["count_matches"] = f"""

@@ -1,0 +1,180 @@
+"""Query compositions over the shared exhaustive kernels: phrase_scores,
+ES rescore (window rescoring), and simple_query_string — all rank- and
+score-checked against naive recomputation from the pure-Python oracle.
+
+reference: src/nmr_FAIR_Dos is served by an ES backend whose search API
+exposes exactly these compound read shapes (rescore, simple_query_string);
+reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-306."""
+
+import numpy as np
+import pytest
+
+from webindex.build import build_index
+from webindex.oracle import OracleIndex
+from webindex.pagesgen import make_pages_pdf
+from webindex.query import (
+    phrase_scores,
+    simple_query_string,
+    topk_rescore,
+)
+from webindex.textproc import extract_text, tokenize
+
+N_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = make_pages_pdf(0, N_DOCS)
+    pdf.insert(0, "doc_id", np.arange(N_DOCS, dtype=np.int64))
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def texts(corpus):
+    return {int(r["doc_id"]): extract_text(r["html"]) for _, r in corpus.iterrows()}
+
+
+@pytest.fixture(scope="module")
+def oracle(texts):
+    return OracleIndex(texts)
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, corpus):
+    return build_index(
+        spark, spark.createDataFrame(corpus).repartition(5), text_col="html",
+        doc_id_method="provided", range_width=32, positions=True,
+    )
+
+
+def _phrase_all(oracle, phrase):
+    return dict(oracle.topk_phrase(phrase, 10**9))
+
+
+def test_phrase_scores_exhaustive(pidx, oracle):
+    got = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in phrase_scores(pidx, "the data").collect()
+    }
+    want = {d: round(s, 9) for d, s in _phrase_all(oracle, "the data").items()}
+    assert got == want and len(got) > 10
+
+
+def test_rescore_window_semantics(pidx, oracle):
+    base = oracle.topk("data", 30)  # the window, rank order
+    ph = _phrase_all(oracle, "the data")
+    qw, rw = 0.7, 1.5
+    want = sorted(
+        ((d, qw * s + rw * ph.get(d, 0.0)) for d, s in base),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    rows = topk_rescore(
+        pidx, "data", "the data", window=30,
+        query_weight=qw, rescore_weight=rw, k=10,
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    # a doc whose phrase boost would beat the top-k but sits OUTSIDE the
+    # base window must not appear — ES's window contract
+    outside = {d for d, _ in base}
+    assert all(r["doc_id"] in outside for r in rows)
+
+
+def test_rescore_absent_phrase_keeps_weighted_base(pidx, oracle):
+    rows = topk_rescore(
+        pidx, "data", "absent phrase here", window=25, query_weight=2.0,
+        rescore_weight=9.0, k=5,
+    ).collect()
+    want = [(d, 2.0 * s) for d, s in oracle.topk("data", 5)]
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+
+
+def _sqs_naive(oracle, texts, clauses, op, k=10):
+    """clauses: list of (neg, is_phrase, text). Sum matching positive
+    clause scores in clause order; AND requires all positives."""
+    pos = [c for c in clauses if not c[0]]
+    neg = [c for c in clauses if c[0]]
+
+    def clause_scores(is_phrase, text):
+        if is_phrase and len(tokenize(text)) > 1:
+            return _phrase_all(oracle, text)
+        return oracle.score_all(text)
+
+    pos_maps = [clause_scores(p, t) for _, p, t in pos]
+    excluded = set()
+    for _, p, t in neg:
+        excluded |= set(clause_scores(p, t))
+    out = {}
+    for d in set().union(*pos_maps) if pos_maps else set():
+        if d in excluded:
+            continue
+        matched = [m[d] for m in pos_maps if d in m]
+        if op == "and" and len(matched) < len(pos_maps):
+            continue
+        s = 0.0
+        if len(pos_maps) == 1:
+            s = pos_maps[0][d]
+        else:
+            for m in pos_maps:
+                s = s + m.get(d, 0.0)
+        out[d] = s
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("op", ["or", "and"])
+def test_sqs_terms_and_phrase(pidx, oracle, texts, op):
+    q = 'data "the data" merge'
+    clauses = [
+        (False, False, "data"),
+        (False, True, "the data"),
+        (False, False, "merge"),
+    ]
+    want = _sqs_naive(oracle, texts, clauses, op)
+    rows = simple_query_string(pidx, q, default_operator=op, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    assert rows, op
+
+
+def test_sqs_negation_excludes(pidx, oracle, texts):
+    q = 'data -"the data" -merge'
+    clauses = [
+        (False, False, "data"),
+        (True, True, "the data"),
+        (True, False, "merge"),
+    ]
+    want = _sqs_naive(oracle, texts, clauses, "or")
+    rows = simple_query_string(pidx, q, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    # position-aware phrase negation: some doc containing both terms but
+    # not adjacent must survive
+    ph_docs = set(_phrase_all(oracle, "the data"))
+    both = {
+        d for d, t in texts.items()
+        if {"the", "data"} <= set(tokenize(t)) and "merge" not in tokenize(t)
+    }
+    assert any(
+        r["doc_id"] in (both - ph_docs) for r in rows
+    ) or not (both - ph_docs)
+
+
+def test_sqs_pure_negative_matches_nothing(pidx):
+    assert simple_query_string(pidx, "-data").count() == 0
+
+
+def test_sqs_absent_term_and_vs_or(pidx, oracle, texts):
+    assert (
+        simple_query_string(pidx, "data zzzzabsent", default_operator="and").count()
+        == 0
+    )
+    want = _sqs_naive(oracle, texts, [(False, False, "data")], "or")
+    rows = simple_query_string(pidx, "data zzzzabsent", k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
+        (d, round(s, 9)) for d, s in want
+    ]

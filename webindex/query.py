@@ -2175,3 +2175,187 @@ def topk_collapse(
         .limit(k)
         .select("doc_id", collapse_field, F.round("score", 4).alias("score"))
     )
+
+
+def phrase_scores(index: Index, phrase: str, slop: int = 0) -> DataFrame:
+    """(doc_id, score) for EVERY doc matching the phrase — the exhaustive
+    phrase analogue of aggs.match_scores (k=None: no local cut, no θ; the
+    interval coverage prune still skips blocks that can't hold a match).
+    Buckets partition doc ranges, so per-bucket exhaustive output is
+    globally exhaustive. Shared kernel for compositions that sum or re-rank
+    phrase relevance (simple_query_string, topk_rescore)."""
+    spark = index.postings.sparkSession
+    if "positions" not in index.postings.columns:
+        raise ValueError(
+            "phrase queries need a positional index — build with "
+            "build_index(..., positions=True)"
+        )
+    terms_seq = tokenize(phrase)
+    if not terms_seq:
+        return spark.createDataFrame([], _HIT)
+    stats = _query_terms(index, phrase)
+    if any(t not in stats for t in terms_seq):
+        return spark.createDataFrame([], _HIT)
+    sum_idf = float(sum(stats[t][1] for t in terms_seq))
+    slot_hashes = [stats[t][2] for t in terms_seq]
+    blocks = index.postings.filter(
+        F.col("term_hash").isin(sorted(set(slot_hashes)))
+    )
+    return blocks.groupBy("bucket").applyInPandas(
+        _phrase_bucket_fn(
+            slot_hashes, sum_idf, index.conf, index.avgdl, None, slop=slop
+        ),
+        schema=_HIT,
+    )
+
+
+def topk_rescore(
+    index: Index,
+    query: str,
+    rescore_phrase: str,
+    window: int = 100,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    k: int = 10,
+    slop: int = 0,
+) -> DataFrame:
+    """ES `rescore` (window rescoring, score_mode=total): the top-`window`
+    docs by the base match query are re-scored as
+
+        query_weight * bm25(query) + rescore_weight * phrase_score
+
+    (phrase_score = 0 where the phrase misses — ES keeps non-matching
+    window docs at the weighted base score), and the final top-k is cut
+    from the rescored window. Docs outside the window can never enter —
+    exactly ES's contract, which is why rescore is cheap: the expensive
+    phrase only evaluates against window-many candidates.
+
+    Scale shape: the base top-window comes from the θ-pruned WAND path;
+    the phrase pass runs with the window's doc_ids pushed into its block
+    scan as a min/max range + bucket prune, so it decodes only blocks that
+    can overlap the window. The combine is driver-side over window-many
+    rows — the same k-scale coordinator work ES does (window <= 10^4 by
+    API contract; enforced)."""
+    if not (0 < k <= window):
+        raise ValueError("need 0 < k <= window")
+    if window > 10_000:
+        raise ValueError("window capped at 10000 (ES window_size contract)")
+    spark = index.postings.sparkSession
+    base = topk_wand(index, query, window).collect()
+    if not base:
+        return spark.createDataFrame([], _HIT)
+    ids = np.array([r["doc_id"] for r in base], dtype=np.int64)
+    stats = _query_terms(index, rescore_phrase)
+    toks = tokenize(rescore_phrase)
+    ph: dict[int, float] = {}
+    if toks and all(t in stats for t in toks):
+        # phrase pass over only the window's candidate span: bucket-of and
+        # doc-range filters prune the scan before the fused matcher runs
+        lo, hi = int(ids.min()), int(ids.max())
+        slot_hashes = [stats[t][2] for t in toks]
+        sum_idf = float(sum(stats[t][1] for t in toks))
+        blocks = index.postings.filter(
+            F.col("term_hash").isin(sorted(set(slot_hashes)))
+            & (F.col("max_doc") >= lo)
+            & (F.col("min_doc") <= hi)
+        )
+        local = blocks.groupBy("bucket").applyInPandas(
+            _phrase_bucket_fn(
+                slot_hashes, sum_idf, index.conf, index.avgdl, None, slop=slop
+            ),
+            schema=_HIT,
+        )
+        idset = set(ids.tolist())
+        ph = {
+            r["doc_id"]: r["score"]
+            for r in local.filter(F.col("doc_id").isin(ids.tolist())).collect()
+            if r["doc_id"] in idset
+        }
+    qw, rw = float(query_weight), float(rescore_weight)
+    rescored = sorted(
+        (
+            (int(r["doc_id"]), qw * float(r["score"]) + rw * ph.get(int(r["doc_id"]), 0.0))
+            for r in base
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:k]
+    return spark.createDataFrame(
+        [(d, s) for d, s in rescored], schema=_HIT
+    )
+
+
+def simple_query_string(
+    index: Index,
+    q: str,
+    default_operator: str = "or",
+    k: int = 10,
+    slop: int = 0,
+) -> DataFrame:
+    """ES `simple_query_string` (documented subset): whitespace-separated
+    clauses; a `-` prefix negates its clause; `"..."` makes a phrase
+    clause; everything else is a term clause (analyzed — a clause whose
+    analysis yields several tokens scores as their BM25 sum, msm=1).
+    `default_operator` combines the POSITIVE clauses: "or" needs >= 1 to
+    match, "and" needs all. (The `|`/`+`/parenthesis infix grammar and
+    `~N`/`*` suffixes are not parsed — ES itself treats unsupported syntax
+    leniently; this subset is the supported surface.)
+
+    Lucene BooleanQuery semantics throughout: score = Σ matching positive
+    clauses' scores (term clause = match-query BM25, phrase clause =
+    phrase-frequency BM25 — same kernels as topk_match / topk_phrase); a
+    negative clause excludes its matching docs (phrase negation is
+    position-aware); a query with no positive clause matches nothing (a
+    MUST_NOT-only BooleanQuery); an absent analyzed term empties its
+    clause — fatal under "and", a no-op contribution under "or".
+
+    Scale shape: one fixed-width (doc_id, score) frame per clause (clause
+    count = user-query scale), combined by a doc_id-keyed outer join chain
+    + anti-join for negations — no text and no positions cross any join;
+    AQE picks the join strategy. Output (doc_id, score) desc/asc, top-k."""
+    import re
+
+    from webindex.aggs import match_scores, matching_doc_ids
+
+    spark = index.postings.sparkSession
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    pos_frames: list[DataFrame] = []
+    neg_frames: list[DataFrame] = []
+    n_pos_clauses = 0
+    for raw in re.findall(r'-?"[^"]*"|\S+', q):
+        neg = raw.startswith("-")
+        body = raw[1:] if neg else raw
+        is_phrase = body.startswith('"')
+        text = body.strip('"')
+        if not tokenize(text):
+            continue  # empty after analysis: no clause
+        if is_phrase and len(tokenize(text)) > 1:
+            frame = phrase_scores(index, text, slop)
+        else:
+            frame = match_scores(index, text)
+        if neg:
+            neg_frames.append(frame.select("doc_id"))
+        else:
+            n_pos_clauses += 1
+            pos_frames.append(frame)
+    if not pos_frames:
+        return spark.createDataFrame([], _HIT)
+
+    joined = pos_frames[0].withColumnRenamed("score", "s0")
+    for i, f in enumerate(pos_frames[1:], start=1):
+        joined = joined.join(
+            f.withColumnRenamed("score", f"s{i}"), "doc_id", "full"
+        )
+    cols = [F.col(f"s{i}") for i in range(len(pos_frames))]
+    score = cols[0]
+    matched = F.when(cols[0].isNotNull(), 1).otherwise(0)
+    for c in cols[1:]:
+        score = F.coalesce(score, F.lit(0.0)) + F.coalesce(c, F.lit(0.0))
+        matched = matched + F.when(c.isNotNull(), 1).otherwise(0)
+    out = joined.select("doc_id", score.alias("score"), matched.alias("m"))
+    if default_operator == "and":
+        out = out.filter(F.col("m") == len(pos_frames))
+    out = out.select("doc_id", "score")
+    for nf in neg_frames:
+        out = out.join(nf, "doc_id", "left_anti")
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
