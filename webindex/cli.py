@@ -11,6 +11,8 @@ Usage (spark-submit takes an application file, not -m):
   spark-submit --py-files webindex.zip webindex/cli.py prefix <workdir> <prefix> [k] [--max-expansions N]
   spark-submit --py-files webindex.zip webindex/cli.py fuzzy  <workdir> <word> [k] [--fuzziness N] [--max-expansions N]
   spark-submit --py-files webindex.zip webindex/cli.py mlt    <workdir> "<like text>" [k] [--max-query-terms N] [--min-doc-freq N]
+  spark-submit --py-files webindex.zip webindex/cli.py sqs    <workdir> '<simple query string>' [k] [--operator and|or]   (phrases need --positions build)
+  spark-submit --py-files webindex.zip webindex/cli.py rescore <workdir> <query> "<phrase>" [k] [--window N] [--query-weight W] [--rescore-weight W]  (needs --positions build)
   spark-submit --py-files webindex.zip webindex/cli.py lookup-url <workdir> <url>
   spark-submit --py-files webindex.zip webindex/cli.py resume <pages_path> <workdir>
   spark-submit --py-files webindex.zip webindex/cli.py ingest <pages_path> <inc_workdir> [--positions]   (incremental: stream + compact)
@@ -267,6 +269,59 @@ def main(argv: list[str]) -> int:
         k = int(argv[4]) if len(argv) > 4 else 10
         hits = more_like_this(
             idx, argv[3], k, max_query_terms=mqt, min_doc_freq=mdf
+        )
+        rows = (
+            hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        for row in rows:
+            print(f"{row['score']:.17g}\t{row['doc_id']}\t{row['url']}")
+    elif cmd == "sqs":
+        from pyspark.sql import functions as F
+
+        from webindex.build import load_index
+        from webindex.query import simple_query_string
+
+        op = "or"
+        if "--operator" in argv:
+            i = argv.index("--operator")
+            op = argv[i + 1]
+            argv = argv[:i] + argv[i + 2 :]
+        idx = load_index(spark, argv[2])
+        k = int(argv[4]) if len(argv) > 4 else 10
+        hits = simple_query_string(idx, argv[3], default_operator=op, k=k)
+        rows = (
+            hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        for row in rows:
+            print(f"{row['score']:.17g}\t{row['doc_id']}\t{row['url']}")
+    elif cmd == "rescore":
+        from pyspark.sql import functions as F
+
+        from webindex.build import load_index
+        from webindex.query import topk_rescore
+
+        window, qw, rw = 100, 1.0, 1.0
+        if "--window" in argv:
+            i = argv.index("--window")
+            window = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+        if "--query-weight" in argv:
+            i = argv.index("--query-weight")
+            qw = float(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+        if "--rescore-weight" in argv:
+            i = argv.index("--rescore-weight")
+            rw = float(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+        idx = load_index(spark, argv[2])
+        k = int(argv[5]) if len(argv) > 5 else 10
+        hits = topk_rescore(
+            idx, argv[3], argv[4], window=window,
+            query_weight=qw, rescore_weight=rw, k=k,
         )
         rows = (
             hits.join(idx.doc_stats.select("doc_id", "url"), "doc_id", "left")
