@@ -761,6 +761,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stored = _docs(spark, sf).select("doc_id", "lang")
         return topk_collapse(_index(spark, sf), stored, "data merge", "lang", 10)
 
+    def bm25_synonyms(spark, sf):
+        # ES query-time synonyms (Lucene SynonymQuery): "data"~"merge" pool
+        # into one pseudo-term (df = max, tf summed); "index" scores alone
+        # (webindex/query.py topk_synonyms)
+        from webindex.query import topk_synonyms
+
+        hits = topk_synonyms(
+            _index(spark, sf), "data index", {"data": ["merge"]}, k=10
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
     def bm25_rescore(spark, sf):
         # ES rescore (window rescoring, score_mode=total): the top-40 by
         # "data merge" re-scored as 1.0*bm25 + 2.0*phrase("the data");
@@ -1312,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosting": bm25_boosting,
         "bm25_dismax": bm25_dismax,
         "bm25_collapse": bm25_collapse,
+        "bm25_synonyms": bm25_synonyms,
         "bm25_rescore": bm25_rescore,
         "bm25_sqs": bm25_sqs,
         "explain_score": explain_score,
@@ -1574,6 +1586,36 @@ ranked AS (
 SELECT doc_id, lang, round(score, 4) AS score
 FROM ranked WHERE rn = 1
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    sql["bm25_synonyms"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS tk FROM documents),
+d AS (SELECT doc_id, len(tk) AS dl FROM tok),
+c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM tok)
+  WHERE term IN ('data', 'merge', 'index') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+gmap(term, grp) AS (VALUES ('data', 0), ('merge', 0), ('index', 1)),
+gtf AS (
+  SELECT doc_id, grp, sum(tf)::BIGINT AS gtf
+  FROM tf JOIN gmap USING (term) GROUP BY doc_id, grp
+),
+gdf AS (
+  SELECT grp, max(df.df) AS gdf
+  FROM df JOIN gmap USING (term) GROUP BY grp
+),
+contrib AS (
+  SELECT gtf.doc_id, gtf.grp,
+         ln(1.0 + (c.n - gdf.gdf + 0.5)/(gdf.gdf + 0.5))
+         * gtf.gtf / (gtf.gtf + {K1} * (1 - {B} + {B} * d.dl / c.avgdl))
+         AS contrib
+  FROM gtf JOIN gdf USING (grp) JOIN d USING (doc_id) CROSS JOIN c
+)
+SELECT doc_id, round(list_sum(list(contrib ORDER BY grp)), 4) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY list_sum(list(contrib ORDER BY grp)) DESC, doc_id ASC LIMIT 10
 """
     sql["bm25_rescore"] = f"""
 WITH base AS (

@@ -178,3 +178,41 @@ def test_sqs_absent_term_and_vs_or(pidx, oracle, texts):
     assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
         (d, round(s, 9)) for d, s in want
     ]
+
+
+def test_synonyms_blended_group_scoring(pidx, texts):
+    from webindex.bm25 import DEFAULT
+    from webindex.query import topk_synonyms
+
+    toks = {d: tokenize(t) for d, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    syn = {"data": ["index"], "merge": ["zzzzabsent"]}
+    q_tokens = sorted({"data", "merge"})
+    want_scores = {}
+    for qt in q_tokens:
+        grp = sorted({qt} | set(syn.get(qt, [])))
+        present = [m for m in grp if any(m in v for v in toks.values())]
+        if not present:
+            continue
+        df_g = max(sum(1 for v in toks.values() if m in v) for m in present)
+        idf_g = DEFAULT.idf(df_g, n)
+        for d, v in toks.items():
+            tf_g = sum(v.count(m) for m in present)
+            if tf_g:
+                c = idf_g * DEFAULT.impact(float(tf_g), float(len(v)), avgdl)
+                want_scores[d] = want_scores.get(d, 0.0) + c
+    want = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = topk_synonyms(pidx, "data merge", syn, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    # pooling != naive OR: df blends to the max, so the scores must differ
+    # from the plain two-term match for docs containing both group members
+    assert want  # non-degenerate fixture
+
+
+def test_synonyms_all_absent_empty(pidx):
+    from webindex.query import topk_synonyms
+
+    assert topk_synonyms(pidx, "zzzz", {"zzzz": ["yyyy"]}, k=5).count() == 0

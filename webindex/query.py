@@ -2359,3 +2359,106 @@ def simple_query_string(
     for nf in neg_frames:
         out = out.join(nf, "doc_id", "left_anti")
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def topk_synonyms(
+    index: Index,
+    query: str,
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """ES query-time synonyms (`synonym_graph` filter on single-token
+    synonyms): each analyzed query token expands to its synonym group, and
+    the group scores as ONE pseudo-term — Lucene SynonymQuery semantics:
+
+        df(group)      = max df over the group's present members
+        tf(group, doc) = Σ member tfs in the doc
+        contribution   = idf(df_group) * impact(tf_group, dl)
+
+    so "fast" with synonym "quick" ranks a doc mentioning either (or both,
+    with their occurrences pooled) as if they were one word — never the
+    idf-sum double-count a naive OR would give. Per-doc score sums group
+    contributions in query-token-ascending group order (the deterministic
+    summation convention; the SQL oracle mirrors it). Ties doc_id asc.
+
+    Runs exhaustively (θ=0): a single member's block-max impact is NOT an
+    upper bound once tfs pool across members, so the per-term metadata
+    can't prune soundly — the same reason Lucene merges member impacts
+    instead of reusing one term's skip data. Still the one fused stage:
+    IN(term_hash) pushdown over the union of member hashes, one bucket
+    Exchange, per-bucket decode+pool+score+local-top-k."""
+    spark = index.postings.sparkSession
+    q_tokens = sorted(set(tokenize(query)))
+    if not q_tokens:
+        return spark.createDataFrame([], _HIT)
+    member_of: dict[str, set[str]] = {}
+    for t in q_tokens:
+        grp = {t}
+        for s in synonyms.get(t, []):
+            grp.update(tokenize(s))
+        member_of[t] = grp
+    all_terms = sorted(set().union(*member_of.values()))
+    stats = _query_terms(index, " ".join(all_terms))
+    conf, avgdl, n_docs = index.conf, index.avgdl, index.n_docs
+
+    groups: list[tuple[float, frozenset[int]]] = []  # query-token order
+    all_hashes: set[int] = set()
+    for t in q_tokens:
+        present = [m for m in sorted(member_of[t]) if m in stats]
+        if not present:
+            continue
+        df_group = max(stats[m][0] for m in present)
+        hashes = frozenset(stats[m][2] for m in present)
+        groups.append((conf.idf(df_group, n_docs), hashes))
+        all_hashes.update(hashes)
+    if not groups:
+        return spark.createDataFrame([], _HIT)
+
+    k1, b, qn = conf.k1, conf.b, conf.quantize_norms
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": np.int64, "score": np.float64}
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded: dict[int, list[tuple]] = {}
+        for dbuf, tbuf, lbuf, th in zip(
+            pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"], pdf["term_hash"]
+        ):
+            decoded.setdefault(int(th), []).append(
+                codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
+            )
+        ids_all, gr_all, contribs_all = [], [], []
+        for g, (gidf, hashes) in enumerate(groups):
+            parts = [p for h in sorted(hashes) for p in decoded.get(h, [])]
+            if not parts:
+                continue
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            dls = np.concatenate([p[2] for p in parts])
+            order = np.argsort(ids, kind="stable")
+            ids, tfs, dls = ids[order], tfs[order], dls[order]
+            starts = np.concatenate(
+                ([0], np.nonzero(ids[1:] != ids[:-1])[0] + 1)
+            )
+            uids = ids[starts]
+            utf = np.add.reduceat(tfs, starts)
+            udl = dls[starts]
+            ids_all.append(uids)
+            gr_all.append(np.full(len(uids), g, dtype=np.int32))
+            contribs_all.append(gidf * codec.bm25_impact(utf, udl, avgdl, k1, b))
+        if not ids_all:
+            return empty
+        ids = np.concatenate(ids_all)
+        grs = np.concatenate(gr_all)
+        contribs = np.concatenate(contribs_all)
+        order = np.lexsort((grs, ids))
+        ids, contribs = ids[order], contribs[order]
+        starts = np.concatenate(([0], np.nonzero(ids[1:] != ids[:-1])[0] + 1))
+        doc_ids = ids[starts]
+        scores = np.add.reduceat(contribs, starts)
+        sel = np.lexsort((doc_ids, -scores))[:k]
+        return pd.DataFrame({"doc_id": doc_ids[sel], "score": scores[sel]})
+
+    blocks = index.postings.filter(F.col("term_hash").isin(sorted(all_hashes)))
+    hits = blocks.groupBy("bucket").applyInPandas(fn, schema=_HIT)
+    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
