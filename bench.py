@@ -232,6 +232,31 @@ def main() -> None:
             terms_agg(idx, stored, "data merge", "lang", size=10).collect()
             per.append(time.monotonic() - t0)
         extras["terms_agg"] = min(per)
+        # late-round-4 compositions (informational): window rescoring,
+        # simple_query_string, query-time synonyms
+        from webindex.query import simple_query_string, topk_rescore, topk_synonyms
+
+        per = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            topk_rescore(
+                pidx, "data merge", "the data", window=100,
+                rescore_weight=2.0, k=10,
+            ).collect()
+            per.append(time.monotonic() - t0)
+        extras["rescore_query"] = min(per)
+        per = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            simple_query_string(pidx, 'data "the data" -w199', k=10).collect()
+            per.append(time.monotonic() - t0)
+        extras["sqs_query"] = min(per)
+        per = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            topk_synonyms(idx, "data merge", {"data": ["spark"]}, 10).collect()
+            per.append(time.monotonic() - t0)
+        extras["synonyms_query"] = min(per)
 
         total = sum(
             v
