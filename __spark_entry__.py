@@ -1121,6 +1121,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = topk_best_fields(indexes, "the data spark", k=10)
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
+    def bm25_most_fields(spark, sf):
+        # ES multi_match type=most_fields: doc score = SUM over fields'
+        # BM25 (exhaustive per field — sum-merge isn't top-k decomposable)
+        # (webindex/query.py topk_most_fields)
+        from webindex.query import topk_most_fields
+
+        indexes = {"text": _index(spark, sf), "title": _index_title(spark, sf)}
+        hits = topk_most_fields(indexes, "the data spark", k=10)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
     # --- mapping tables / nested records (F5+J5, F9+F10) --------------------
 
     def spdx_resolve_q(spark, sf):
@@ -1367,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bidir_edges": bidir_edges,
         "bm25_topk_batch": bm25_topk_batch,
         "bm25_best_fields": bm25_best_fields,
+        "bm25_most_fields": bm25_most_fields,
         "spdx_resolve": spdx_resolve_q,
         "map_record_flatten": map_record_flatten,
         "multimodal_features": multimodal_features,
@@ -2175,6 +2186,21 @@ sB AS ({_bm25_score_subquery(_terms_bf, _title_toks)}),
 merged AS (
   SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
          greatest(coalesce(a.score, -1e308), coalesce(b.score, -1e308)) AS score
+  FROM sA a FULL OUTER JOIN sB b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM merged ORDER BY score DESC, doc_id ASC LIMIT 10)
+"""
+
+    # most_fields: SUM over per-field scores (field-name-ascending order:
+    # text then title), exhaustive per field — sum-merge is not top-k
+    # decomposable
+    sql["bm25_most_fields"] = f"""
+WITH sA AS ({_bm25_score_subquery(_terms_bf)}),
+sB AS ({_bm25_score_subquery(_terms_bf, _title_toks)}),
+merged AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.score, 0.0) + coalesce(b.score, 0.0) AS score
   FROM sA a FULL OUTER JOIN sB b ON a.doc_id = b.doc_id
 )
 SELECT doc_id, round(score, 4) AS score

@@ -111,3 +111,29 @@ def test_lookup_url_partition_pruned(spark, tmp_path):
 
     with _pytest.raises(Exception):
         spark.read.parquet(f"{out}/url_index").groupBy().count().collect()
+
+
+def test_most_fields_matches_oracle_sum(two_field):
+    from webindex.query import topk_most_fields
+
+    indexes, (o_text, o_title) = two_field
+    for q in ("the data", "doc", "spark merge doc"):
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_most_fields(indexes, q, 10).collect()
+        ]
+        s_text, s_title = o_text.score_all(q), o_title.score_all(q)
+        # sum in field-name-ascending order: "text" then "title"
+        merged = {
+            d: s_text.get(d, 0.0) + s_title.get(d, 0.0)
+            for d in set(s_text) | set(s_title)
+        }
+        exp = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got == [(d, round(s, 9)) for d, s in exp], q
+    # most_fields must differ from best_fields on some query here (sum vs
+    # max), or the fixture is degenerate
+    q = "doc"
+    bf = [r["doc_id"] for r in topk_best_fields(indexes, q, 10).collect()]
+    mf = [r["doc_id"] for r in topk_most_fields(indexes, q, 10).collect()]
+    s_text, s_title = o_text.score_all(q), o_title.score_all(q)
+    assert any(d in s_text and d in s_title for d in mf)

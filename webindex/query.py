@@ -2462,3 +2462,41 @@ def topk_synonyms(
     blocks = index.postings.filter(F.col("term_hash").isin(sorted(all_hashes)))
     hits = blocks.groupBy("bucket").applyInPandas(fn, schema=_HIT)
     return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def topk_most_fields(
+    indexes: dict[str, Index], query: str, k: int = 10
+) -> DataFrame:
+    """multi_match type=most_fields: doc score = SUM over fields of that
+    field's BM25 score (ES: "combines the scores of each field" — the
+    shape for text analyzed several ways). Unlike best_fields' max-merge,
+    a sum is NOT top-k decomposable — a doc mediocre in every field can
+    out-sum one great in a single field — so each field scores its match
+    set exhaustively (aggs.match_scores) and the frames combine by a
+    doc_id-keyed FullOuter join in field-name-ascending order (the
+    deterministic float summation order; the SQL oracle mirrors it).
+    Fixed-width rows only; per-field frames are match-set-sized.
+    Ties doc_id asc. Returns (doc_id, score)."""
+    from webindex.aggs import match_scores
+
+    spark = next(iter(indexes.values())).postings.sparkSession
+    fields = sorted(indexes)
+    frames = [
+        match_scores(indexes[f], query).withColumnRenamed("score", f"s{i}")
+        for i, f in enumerate(fields)
+    ]
+    if not frames:
+        return spark.createDataFrame([], _HIT)
+    joined = frames[0]
+    for f in frames[1:]:
+        joined = joined.join(f, "doc_id", "full")
+    score = F.col("s0")
+    for i in range(1, len(frames)):
+        score = F.coalesce(score, F.lit(0.0)) + F.coalesce(
+            F.col(f"s{i}"), F.lit(0.0)
+        )
+    return (
+        joined.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
