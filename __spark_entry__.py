@@ -1131,6 +1131,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = topk_most_fields(indexes, "the data spark", k=10)
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
+    def bm25_cross_fields(spark, sf):
+        # ES multi_match type=cross_fields: per-term BLENDED df (max across
+        # fields), per-doc dis_max over the term's per-field contributions,
+        # summed over terms (webindex/query.py topk_cross_fields)
+        from webindex.query import topk_cross_fields
+
+        indexes = {"text": _index(spark, sf), "title": _index_title(spark, sf)}
+        hits = topk_cross_fields(indexes, "the data spark", k=10)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
     # --- mapping tables / nested records (F5+J5, F9+F10) --------------------
 
     def spdx_resolve_q(spark, sf):
@@ -1378,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_batch": bm25_topk_batch,
         "bm25_best_fields": bm25_best_fields,
         "bm25_most_fields": bm25_most_fields,
+        "bm25_cross_fields": bm25_cross_fields,
         "spdx_resolve": spdx_resolve_q,
         "map_record_flatten": map_record_flatten,
         "multimodal_features": multimodal_features,
@@ -2205,6 +2216,55 @@ merged AS (
 )
 SELECT doc_id, round(score, 4) AS score
 FROM (SELECT doc_id, score FROM merged ORDER BY score DESC, doc_id ASC LIMIT 10)
+"""
+
+    # cross_fields: per-term blended df = max(df_text, df_title); per-doc
+    # dis_max over the term's per-field contributions (each with its OWN
+    # dl/avgdl but the blended idf); summed over terms in term-asc order
+    sql["bm25_cross_fields"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS tka, ({toks})[1:3] AS tkb FROM documents),
+da AS (SELECT doc_id, len(tka) AS dl FROM tok),
+ca AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM da),
+db AS (SELECT doc_id, len(tkb) AS dl FROM tok),
+cb AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM db),
+tfa AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tka) AS term FROM tok)
+  WHERE term IN ('data', 'spark', 'the') GROUP BY doc_id, term
+),
+tfb AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tkb) AS term FROM tok)
+  WHERE term IN ('data', 'spark', 'the') GROUP BY doc_id, term
+),
+dfa AS (SELECT term, count(*)::BIGINT AS df FROM tfa GROUP BY term),
+dfb AS (SELECT term, count(*)::BIGINT AS df FROM tfb GROUP BY term),
+dfm AS (
+  SELECT coalesce(dfa.term, dfb.term) AS term,
+         greatest(coalesce(dfa.df, 0), coalesce(dfb.df, 0)) AS df
+  FROM dfa FULL JOIN dfb ON dfa.term = dfb.term
+),
+conta AS (
+  SELECT tfa.doc_id, tfa.term,
+         ln(1.0 + (ca.n - dfm.df + 0.5)/(dfm.df + 0.5))
+         * tfa.tf / (tfa.tf + {K1} * (1 - {B} + {B} * da.dl / ca.avgdl)) AS c
+  FROM tfa JOIN dfm USING (term) JOIN da USING (doc_id) CROSS JOIN ca
+),
+contb AS (
+  SELECT tfb.doc_id, tfb.term,
+         ln(1.0 + (cb.n - dfm.df + 0.5)/(dfm.df + 0.5))
+         * tfb.tf / (tfb.tf + {K1} * (1 - {B} + {B} * db.dl / cb.avgdl)) AS c
+  FROM tfb JOIN dfm USING (term) JOIN db USING (doc_id) CROSS JOIN cb
+),
+per_term AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.term, b.term) AS term,
+         greatest(coalesce(a.c, -1e308), coalesce(b.c, -1e308)) AS c
+  FROM conta a FULL JOIN contb b ON a.doc_id = b.doc_id AND a.term = b.term
+)
+SELECT doc_id, round(list_sum(list(c ORDER BY term)), 4) AS score
+FROM per_term GROUP BY doc_id
+ORDER BY list_sum(list(c ORDER BY term)) DESC, doc_id ASC LIMIT 10
 """
 
     sql["bm25_topk_batch"] = _bm25_batch_oracle_sql(

@@ -137,3 +137,40 @@ def test_most_fields_matches_oracle_sum(two_field):
     mf = [r["doc_id"] for r in topk_most_fields(indexes, q, 10).collect()]
     s_text, s_title = o_text.score_all(q), o_title.score_all(q)
     assert any(d in s_text and d in s_title for d in mf)
+
+
+def test_cross_fields_blended_term_centric(two_field):
+    from webindex.bm25 import DEFAULT
+    from webindex.query import topk_cross_fields
+    from webindex.textproc import tokenize
+
+    indexes, (o_text, o_title) = two_field
+    oracles = {"text": o_text, "title": o_title}
+    n = o_text.n_docs
+    for q in ("the data", "doc data", "spark merge doc"):
+        terms = sorted(set(tokenize(q)))
+        want_scores = {}
+        for t in terms:
+            dfs = [o.df(t) for o in oracles.values() if o.df(t) > 0]
+            if not dfs:
+                continue
+            idf_b = DEFAULT.idf(max(dfs), n)
+            contribs = {}
+            for f in sorted(oracles):
+                o = oracles[f]
+                if o.df(t) == 0:
+                    continue
+                for d, s in o.score_all(t).items():
+                    # score_all = idf(t)*impact; rescale to the blended idf
+                    c = idf_b * (s / o.idf(t))
+                    contribs[d] = max(contribs.get(d, float("-inf")), c)
+            for d, c in contribs.items():
+                want_scores[d] = want_scores.get(d, 0.0) + c
+        want = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_cross_fields(indexes, q, 10).collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), q

@@ -273,11 +273,20 @@ def histogram_agg(
     )
 
 
-def match_scores(index: Index, query: str, msm: int = 1) -> DataFrame:
+def match_scores(
+    index: Index,
+    query: str,
+    msm: int = 1,
+    idf_override: dict[str, float] | None = None,
+) -> DataFrame:
     """(doc_id, score) for EVERY doc matching >= msm query terms — exhaustive
     BM25 (θ=0, no top-k cut). The shared scored-match kernel for
     aggregations that need relevance per bucket member (top_hits, sampler,
     function_score re-ranking) rather than a global top-k.
+
+    idf_override replaces the index's per-term idf with a caller-supplied
+    value (term string -> idf) — the hook cross_fields uses to score every
+    field with the BLENDED idf while keeping each field's own tf/dl/avgdl.
 
     Same fused one-Exchange plan as the topk family (PLANS.md §7): pruned
     IN(term_hash) block scan, one bucket groupBy, per-bucket decode+score.
@@ -289,6 +298,11 @@ def match_scores(index: Index, query: str, msm: int = 1) -> DataFrame:
     stats = _query_terms(index, query)
     if not stats or msm > len(stats):
         return spark.createDataFrame([], _HIT)
+    if idf_override:
+        stats = {
+            t: (df, idf_override.get(t, idf), h)
+            for t, (df, idf, h) in stats.items()
+        }
     idf_map, term_rank = _maps_of(stats)
     blocks = index.postings.filter(F.col("term_hash").isin(list(idf_map)))
     return blocks.groupBy("bucket").applyInPandas(

@@ -2500,3 +2500,81 @@ def topk_most_fields(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def topk_cross_fields(
+    indexes: dict[str, Index], query: str, k: int = 10
+) -> DataFrame:
+    """multi_match type=cross_fields: term-centric scoring across fields —
+    ES treats the fields "as one big field" by giving each term ONE blended
+    statistic and letting it match in whichever field it appears:
+
+        score(doc) = Σ_terms max over fields of
+                       idf_blend(t) · impact(tf_{t,field}, dl_field, avgdl_field)
+        idf_blend(t) = idf(max over fields of df_{t,field})
+
+    (Lucene BlendedTermQuery: per-term df blends to the max across the
+    field group — one analyzer here, so one group — killing best_fields'
+    failure mode where a term rare-in-the-wrong-field dominates; the
+    per-doc combine is the dis_max over the term's per-field contributions.)
+
+    Shape: one exhaustive single-term frame per (term, field) via
+    match_scores with the blended idf override — |terms|·|fields| frames,
+    user-query scale — combined per term by FullOuter-greatest over fields
+    and across terms by FullOuter-sum in term-ascending order (the
+    deterministic summation convention; the SQL oracle mirrors both).
+    Fixed-width rows on every join; all fields must index the same corpus
+    (same n_docs). Ties doc_id asc. Returns (doc_id, score)."""
+    from webindex.aggs import match_scores
+
+    spark = next(iter(indexes.values())).postings.sparkSession
+    fields = sorted(indexes)
+    n_docs_set = {indexes[f].n_docs for f in fields}
+    if len(n_docs_set) != 1:
+        raise ValueError("cross_fields needs per-field indexes over the SAME corpus")
+    n_docs = n_docs_set.pop()
+    conf = indexes[fields[0]].conf
+    terms = sorted(set(tokenize(query)))
+    if not terms:
+        return spark.createDataFrame([], _HIT)
+    per_field_stats = {f: _query_terms(indexes[f], query) for f in fields}
+    blend: dict[str, float] = {}
+    for t in terms:
+        dfs = [
+            per_field_stats[f][t][0] for f in fields if t in per_field_stats[f]
+        ]
+        if dfs:
+            blend[t] = conf.idf(max(dfs), n_docs)
+    if not blend:
+        return spark.createDataFrame([], _HIT)
+
+    term_frames: list[DataFrame] = []
+    for t in sorted(blend):
+        ffs = [
+            match_scores(indexes[f], t, idf_override={t: blend[t]})
+            for f in fields
+            if t in per_field_stats[f]
+        ]
+        tf = ffs[0].withColumnRenamed("score", "f0")
+        for i, f in enumerate(ffs[1:], start=1):
+            tf = tf.join(f.withColumnRenamed("score", f"f{i}"), "doc_id", "full")
+        cols = [
+            F.coalesce(F.col(f"f{i}"), F.lit(float("-inf")))
+            for i in range(len(ffs))
+        ]
+        best = cols[0] if len(cols) == 1 else F.greatest(*cols)
+        term_frames.append(tf.select("doc_id", best.alias("score")))
+
+    joined = term_frames[0].withColumnRenamed("score", "t0")
+    for i, f in enumerate(term_frames[1:], start=1):
+        joined = joined.join(f.withColumnRenamed("score", f"t{i}"), "doc_id", "full")
+    score = F.col("t0")
+    for i in range(1, len(term_frames)):
+        score = F.coalesce(score, F.lit(0.0)) + F.coalesce(
+            F.col(f"t{i}"), F.lit(0.0)
+        )
+    return (
+        joined.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
