@@ -1131,6 +1131,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = topk_most_fields(indexes, "the data spark", k=10)
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
+    def bm25_match_bool_prefix(spark, sf):
+        # ES match_bool_prefix (type-ahead): "data merge sp" — init terms
+        # scored as should clauses, the last partial word as a
+        # constant-score prefix clause (+1.0)
+        # (webindex/query.py topk_match_bool_prefix)
+        from webindex.query import topk_match_bool_prefix
+
+        hits = topk_match_bool_prefix(_index(spark, sf), "data merge sp", k=10)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
     def bm25_cross_fields(spark, sf):
         # ES multi_match type=cross_fields: per-term BLENDED df (max across
         # fields), per-doc dis_max over the term's per-field contributions,
@@ -1389,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_best_fields": bm25_best_fields,
         "bm25_most_fields": bm25_most_fields,
         "bm25_cross_fields": bm25_cross_fields,
+        "bm25_match_bool_prefix": bm25_match_bool_prefix,
         "spdx_resolve": spdx_resolve_q,
         "map_record_flatten": map_record_flatten,
         "multimodal_features": multimodal_features,
@@ -2267,6 +2278,21 @@ FROM per_term GROUP BY doc_id
 ORDER BY list_sum(list(c ORDER BY term)) DESC, doc_id ASC LIMIT 10
 """
 
+    sql["bm25_match_bool_prefix"] = f"""
+WITH s AS ({_bm25_score_subquery(["data", "merge"])}),
+p AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) AS p
+  FROM (SELECT doc_id, {toks} AS tk FROM documents)
+  WHERE len(list_filter(tk, t -> t LIKE 'sp%')) > 0
+),
+j AS (
+  SELECT coalesce(s.doc_id, p.doc_id) AS doc_id,
+         coalesce(s.score, 0.0) + coalesce(p.p, 0.0) AS score
+  FROM s FULL JOIN p ON s.doc_id = p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM j ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     sql["bm25_topk_batch"] = _bm25_batch_oracle_sql(
         {
             "q1": ["merge", "spark"],

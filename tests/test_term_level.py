@@ -142,3 +142,25 @@ def test_phrase_prefix_no_expansion_empty(idx_pos):
     from webindex.query import topk_phrase_prefix
 
     assert _rows(topk_phrase_prefix(idx_pos, "the zzqq", 10)) == []
+
+
+def test_match_bool_prefix(idx, oracle):
+    from webindex.query import topk_match_bool_prefix
+    from webindex.textproc import tokenize
+
+    pdf = make_pages_pdf(0, N_DOCS)
+    toks = {i: tokenize(pdf["text"][i]) for i in range(N_DOCS)}
+    for q, init_terms, pre in [
+        ("data merge sp", ["data", "merge"], "sp"),
+        ("th", [], "th"),
+    ]:
+        base = oracle.score_all(" ".join(init_terms)) if init_terms else {}
+        pdocs = {d for d, v in toks.items() if any(t.startswith(pre) for t in v)}
+        want_scores = {}
+        for d in set(base) | pdocs:
+            want_scores[d] = base.get(d, 0.0) + (1.0 if d in pdocs else 0.0)
+        want = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        rows = topk_match_bool_prefix(idx, q, k=10).collect()
+        got = [(r["doc_id"], round(r["score"], 9)) for r in rows]
+        assert got == [(d, round(s, 9)) for d, s in want], q
+        assert got, q

@@ -2578,3 +2578,51 @@ def topk_cross_fields(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def topk_match_bool_prefix(
+    index: Index, query: str, k: int = 10, max_expansions: int | None = None
+) -> DataFrame:
+    """ES `match_bool_prefix`: the analyzed terms become a bool query of
+    should clauses — every term but the LAST is a scored term query, the
+    last is a prefix query under the constant-score rewrite (+1.0 where
+    any dictionary expansion matches, exactly topk_prefix's semantics).
+    The type-ahead cousin of match_phrase_prefix: terms may match anywhere,
+    in any order — only the final partial word is special.
+
+    score = Σ init-term BM25 contributions + 1.0·[any expansion matches],
+    OR semantics (>= 1 clause). Query terms dedup per this engine's match
+    convention; absent init terms contribute nothing (should clauses).
+    Ties doc_id asc.
+
+    Shape: the §3 exhaustive kernel for the init terms + the distributed
+    dictionary expansion feeding ids_for_hashes, combined by ONE
+    doc_id-keyed FullOuter join of fixed-width frames."""
+    from webindex.aggs import ids_for_hashes, match_scores
+
+    spark = index.postings.sparkSession
+    toks = tokenize(query)
+    if not toks:
+        return spark.createDataFrame([], _HIT)
+    init, last = toks[:-1], toks[-1]
+    exp = _expansions(index, F.col("term").startswith(last), max_expansions)
+    pref = (
+        ids_for_hashes(index, [int(r["term_hash"]) for r in exp])
+        .withColumn("p", F.lit(1.0))
+    )
+    if not init:
+        return (
+            pref.select("doc_id", F.col("p").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    base = match_scores(index, " ".join(init)).withColumnRenamed("score", "s")
+    joined = base.join(pref, "doc_id", "full")
+    score = F.coalesce(F.col("s"), F.lit(0.0)) + F.coalesce(
+        F.col("p"), F.lit(0.0)
+    )
+    return (
+        joined.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
