@@ -1131,6 +1131,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = topk_most_fields(indexes, "the data spark", k=10)
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
+    def rrf_hybrid_search(spark, sf):
+        # ES 8.8 hybrid search (rank: rrf): fuse the BM25 ranking of
+        # "data merge" with the cosine-kNN ranking of vec 0's embedding,
+        # rrf = sum over rankings of 1/(60 + rank), window 50
+        # (webindex/simsearch.py rrf_hybrid)
+        from webindex.simsearch import rrf_hybrid
+
+        emb = _embeddings(spark, sf)
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        hits = rrf_hybrid(
+            _index(spark, sf), emb, "data merge", qvec, k=10, window=50
+        )
+        return hits.select("doc_id", F.round("score", 6).alias("score"))
+
     def bm25_match_bool_prefix(spark, sf):
         # ES match_bool_prefix (type-ahead): "data merge sp" — init terms
         # scored as should clauses, the last partial word as a
@@ -1400,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_most_fields": bm25_most_fields,
         "bm25_cross_fields": bm25_cross_fields,
         "bm25_match_bool_prefix": bm25_match_bool_prefix,
+        "rrf_hybrid": rrf_hybrid_search,
         "spdx_resolve": spdx_resolve_q,
         "map_record_flatten": map_record_flatten,
         "multimodal_features": multimodal_features,
@@ -2292,6 +2307,39 @@ j AS (
 )
 SELECT doc_id, round(score, 4) AS score
 FROM j ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    sql["rrf_hybrid"] = f"""
+WITH s AS ({_bm25_score_subquery(["data", "merge"])}),
+trank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM s QUALIFY r <= 50
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cosall AS (
+  SELECT vec_id,
+         CASE WHEN nv > 0 AND nq > 0 THEN dot / (nv * nq) ELSE 0 END AS cos
+  FROM (
+    SELECT vec_id,
+           list_sum(list_transform(generate_series(1, len(embedding)),
+                                   i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) AS dot,
+           sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                                        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nv,
+           sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                                        i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) AS nq
+    FROM embeddings CROSS JOIN q
+  )
+),
+krank AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r
+  FROM cosall QUALIFY r <= 50
+),
+fused AS (
+  SELECT coalesce(t.doc_id, k2.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + t.r), 0.0) + coalesce(1.0 / (60 + k2.r), 0.0) AS score
+  FROM trank t FULL JOIN krank k2 ON t.doc_id = k2.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM fused ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     sql["bm25_topk_batch"] = _bm25_batch_oracle_sql(
         {

@@ -216,3 +216,45 @@ def test_synonyms_all_absent_empty(pidx):
     from webindex.query import topk_synonyms
 
     assert topk_synonyms(pidx, "zzzz", {"zzzz": ["yyyy"]}, k=5).count() == 0
+
+
+def test_rrf_hybrid_fuses_rankings(spark, pidx, oracle, texts):
+    import numpy as np
+
+    from webindex.simsearch import rrf_hybrid
+
+    # deterministic synthetic vectors over the same doc_id domain
+    rng = np.random.default_rng(7)
+    vecs = {d: rng.normal(size=8).astype(np.float64) for d in sorted(texts)}
+    rows = [(int(d), [float(x) for x in v]) for d, v in vecs.items()]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvec = [float(x) for x in vecs[3]]
+
+    window, rc = 25, 60
+    base = oracle.topk("data", window)
+    trank = {d: i + 1 for i, (d, _) in enumerate(base)}
+    qn = np.linalg.norm(qvec)
+    cos = {
+        d: float(np.dot(v, qvec) / (np.linalg.norm(v) * qn))
+        for d, v in vecs.items()
+    }
+    korder = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:window]
+    krank = {d: i + 1 for i, (d, _) in enumerate(korder)}
+    want_scores = {
+        d: (1.0 / (rc + trank[d]) if d in trank else 0.0)
+        + (1.0 / (rc + krank[d]) if d in krank else 0.0)
+        for d in set(trank) | set(krank)
+    }
+    want = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], round(r["score"], 12))
+        for r in rrf_hybrid(
+            pidx, emb, "data", qvec, k=10, rank_constant=rc, window=window,
+            vec_col="embedding",
+        ).collect()
+    ]
+    assert got == [(d, round(s, 12)) for d, s in want]
+    # the fused top-k must mix docs from both sides on this fixture
+    assert any(d in trank and d not in krank for d, _ in got) or any(
+        d in krank and d not in trank for d, _ in got
+    )

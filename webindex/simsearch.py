@@ -173,3 +173,58 @@ def all_pairs_above(
         .filter(F.col("cos") >= threshold)
         .dropDuplicates(["a", "b"])
     )
+
+
+def rrf_hybrid(
+    index,
+    vectors: DataFrame,
+    query: str,
+    query_vec: list[float],
+    k: int = 10,
+    rank_constant: int = 60,
+    window: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES 8.8 hybrid search with reciprocal rank fusion (`rank: {rrf}`):
+    fuse the BM25 ranking of `query` with the cosine-kNN ranking of
+    `query_vec` by
+
+        rrf(doc) = Σ over rankings r of 1 / (rank_constant + rank_r(doc))
+
+    where rank_r is the doc's 1-based position in ranking r and docs absent
+    from a ranking contribute nothing for it — exactly ES's rank_window_size
+    contract: only each ranking's top-`window` candidates are fused, and the
+    final top-k comes from their union. Ties break by doc_id asc (rrf scores
+    collide whenever two docs hold mirror-image ranks, so the tiebreak is
+    load-bearing).
+
+    Both constituent rankings keep their own pruned plans (block-max WAND /
+    broadcast-literal cosine + TakeOrdered); the fuse joins two
+    window-sized fixed-width frames — coordinator-scale, like ES.
+    Output (doc_id, score), score desc / doc_id asc."""
+    from pyspark.sql import Window as W
+
+    from webindex.query import topk_wand
+
+    if not (0 < k <= window):
+        raise ValueError("need 0 < k <= window")
+    rc = float(rank_constant)
+    text = topk_wand(index, query, window).withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+    )
+    knn = cosine_topk_bruteforce(vectors, query_vec, window, id_col, vec_col)
+    knn = knn.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("cos"), F.asc("vec_id")))
+    ).withColumnRenamed("vec_id", "doc_id")
+    t = text.select("doc_id", (F.lit(1.0) / (F.lit(rc) + F.col("r"))).alias("a"))
+    v = knn.select("doc_id", (F.lit(1.0) / (F.lit(rc) + F.col("r"))).alias("b"))
+    return (
+        t.join(v, "doc_id", "full")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("a"), F.lit(0.0)) + F.coalesce(F.col("b"), F.lit(0.0))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
