@@ -1131,6 +1131,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = topk_most_fields(indexes, "the data spark", k=10)
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
+    def knn_filtered(spark, sf):
+        # ES knn with filter: cosine top-k over embeddings restricted to
+        # docs matching "data" — filter applied DURING the search, so all
+        # k hits match (webindex/simsearch.py cosine_topk_filtered)
+        from webindex.simsearch import cosine_topk_filtered
+
+        emb = _embeddings(spark, sf)
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        hits = cosine_topk_filtered(_index(spark, sf), emb, "data", qvec, k=10)
+        return hits.select("vec_id", F.round("cos", 4).alias("cos"))
+
     def rrf_hybrid_search(spark, sf):
         # ES 8.8 hybrid search (rank: rrf): fuse the BM25 ranking of
         # "data merge" with the cosine-kNN ranking of vec 0's embedding,
@@ -1415,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_cross_fields": bm25_cross_fields,
         "bm25_match_bool_prefix": bm25_match_bool_prefix,
         "rrf_hybrid": rrf_hybrid_search,
+        "knn_filtered": knn_filtered,
         "spdx_resolve": spdx_resolve_q,
         "map_record_flatten": map_record_flatten,
         "multimodal_features": multimodal_features,
@@ -2340,6 +2352,29 @@ fused AS (
 )
 SELECT doc_id, round(score, 6) AS score
 FROM fused ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    sql["knn_filtered"] = f"""
+WITH m AS (
+  SELECT doc_id FROM (SELECT doc_id, {toks} AS tk FROM documents)
+  WHERE list_contains(tk, 'data')
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(1, len(embedding)),
+                                 i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                                      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nv,
+         sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                                      i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) AS nq
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id IN (SELECT doc_id FROM m)
+)
+SELECT vec_id, round(cos, 4) AS cos FROM (
+  SELECT vec_id,
+         CASE WHEN nv > 0 AND nq > 0 THEN dot / (nv * nq) ELSE 0 END AS cos
+  FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+)
 """
     sql["bm25_topk_batch"] = _bm25_batch_oracle_sql(
         {

@@ -258,3 +258,33 @@ def test_rrf_hybrid_fuses_rankings(spark, pidx, oracle, texts):
     assert any(d in trank and d not in krank for d, _ in got) or any(
         d in krank and d not in trank for d, _ in got
     )
+
+
+def test_cosine_topk_filtered_knn(spark, pidx, oracle, texts):
+    import numpy as np
+
+    from webindex.simsearch import cosine_topk_filtered
+    from webindex.textproc import tokenize
+
+    rng = np.random.default_rng(11)
+    vecs = {d: rng.normal(size=8).astype(np.float64) for d in sorted(texts)}
+    emb = spark.createDataFrame(
+        [(int(d), [float(x) for x in v]) for d, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    qvec = [float(x) for x in vecs[5]]
+    match = {d for d, t in texts.items() if "data" in tokenize(t)}
+    qn = np.linalg.norm(qvec)
+    cos = {
+        d: float(np.dot(v, qvec) / (np.linalg.norm(v) * qn))
+        for d, v in vecs.items()
+        if d in match
+    }
+    want = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["vec_id"], round(r["cos"], 9))
+        for r in cosine_topk_filtered(pidx, emb, "data", qvec, k=10).collect()
+    ]
+    assert got == [(d, round(c, 9)) for d, c in want]
+    # every result matches the filter — the ES during-search contract
+    assert all(d in match for d, _ in got) and len(got) == 10

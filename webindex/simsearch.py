@@ -228,3 +228,32 @@ def rrf_hybrid(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def cosine_topk_filtered(
+    index,
+    vectors: DataFrame,
+    query: str,
+    query_vec: list[float],
+    k: int = 10,
+    msm: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES `knn` with `filter`: cosine top-k restricted to docs matching the
+    text filter (>= msm query terms) — ES applies the filter DURING the knn
+    search so the result always has k matching docs (not a post-filter of
+    an unrestricted top-k); so does this: the match-set ids (fixed-width
+    doc_id longs from block metadata + decode, no text scan) semi-join the
+    vector table BEFORE the cosine/TakeOrdered. Ties vec_id asc.
+
+    At scale the semi-join is doc_id-keyed and AQE-eligible (a selective
+    filter broadcasts); the cosine stays a broadcast-literal JVM expression
+    on the surviving rows only."""
+    from webindex.aggs import matching_doc_ids
+
+    ids = matching_doc_ids(index, query, msm)
+    filtered = vectors.join(
+        ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+    return cosine_topk_bruteforce(filtered, query_vec, k, id_col, vec_col)
