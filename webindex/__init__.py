@@ -18,7 +18,14 @@ Layout (SURVEY.md §7):
   build.py     SPIMI-style distributed index build (mapInPandas local runs ->
                salted term_hash shuffle -> sort-merge -> compressed blocks)
   query.py     top-k query path: exhaustive + block-max WAND (bounded θ-seed,
-               batched query logs with per-query pruning, best_fields dis_max)
+               batched query logs with per-query pruning) + the ES read
+               surface: match/bool/phrase families, multi_match
+               (best/most/cross_fields, bool_prefix), term-level queries,
+               rescore, simple_query_string, synonyms, suggesters,
+               pagination, highlighting, explain
+  aggs.py      ES aggregations (terms/histogram/range/date_histogram/
+               composite/top_hits, stats/percentiles/cardinality,
+               significant_terms+sampler) over the shared match kernels
   streaming.py incremental ingest + tiered compaction (latest-crawl-wins,
                single-doc upsert)
   checkpoint.py lineage table (real byte metrics) + resumable build
@@ -26,7 +33,8 @@ Layout (SURVEY.md §7):
   fsutil.py    Hadoop FS helpers (works on local/HDFS/S3A alike)
   pagesgen.py  deterministic synthetic `pages` corpus (FIXTURES.md §1)
   dedup.py     exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup
-  simsearch.py brute-force + LSH-bucketed cosine top-k over embeddings
+  simsearch.py brute-force + LSH-bucketed cosine top-k over embeddings,
+               filtered kNN, RRF hybrid search (BM25 x kNN fusion)
   textstats.py language-id, quality, token counts, md5 + winnowing prints
   mapping.py   SPDX license resolver (6-rule chain over broadcast dim table)
   records.py   map-typed record flatten (dotted keys) + broadcast renames
