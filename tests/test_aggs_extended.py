@@ -466,3 +466,41 @@ def test_function_score_pruned_identical_and_prunes(spark):
     for _, grp in rows.groupby("bucket"):
         fn(grp.reset_index(drop=True))
     assert probe["blocks_total"] > probe.get("blocks_decoded", 0), probe
+
+
+def test_function_score_domain_fallbacks(idx, stored, corpus):
+    """Review regressions: log1p with a negative factor must fall back to
+    the exhaustive path (not raise math domain error), and the pruned path
+    must agree with pruned=False on it."""
+    a = topk_function_score(
+        idx, stored, QUERY, "n_chars", factor=-1.0, k=5, pruned=True
+    ).collect()
+    b = topk_function_score(
+        idx, stored, QUERY, "n_chars", factor=-1.0, k=5, pruned=False
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+    # sqrt over a field with negative values: NaN docs rank first in the
+    # exhaustive ranking; the pruned path must fall back and agree
+    neg = stored.withColumn(
+        "signed", F.col("n_chars") - F.lit(800)
+    ).select("doc_id", "signed")
+    a = topk_function_score(
+        idx, neg, QUERY, "signed", modifier="sqrt", k=5, pruned=True
+    ).collect()
+    b = topk_function_score(
+        idx, neg, QUERY, "signed", modifier="sqrt", k=5, pruned=False
+    ).collect()
+    ga = [(r["doc_id"], r["score"]) for r in a]
+    gb = [(r["doc_id"], r["score"]) for r in b]
+    assert len(ga) == len(gb) and all(
+        da == db and (sa == sb or (sa != sa and sb != sb)) for (da, sa), (db, sb) in zip(ga, gb)
+    )
+
+
+def test_rescore_requires_positions(idx):
+    from webindex.query import topk_rescore
+
+    with pytest.raises(ValueError, match="positional"):
+        topk_rescore(idx, "data", "data merge", window=20, k=5)

@@ -130,13 +130,28 @@ def test_most_fields_matches_oracle_sum(two_field):
         }
         exp = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         assert got == [(d, round(s, 9)) for d, s in exp], q
-    # most_fields must differ from best_fields on some query here (sum vs
-    # max), or the fixture is degenerate
-    q = "doc"
+    # sum-merge vs max-merge must actually disagree on this fixture (else
+    # a silent regression to best_fields would pass), and the engine must
+    # land on the sum side
+    q = "spark merge doc"
+    s_text, s_title = o_text.score_all(q), o_title.score_all(q)
+    docs = set(s_text) | set(s_title)
+    sum_rank = [
+        d for d, _ in sorted(
+            ((d, s_text.get(d, 0.0) + s_title.get(d, 0.0)) for d in docs),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+    ]
+    max_rank = [
+        d for d, _ in sorted(
+            ((d, max(s_text.get(d, -1e308), s_title.get(d, -1e308))) for d in docs),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+    ]
+    assert sum_rank != max_rank  # fixture sanity: the two semantics differ
     bf = [r["doc_id"] for r in topk_best_fields(indexes, q, 10).collect()]
     mf = [r["doc_id"] for r in topk_most_fields(indexes, q, 10).collect()]
-    s_text, s_title = o_text.score_all(q), o_title.score_all(q)
-    assert any(d in s_text and d in s_title for d in mf)
+    assert mf == sum_rank and bf == max_rank and mf != bf
 
 
 def test_cross_fields_blended_term_centric(two_field):

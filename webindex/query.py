@@ -1835,8 +1835,11 @@ def topk_function_score(
     re-ranking); the field join + multiply + global top-k are unchanged, so
     results are byte-identical to the exhaustive path
     (test_function_score_pruned_identical). Falls back to θ=0 whenever the
-    bound is useless or unsound: M non-finite (e.g. log1p of a negative),
-    M <= 0, or fewer than k seed candidates.
+    bound is useless or unsound: any field value outside the modifier's
+    domain (sqrt of a negative, log1p below -1 — the exhaustive path gives
+    those docs NaN scores, which Spark ranks first in desc order, and a θ
+    could prune them), M non-finite, M <= 0, fewer than k seed candidates,
+    or a NULL field value among the seeds.
 
     Output (doc_id, score), score desc / doc_id asc, rounded 4dp."""
     import math
@@ -1846,11 +1849,14 @@ def topk_function_score(
         "sqrt": lambda c: F.sqrt(c),
         "none": lambda c: c,
     }
-    py_mods = {
-        "log1p": lambda v: math.log1p(v),
-        "sqrt": lambda v: math.sqrt(v) if v >= 0 else float("nan"),
-        "none": lambda v: v,
-    }
+
+    def _py_mod(v: float) -> float:
+        if modifier == "log1p":
+            return math.log1p(v) if v > -1.0 else float("nan")
+        if modifier == "sqrt":
+            return math.sqrt(v) if v >= 0.0 else float("nan")
+        return v
+
     if modifier not in mods:
         raise ValueError(f"unsupported modifier {modifier!r}")
     fv = mods[modifier](F.col(field).cast("double") * F.lit(float(factor)))
@@ -1870,13 +1876,24 @@ def topk_function_score(
         spark = index.postings.sparkSession
         return spark.createDataFrame([], _HIT)
     if pruned:
-        ext = F.max if factor >= 0 else F.min
-        row = fielded.agg(ext(F.col(field).cast("double")).alias("x")).collect()
-        x = row[0]["x"] if row else None
-        big_m = py_mods[modifier](float(factor) * float(x)) if x is not None else None
+        fcol = F.col(field).cast("double")
+        row = fielded.agg(
+            F.max(fcol).alias("mx"), F.min(fcol).alias("mn")
+        ).collect()
+        mx = row[0]["mx"] if row else None
+        mn = row[0]["mn"] if row else None
+        big_m = None
+        if mx is not None and mn is not None:
+            # M from the extremum the sign of factor makes largest; the
+            # OTHER end must also be in the modifier's domain, else some
+            # doc's fv is NaN and the exhaustive ranking (NaN first under
+            # desc) has no sound θ
+            hi, lo = (mx, mn) if factor >= 0 else (mn, mx)
+            if math.isfinite(_py_mod(float(factor) * float(lo))):
+                big_m = _py_mod(float(factor) * float(hi))
         if big_m is not None and math.isfinite(big_m) and big_m > 0.0:
             seed = _ranked(topk_wand(index, query, k)).collect()
-            if len(seed) == k:
+            if len(seed) == k and all(r["score"] is not None for r in seed):
                 theta_fs = float(seed[-1]["score"])
                 if theta_fs > 0.0:
                     theta_bm25 = float(np.nextafter(theta_fs / big_m, 0.0))
@@ -2240,6 +2257,11 @@ def topk_rescore(
         raise ValueError("need 0 < k <= window")
     if window > 10_000:
         raise ValueError("window capped at 10000 (ES window_size contract)")
+    if "positions" not in index.postings.columns:
+        raise ValueError(
+            "phrase queries need a positional index — build with "
+            "build_index(..., positions=True)"
+        )
     spark = index.postings.sparkSession
     base = topk_wand(index, query, window).collect()
     if not base:
@@ -2321,7 +2343,6 @@ def simple_query_string(
         raise ValueError("default_operator must be 'or' or 'and'")
     pos_frames: list[DataFrame] = []
     neg_frames: list[DataFrame] = []
-    n_pos_clauses = 0
     for raw in re.findall(r'-?"[^"]*"|\S+', q):
         neg = raw.startswith("-")
         body = raw[1:] if neg else raw
@@ -2331,13 +2352,17 @@ def simple_query_string(
             continue  # empty after analysis: no clause
         if is_phrase and len(tokenize(text)) > 1:
             frame = phrase_scores(index, text, slop)
+            if neg:
+                neg_frames.append(frame.select("doc_id"))
+                continue
+        elif neg:
+            # exclusion needs the match SET only — the no-scoring kernel
+            # (decode + bucket-local unique), not the BM25 scorer
+            neg_frames.append(matching_doc_ids(index, text))
+            continue
         else:
             frame = match_scores(index, text)
-        if neg:
-            neg_frames.append(frame.select("doc_id"))
-        else:
-            n_pos_clauses += 1
-            pos_frames.append(frame)
+        pos_frames.append(frame)
     if not pos_frames:
         return spark.createDataFrame([], _HIT)
 
@@ -2479,14 +2504,13 @@ def topk_most_fields(
     Ties doc_id asc. Returns (doc_id, score)."""
     from webindex.aggs import match_scores
 
-    spark = next(iter(indexes.values())).postings.sparkSession
+    if not indexes:
+        raise ValueError("most_fields needs at least one field index")
     fields = sorted(indexes)
     frames = [
         match_scores(indexes[f], query).withColumnRenamed("score", f"s{i}")
         for i, f in enumerate(fields)
     ]
-    if not frames:
-        return spark.createDataFrame([], _HIT)
     joined = frames[0]
     for f in frames[1:]:
         joined = joined.join(f, "doc_id", "full")
@@ -2527,6 +2551,8 @@ def topk_cross_fields(
     (same n_docs). Ties doc_id asc. Returns (doc_id, score)."""
     from webindex.aggs import match_scores
 
+    if not indexes:
+        raise ValueError("cross_fields needs at least one field index")
     spark = next(iter(indexes.values())).postings.sparkSession
     fields = sorted(indexes)
     n_docs_set = {indexes[f].n_docs for f in fields}
