@@ -117,4 +117,25 @@ def test_bool_absence_semantics(idx):
 
 def test_bool_empty_query(idx):
     assert _rows(topk_bool(idx, k=10)) == []
-    assert _rows(topk_bool(idx, must_not="data", k=10)) == []
+    # must_not-only is NOT empty: pure filter context = match_all minus the
+    # excluded docs (see test_bool_must_not_only_returns_complement)
+    hits = topk_bool(idx, must_not="data", k=N_DOCS).collect()
+    assert hits and all(r["score"] == 0.0 for r in hits)
+
+
+def test_bool_must_not_only_returns_complement(idx, oracle):
+    """ES bool with ONLY must_not clauses is pure filter context:
+    match_all minus the excluded docs, score 0.0, doc_id asc."""
+    from webindex.textproc import tokenize
+
+    pdf = make_pages_pdf(0, N_DOCS)
+    excluded = {
+        i for i in range(N_DOCS) if "w042" in tokenize(pdf["text"][i])
+    }
+    assert excluded  # fixture sanity
+    rows = topk_bool(idx, must_not="w042", k=N_DOCS).collect()
+    got = [(r["doc_id"], r["score"]) for r in rows]
+    want = [(d, 0.0) for d in range(N_DOCS) if d not in excluded]
+    assert got == want
+    # absent must_not term: complement = every doc
+    assert topk_bool(idx, must_not="zzzzabsent", k=N_DOCS).count() == N_DOCS

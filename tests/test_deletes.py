@@ -194,3 +194,21 @@ def test_delete_is_o_touched_buckets(spark, tmp_path):
     inc = [r for r in comp if r["kind"] == "incremental"]
     assert len(inc) == 1
     assert inc[0]["touched_buckets"] == 1
+
+
+def test_delete_on_positional_workdir_via_open(spark, tmp_path):
+    """Review regression: attaching to a positional workdir without knowing
+    its layout (IncrementalIndexer.open) must adopt positions=True and let
+    deletes compact instead of raising the layout-mismatch error."""
+    pdf = make_pages_pdf(0, 40)
+    wd = str(tmp_path / "wd")
+    ing = IncrementalIndexer(spark, wd, text_col="text", positions=True)
+    idx0 = ing.upsert(spark.createDataFrame(pdf))
+    victim = pdf["url"][0]
+    opened = IncrementalIndexer.open(spark, wd, text_col="text")
+    assert opened.positions is True
+    idx1 = opened.delete([victim])
+    assert idx1.n_docs == idx0.n_docs - 1
+    assert lookup_url(idx1, victim).count() == 0
+    # positions survived: a phrase query still runs on the compacted index
+    assert "positions" in idx1.postings.columns

@@ -126,7 +126,10 @@ def significant_terms(
         sample_arr = np.sort(np.array([r["doc_id"] for r in top], dtype=np.int64))
         fg_size = len(sample_arr)
     else:
-        fg_ids = matching_doc_ids(index, query, msm)
+        # persisted: the frame is consumed twice (the count here, the
+        # semi-join below) — without it the pruned match scan+decode runs
+        # twice per call
+        fg_ids = matching_doc_ids(index, query, msm).persist()
         fg_size = fg_ids.count()
     if fg_size == 0:
         return spark.createDataFrame(

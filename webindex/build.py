@@ -50,6 +50,21 @@ DEFAULT_RANGE_WIDTH = 1 << 18
 N_URL_BUCKETS = 64
 
 
+def url_index_projection(doc_stats: DataFrame) -> DataFrame:
+    """The (doc_id, url, doc_len, url_hash, url_bucket) reverse-lookup
+    projection — the ONE definition of the pmod/xxhash bucket contract
+    `query.lookup_url` prunes against. Both index writers (build_index and
+    checkpoint.build_index_resumable) derive their url_index table from
+    this; write it url_hash-sorted within url_bucket partitions."""
+    return doc_stats.select(
+        "doc_id",
+        "url",
+        "doc_len",
+        F.xxhash64("url").alias("url_hash"),
+        F.pmod(F.xxhash64("url"), F.lit(N_URL_BUCKETS)).alias("url_bucket"),
+    )
+
+
 def adaptive_range_width(n_docs: int) -> int:
     """Bucket width when the caller doesn't pin one: ~128+ buckets for
     mid-size corpora (query scoring parallelism), capped at DEFAULT_RANGE_WIDTH
@@ -864,13 +879,7 @@ def build_index(
         # N_URL_BUCKETS (or use an Iceberg bucket(url) partition transform);
         # the lookup code only relies on the pmod contract.
         write_table(
-            doc_stats.select(
-                "doc_id",
-                "url",
-                "doc_len",
-                F.xxhash64("url").alias("url_hash"),
-                F.pmod(F.xxhash64("url"), F.lit(N_URL_BUCKETS)).alias("url_bucket"),
-            ),
+            url_index_projection(doc_stats),
             f"{out_dir}/url_index",
             sort_cols=["url_hash"],
             partition_by="url_bucket",

@@ -222,18 +222,14 @@ def build_index_resumable(
     doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         f"{out}/doc_stats"
     )
-    # url reverse-lookup projection, same contract as build_index's
-    from webindex.build import N_URL_BUCKETS
+    # url reverse-lookup projection — the shared helper IS the contract
+    from webindex.build import url_index_projection
 
-    doc_stats.select(
-        "doc_id",
-        "url",
-        "doc_len",
-        F.xxhash64("url").alias("url_hash"),
-        F.pmod(F.xxhash64("url"), F.lit(N_URL_BUCKETS)).alias("url_bucket"),
-    ).sortWithinPartitions("url_hash").write.mode("overwrite").partitionBy(
-        "url_bucket"
-    ).parquet(f"{out}/url_index")
+    url_index_projection(doc_stats).sortWithinPartitions(
+        "url_hash"
+    ).write.mode("overwrite").partitionBy("url_bucket").parquet(
+        f"{out}/url_index"
+    )
     spark.createDataFrame([(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS).write.mode(
         "overwrite"
     ).parquet(f"{out}/corpus_stats")

@@ -351,7 +351,9 @@ def main(argv: list[str]) -> int:
     elif cmd == "delete":
         from webindex.streaming import IncrementalIndexer
 
-        indexer = IncrementalIndexer(spark, argv[2], text_col="html")
+        # .open() adopts the workdir's committed positional layout, so
+        # deletes work on indexes ingested with --positions too
+        indexer = IncrementalIndexer.open(spark, argv[2], text_col="html")
         idx = indexer.delete(argv[3:])
         print(f"deleted {len(argv) - 3} url(s): {idx.n_docs} docs remain")
     elif cmd == "delete-by-query":
@@ -362,7 +364,7 @@ def main(argv: list[str]) -> int:
             i = argv.index("--msm")
             msm = int(argv[i + 1])
             argv = argv[:i] + argv[i + 2 :]
-        indexer = IncrementalIndexer(spark, argv[2], text_col="html")
+        indexer = IncrementalIndexer.open(spark, argv[2], text_col="html")
         idx = indexer.delete_by_query(argv[3], msm=msm)
         print(f"delete-by-query {argv[3]!r}: {idx.n_docs} docs remain")
     else:

@@ -14,6 +14,12 @@ def hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Metadata-only existence probe on any Hadoop-compatible FS."""
+    fs, jvm = hadoop_fs(spark, path)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+
 def hadoop_delete(spark: SparkSession, path: str) -> None:
     fs, jvm = hadoop_fs(spark, path)
     p = jvm.org.apache.hadoop.fs.Path(path)

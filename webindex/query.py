@@ -606,6 +606,22 @@ def topk_bool(
     spark = index.postings.sparkSession
     must_t, should_t = set(tokenize(must)), set(tokenize(should))
     not_t, filt_t = set(tokenize(must_not)), set(tokenize(filter_))
+    if not_t and not (must_t | should_t | filt_t):
+        # ES bool with ONLY must_not clauses: pure filter context —
+        # match_all minus the excluded docs, constant score 0.0 (ordered
+        # doc_id asc). Enumerates the thin doc_stats table, the same
+        # match_all cost ES pays; the exclusion set comes from the
+        # no-scoring kernel and an anti-join.
+        from webindex.aggs import matching_doc_ids
+
+        excluded = matching_doc_ids(index, must_not)
+        return (
+            index.doc_stats.select("doc_id")
+            .join(excluded, "doc_id", "left_anti")
+            .withColumn("score", F.lit(0.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
     if should_t and not (must_t | not_t | filt_t) and (
         minimum_should_match is None or minimum_should_match <= 1
     ):
@@ -1418,6 +1434,13 @@ def topk_best_fields(
     return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+# Lucene caps boolean rewrites at indices.query.bool.max_clause_count
+# (1024); expansions beyond it pick the top_terms-by-df subset. This is the
+# default driver-protection cap for prefix/wildcard (pass an explicit
+# max_expansions, or None for genuinely-uncapped, to override).
+MAX_CLAUSE_COUNT = 1024
+
+
 def _expansions(
     index: Index, pred: F.Column, max_expansions: int | None
 ) -> list:
@@ -1433,7 +1456,8 @@ def _expansions(
 
 
 def topk_prefix(
-    index: Index, prefix: str, k: int = 10, max_expansions: int | None = None
+    index: Index, prefix: str, k: int = 10,
+    max_expansions: int | None = MAX_CLAUSE_COUNT,
 ) -> DataFrame:
     """ES `prefix` query: docs containing any indexed term starting with
     `prefix`, under the constant-score rewrite (Lucene PrefixQuery's
@@ -1460,7 +1484,8 @@ def topk_prefix(
 
 
 def topk_wildcard(
-    index: Index, pattern: str, k: int = 10, max_expansions: int | None = None
+    index: Index, pattern: str, k: int = 10,
+    max_expansions: int | None = MAX_CLAUSE_COUNT,
 ) -> DataFrame:
     """ES `wildcard` query: `*` matches any run, `?` any single char, over
     the whole term — constant-score rewrite like topk_prefix (Lucene
@@ -1778,9 +1803,12 @@ def lookup_url(index: Index, url: str) -> DataFrame:
     plan) and the url_hash equality prunes row groups inside it — the same
     two-level pruning lookup_doc gets from the doc_id-sorted layout.
     Collisions are disambiguated by the final url equality. In-memory /
-    pre-round-4 indexes fall back to the doc_stats scan."""
+    pre-round-4 indexes fall back to the doc_stats scan (same 3-column
+    output either way — the API shape is vintage-invariant)."""
     if index.url_stats is None:
-        return index.doc_stats.filter(F.col("url") == url)
+        return index.doc_stats.filter(F.col("url") == url).select(
+            "doc_id", "url", "doc_len"
+        )
     from webindex.build import N_URL_BUCKETS
 
     lit = F.lit(url)

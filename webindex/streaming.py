@@ -132,6 +132,22 @@ class IncrementalIndexer:
 
     # -- ingestion ----------------------------------------------------------
 
+    @classmethod
+    def open(cls, spark: SparkSession, workdir: str, **kw) -> "IncrementalIndexer":
+        """Attach to an EXISTING workdir, adopting its committed positional
+        layout instead of the constructor default — the committed runs
+        schema is the ground truth, so callers that only operate on an
+        existing index (CLI delete / delete-by-query / compact) never need
+        to know how it was built. Falls back to the constructor default
+        when no runs are committed yet (fresh workdir)."""
+        if "positions" not in kw:
+            try:
+                cols = spark.read.parquet(f"{workdir}/runs").columns
+                kw["positions"] = "positions" in cols
+            except Exception:
+                pass  # fresh workdir: constructor default stands
+        return cls(spark, workdir, **kw)
+
     def _check_positions_layout(self) -> None:
         """Fail loudly if the constructor's positions flag disagrees with the
         committed runs layout. The committed runs schema is the ground truth
@@ -316,12 +332,15 @@ class IncrementalIndexer:
 
     def _new_tombstones(self, min_batch: int | None = None) -> DataFrame | None:
         """(doc_id, batch_id) tombstone events, optionally only those after
-        min_batch (the compaction frontier). None when no deletes table
-        exists — the zero-cost common case."""
-        try:
-            d = self.spark.read.parquet(f"{self.workdir}/deletes")
-        except Exception:
+        min_batch (the compaction frontier). None ONLY when no deletes table
+        exists (the zero-cost common case) — any other read failure
+        propagates: silently treating a corrupt/unreadable deletes table as
+        'no deletes' would resurrect deleted docs at the next compact."""
+        from webindex.fsutil import path_exists
+
+        if not path_exists(self.spark, f"{self.workdir}/deletes"):
             return None
+        d = self.spark.read.parquet(f"{self.workdir}/deletes")
         if min_batch is not None:
             d = d.filter(F.col("batch_id") > min_batch)
         return d.select("doc_id", "batch_id")
