@@ -68,6 +68,28 @@ def build_runs_checkpointed(
     processing; also how tests simulate a mid-build crash) — remaining chunks
     are picked up by the next call."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # pin the bucketing: lineage partition_ids are only meaningful under the
+    # n_buckets they were written with — resuming with a different value
+    # would silently skip never-tokenized docs (they hash into 'done'
+    # buckets) and duplicate already-done ones. The first run records it;
+    # every resume must match.
+    from webindex.fsutil import path_exists
+
+    meta_path = f"{workdir}/_build_meta"
+    if path_exists(spark, meta_path):
+        committed = int(
+            spark.read.parquet(meta_path).collect()[0]["n_buckets"]
+        )
+        if committed != n_buckets:
+            raise ValueError(
+                f"n_buckets={n_buckets} but {workdir} was checkpointed with "
+                f"n_buckets={committed}; resume with the committed value "
+                "(or use a fresh workdir to re-bucket)"
+            )
+    else:
+        spark.createDataFrame(
+            [(int(n_buckets),)], "n_buckets int"
+        ).write.mode("overwrite").parquet(meta_path)
     pages = assign_doc_ids(pages, doc_id_method).withColumn(
         "build_bucket", bucket_col(F.col("doc_id"), n_buckets)
     )

@@ -87,13 +87,22 @@ def _swap_partition_dirs(
         dst = Path(f"{final}/{name}")
         if fs.exists(dst):
             fs.delete(dst, True)
-        fs.rename(Path(f"{staging}/{name}"), dst)
+        _rename_checked(fs, Path(f"{staging}/{name}"), dst)
     for b in stale_buckets - staged_ids:
         dst = Path(f"{final}/bucket={b}")
         if fs.exists(dst):
             fs.delete(dst, True)
     fs.delete(Path(staging), True)
     return staged_ids
+
+
+def _rename_checked(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename signals some failures by RETURNING false
+    (object stores, dst races) instead of throwing — an unchecked false
+    followed by a staging delete would destroy the only copy of freshly
+    built blocks. Never ignore it."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst} (filesystem returned false)")
 
 
 class IncrementalIndexer:
@@ -169,23 +178,47 @@ class IncrementalIndexer:
                 "(or use a fresh workdir to change the layout)"
             )
 
-    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch sink: tokenize the micro-batch, write runs + urls
-        under their batch_id partition. Re-delivered batches are detected via
-        the lineage partition_id (= batch_id) and skipped; a half-written
-        redelivery self-cleans because the write is a dynamic overwrite of
-        exactly this batch's partition."""
+    def _seen_epochs(self) -> set[int]:
+        """Engine epochs already ingested (the _epoch_map sidecar). Only a
+        MISSING sidecar means none — any other read failure propagates
+        (silently treating it as empty would re-ingest, or worse, collide)."""
+        from webindex.fsutil import path_exists
+
+        p = f"{self.workdir}/_epoch_map"
+        if not path_exists(self.spark, p):
+            return set()
+        return {
+            int(r["epoch"]) for r in self.spark.read.parquet(p).collect()
+        }
+
+    def _next_batch_id(self) -> int:
+        done = self._done_batches()
+        return (max(done) + 1) if done else 0
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch sink. The engine's epoch counter and this index's
+        batch order are DECOUPLED: synthetic batches (upsert/delete) also
+        consume batch ids, and the streaming checkpoint knows nothing about
+        them — reusing the epoch as the batch id would make a restarted
+        stream's next epoch collide with a synthetic batch and be silently
+        skipped as a 'redelivery', losing its pages forever. So every ingest
+        allocates the next internal id (total event order preserved: later
+        wall-clock events get higher ids) and redelivered engine epochs are
+        detected via the _epoch_map sidecar (epoch -> internal id), written
+        AFTER the lineage commit — a crash between the two re-ingests the
+        same pages under a fresh id, which latest-crawl-wins collapses."""
+        if int(epoch_id) in self._seen_epochs():
+            return
+        our_id = self._next_batch_id()
+        self._ingest_pages(batch_df, our_id)
+        self.spark.createDataFrame(
+            [(int(epoch_id), int(our_id))], "epoch long, batch_id long"
+        ).write.mode("append").parquet(f"{self.workdir}/_epoch_map")
+
+    def _ingest_pages(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Tokenize one batch of pages and commit runs + urls + lineage
+        under the given internal batch id."""
         spark = batch_df.sparkSession
-        try:
-            seen = (
-                spark.read.parquet(f"{self.workdir}/lineage")
-                .filter(F.col("partition_id") == batch_id)
-                .count()
-            )
-            if seen:
-                return
-        except Exception:
-            pass
         self._check_positions_layout()
         t0 = time.monotonic()
         # latest-wins WITHIN the micro-batch: one source batch can contain
@@ -199,6 +232,12 @@ class IncrementalIndexer:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if "doc_id" in deduped.columns:
+            # identity in the incremental path is xxhash64(url) — a caller-
+            # supplied doc_id would make tombstones miss and latest-wins
+            # unable to collapse recrawls (assign_doc_ids passes a
+            # pre-existing column through)
+            deduped = deduped.drop("doc_id")
         pages = assign_doc_ids(deduped, "hash")
         runs = build_runs(
             pages, text_col=self.text_col, with_positions=self.positions
@@ -264,9 +303,7 @@ class IncrementalIndexer:
         through the batch sink as a synthetic batch (id = max seen + 1, so
         latest-crawl-wins ordering holds) and optionally compact immediately.
         Compaction cost is O(the touched buckets), not O(corpus)."""
-        done = self._done_batches()
-        next_id = (max(done) + 1) if done else 0
-        self._process_batch(pages, next_id)
+        self._ingest_pages(pages, self._next_batch_id())
         return self.compact() if compact_now else None
 
     def delete(self, urls, compact_now: bool = True) -> "Index | None":
@@ -293,8 +330,7 @@ class IncrementalIndexer:
             u = spark.createDataFrame(
                 [(x,) for x in urls], "url string"
             ).distinct()
-        done = self._done_batches()
-        batch_id = (max(done) + 1) if done else 0
+        batch_id = self._next_batch_id()
         t0 = time.monotonic()
         # doc_id derivation MUST match the ingest side (assign_doc_ids
         # "hash"): the tombstone kills exactly the doc the url maps to
@@ -348,17 +384,22 @@ class IncrementalIndexer:
     # -- compaction / query-side --------------------------------------------
 
     def _done_batches(self) -> list[int]:
-        try:
-            rows = (
-                self.spark.read.parquet(f"{self.workdir}/lineage")
-                .filter(F.col("status") == "done")
-                .select("partition_id")
-                .distinct()
-                .collect()
-            )
-            return sorted(int(r["partition_id"]) for r in rows)
-        except Exception:
+        """Committed batch ids, in order. Only a MISSING lineage table means
+        none — any other read failure propagates: treating a transiently
+        unreadable lineage as empty would hand out batch id 0 again and
+        dynamically OVERWRITE the committed batch-0 runs partition."""
+        from webindex.fsutil import path_exists
+
+        if not path_exists(self.spark, f"{self.workdir}/lineage"):
             return []
+        rows = (
+            self.spark.read.parquet(f"{self.workdir}/lineage")
+            .filter(F.col("status") == "done")
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["partition_id"]) for r in rows)
 
     def _read_state(self):
         """Read compaction state; if it persists a BM25Config (round-3+
@@ -463,14 +504,29 @@ class IncrementalIndexer:
             # the ONLY surviving table — restore it (it becomes `old` again
             # two lines down); otherwise it's a superseded duplicate: drop it.
             if not fs.exists(final):
-                fs.rename(old, final)
+                _rename_checked(fs, old, final)
             else:
                 fs.delete(old, True)
         if fs.exists(final):
-            fs.rename(final, old)
-        fs.rename(Path(staging), final)
+            _rename_checked(fs, final, old)
+        _rename_checked(fs, Path(staging), final)
         if fs.exists(old):
             fs.delete(old, True)
+
+    def _recover_term_stats(self) -> None:
+        """Make the crashed-commit recovery in _finish_tables REACHABLE: a
+        crash between rename(term_stats→old) and rename(staging→term_stats)
+        leaves only _term_stats_old, and every incremental compact reads
+        term_stats long before _finish_tables runs — so the restore must
+        happen at compact entry, not inside the next commit."""
+        from webindex.fsutil import path_exists
+
+        out = f"{self.workdir}/index"
+        old_p, final_p = f"{out}/_term_stats_old", f"{out}/term_stats"
+        if path_exists(self.spark, old_p) and not path_exists(self.spark, final_p):
+            fs, jvm = _hadoop_fs(self.spark, out)
+            Path = jvm.org.apache.hadoop.fs.Path
+            _rename_checked(fs, Path(old_p), Path(final_p))
 
     def compact(self, full: bool = False) -> Index:
         """Merge accumulated runs into the block tables. First call (or
@@ -479,11 +535,32 @@ class IncrementalIndexer:
         Returns the refreshed Index. Metrics for the merge (delta rows,
         decoded old rows, touched buckets) are appended to
         <workdir>/compactions."""
+        from webindex.fsutil import path_exists
+
         # the layout check runs for FULL compacts too: full=True skips the
         # state-driven incremental branch but must still not re-encode a
         # committed positional layout as non-positional (or vice versa)
         self._check_positions_layout()
-        state = None if full else self._read_state()
+        self._recover_term_stats()
+        # _read_state runs for FULL compacts too: full=True only skips the
+        # incremental branch — the persisted conf must still be restored so
+        # a full re-shard never silently re-encodes with the constructor's
+        # (default) k1/b/quantize_norms
+        state = self._read_state()
+        if full:
+            state = None
+        pending = f"{self.workdir}/_compact_pending"
+        if state is not None and path_exists(self.spark, pending):
+            # a previous incremental compact crashed between its table swaps
+            # and its state write: the committed tables and the state counts
+            # disagree, and re-running the delta against the already-swapped
+            # doc_stats would double-count removals. The runs history is the
+            # ground truth — rebuild from it.
+            raise RuntimeError(
+                "interrupted incremental compaction detected "
+                f"({pending} exists): run compact(full=True) to rebuild "
+                "tables and stats from the runs history"
+            )
         done = self._done_batches()
         if state is not None and int(state["max_batch"]) >= (max(done) if done else -1):
             return self._load_index(
@@ -582,6 +659,10 @@ class IncrementalIndexer:
             [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
         ).write.mode("overwrite").parquet(f"{out}/corpus_stats")
         self._write_state(max(done) if done else -1, bits, range_width, n_docs, n_docs * avgdl)
+        # a full compact rebuilds every table and stat from the runs history,
+        # so it clears any interrupted-incremental fence (the recovery route
+        # compact() directs to)
+        _hadoop_delete(self.spark, f"{self.workdir}/_compact_pending")
         self._log_compaction(done, "full", delta_rows=-1, old_rows=-1, touched=-1)
         return self._load_index(n_docs, avgdl, range_width)
 
@@ -650,8 +731,10 @@ class IncrementalIndexer:
         # ---- old state for the removed docs: re-crawled (superseded) and
         # tombstoned committed docs leave the corpus counts together
         removal = delta_docs.select("doc_id")
+        n_removal = n_delta
         if dead_ids is not None:
             removal = removal.unionByName(dead_ids)
+            n_removal += dead_ids.count()
         removed = old_doc_stats.join(removal, "doc_id", "semi")
         r = removed.agg(
             F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s")
@@ -673,8 +756,10 @@ class IncrementalIndexer:
         old_rows = decode_postings_to_runs(
             old_blocks, quantize_norms=self.conf.quantize_norms
         ).join(
-            # removal = re-crawled delta docs + tombstoned committed docs
-            F.broadcast(removal) if n_delta < 1_000_000 else removal,
+            # removal = re-crawled delta docs + tombstoned committed docs —
+            # the broadcast guard must count BOTH (delete_by_query can make
+            # dead_ids arbitrarily large with a tiny crawl delta)
+            F.broadcast(removal) if n_removal < 1_000_000 else removal,
             "doc_id",
             "left_anti",
         ).persist()
@@ -736,6 +821,16 @@ class IncrementalIndexer:
             "overwrite"
         ).partitionBy("bucket").parquet(staging)
         old_rows.unpersist()
+        # commit fence: from the first table swap to the state write the
+        # committed tables and the state counts can disagree; a crash inside
+        # this window must be detected (compact() raises and directs to
+        # full=True), never silently re-run — the re-run would count
+        # already-swapped delta docs as removals and corrupt n_docs/sum_dl
+        fence_fs, fence_jvm = _hadoop_fs(spark, self.workdir)
+        fence = fence_jvm.org.apache.hadoop.fs.Path(
+            f"{self.workdir}/_compact_pending"
+        )
+        fence_fs.mkdirs(fence)
         # swap touched dirs; a touched bucket with no output (all its docs
         # re-crawled to empty) gets its stale dir dropped
         _swap_partition_dirs(spark, staging, f"{out}/postings", set(buckets))
@@ -757,7 +852,11 @@ class IncrementalIndexer:
         kept_old.unionByName(delta_stats).withColumn("bucket", bcol).sortWithinPartitions(
             "doc_id"
         ).write.mode("overwrite").partitionBy("bucket").parquet(ds_staging)
-        _swap_partition_dirs(spark, ds_staging, f"{out}/doc_stats", set())
+        # same stale set as the postings swap: a touched bucket whose every
+        # doc was deleted produces no staged doc_stats dir, and keeping the
+        # old dir would leave ghost rows that double-decrement n_docs/sum_dl
+        # on a later removal semi-join
+        _swap_partition_dirs(spark, ds_staging, f"{out}/doc_stats", set(buckets))
 
         # term_stats: recompute from block metadata (tiny scan of the
         # committed table — column pruning never touches the binary columns).
@@ -770,6 +869,7 @@ class IncrementalIndexer:
             [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
         ).write.mode("overwrite").parquet(f"{out}/corpus_stats")
         self._write_state(max(done), bits, range_width, n_docs, sum_dl)
+        fence_fs.delete(fence, True)  # tables and state agree again
         self._log_compaction(
             delta_batches,
             "incremental",
