@@ -254,3 +254,43 @@ def test_load_index_corrupt_sidecar_raises(spark, tmp_path):
     shutil.rmtree(f"{out}/conf")
     idx = load_index(spark, out)
     assert idx.conf.quantize_norms is False
+
+
+def test_dedup_urls_deterministic_without_html(spark):
+    """Review regression: (url, text)-shaped input with tied warc_ts must
+    pick the same winner at ANY partitioning (content-hash tiebreak on the
+    text column, not just html)."""
+    rows = [
+        ("u://a", "alpha beta gamma"),
+        ("u://a", "delta epsilon zeta"),
+        ("u://b", "eta theta"),
+    ]
+    winners = []
+    for parts in (1, 7):
+        pages = spark.createDataFrame(
+            rows, "url string, text string"
+        ).repartition(parts)
+        idx = build_index(
+            spark, pages, text_col="text", doc_id_method="hash",
+            range_width=1 << 18, dedup_urls=True,
+        )
+        winners.append(
+            sorted(
+                (r["doc_id"], r["doc_len"])
+                for r in idx.doc_stats.select("doc_id", "doc_len").collect()
+            )
+        )
+    assert winners[0] == winners[1]
+    assert len(winners[0]) == 2  # one doc per url
+
+
+def test_duplicate_url_without_dedup_fails_loudly(spark):
+    """assign_doc_ids('hash') on duplicate urls silently merges docs — the
+    build must refuse unless dedup_urls handles it."""
+    rows = [("u://a", "one two"), ("u://a", "three four five")]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    with pytest.raises(RuntimeError, match="duplicate url"):
+        build_index(
+            spark, pages, text_col="text", doc_id_method="hash",
+            range_width=1 << 18,
+        )

@@ -268,28 +268,18 @@ def build_doc_stats(pages: DataFrame, runs: DataFrame) -> DataFrame:
     )
 
 
-def corpus_stats_agg(runs: DataFrame) -> tuple[int, float]:
-    """(n_docs, avgdl) from the DOC_MARKER rows — one cheap agg, no join."""
-    row = (
-        runs.filter(F.col("term") == DOC_MARKER)
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a"))
-        .collect()[0]
-    )
-    return int(row["n"]), float(row["a"] or 0.0)
-
-
 def vocab_and_corpus_agg(runs: DataFrame) -> tuple[DataFrame, DataFrame, int, float]:
     """ONE map-side-combined pass over runs yields both the vocabulary
     (term, df) AND the corpus stats: the DOC_MARKER sentinel group's row
     count is n_docs and its doc_len sum is the token total (each doc has
     exactly one marker row carrying its length). Saves a full scan of the
-    (term, doc) pairs vs running corpus_stats_agg and the vocab aggregate
+    (term, doc) pairs vs running a separate corpus-stats agg and vocab aggregate
     separately — at 10^12 docs that pass is minutes of cluster time; the
     extra agg state is one int64 per term.
 
     Returns (vocab_df, persisted_handle — caller unpersists it when done,
     n_docs, avgdl); vocab_df reads from the handle's cache. avgdl arithmetic
-    is bit-identical to corpus_stats_agg's (exact int sum, one float64
+    is bit-identical to a naive count/avg agg's (exact int sum, one float64
     division)."""
     vocab_all = (
         runs.groupBy("term")
@@ -331,26 +321,6 @@ def term_hashes(spark: SparkSession, terms: list[str]) -> dict[str, int]:
         .collect()
     )
     return {r["term"]: int(r["h"]) for r in rows}
-
-
-def build_term_dict(runs: DataFrame, *, check_collisions: bool = True) -> DataFrame:
-    """(term, term_hash) dictionary from the runs vocabulary — a column-pruned
-    scan of the dictionary-encoded `term` parquet column + a vocab-sized
-    distinct, NOT a pass over postings.
-
-    check_collisions raises if two distinct terms share an xxhash64 value
-    (expected ~2.7e-2 PROBABILITY of one collision at 10^9 vocab; a collision
-    would silently merge two terms' postings, so it must be loud — remedy is
-    a wider key, e.g. two independent 64-bit hashes)."""
-    d = (
-        runs.filter(F.col("term") != DOC_MARKER)
-        .select("term")
-        .distinct()
-        .withColumn("term_hash", term_hash_col(F.col("term")))
-    )
-    if check_collisions:
-        assert_no_hash_collisions(d)
-    return d
 
 
 def _attempt_hash_col(term_col, attempt: int) -> F.Column:
@@ -514,6 +484,35 @@ def resolve_term_hashes(
     return term_dict, remap
 
 
+def assert_no_docid_collisions(doc_stats: DataFrame) -> DataFrame:
+    """Raise if any doc_id holds more than one row (one thin agg over the
+    committed doc_stats). Two distinct urls on one id is an xxhash64(url)
+    collision — expected pair count n²/2⁶⁵ ≈ 3e4 at the 10^12-doc design
+    target, each silently merging two documents, so it gets the same
+    loud-failure standard as term hashes (remedy: widen the doc key or
+    assign dense ids). One url twice is a duplicate-input contract breach —
+    pass dedup_urls=True (or dedup upstream)."""
+    dup = (
+        doc_stats.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("url").alias("u"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        if int(dup[0]["u"]) > 1:
+            raise RuntimeError(
+                f"doc_id collision: id {dup[0]['doc_id']} maps more than one "
+                "url (xxhash64(url) collision) — widen the doc key or use "
+                "doc_id_method='dense'"
+            )
+        raise RuntimeError(
+            f"duplicate url in input (doc_id {dup[0]['doc_id']}): pass "
+            "dedup_urls=True or deduplicate re-crawls upstream"
+        )
+    return doc_stats
+
+
 def assert_no_hash_collisions(term_dict: DataFrame) -> DataFrame:
     """Raise if two distinct terms share a term_hash (one vocab-sized agg)."""
     clash = (
@@ -529,28 +528,6 @@ def assert_no_hash_collisions(term_dict: DataFrame) -> DataFrame:
             "widen the term key"
         )
     return term_dict
-
-
-def build_term_stats(
-    runs: DataFrame,
-    n_docs: int,
-    *,
-    hash_remap: dict[str, int] | None = None,
-    hash_primary_fn=None,
-) -> DataFrame:
-    """term_stats(term, term_hash, df, idf) from runs: one row per
-    (term, doc) => df = count(*), with map-side partial aggregation.
-    hash_remap/hash_primary_fn mirror build_postings — the stats table and
-    the blocks must agree on every term's key."""
-    return _with_idf(
-        runs.filter(F.col("term") != DOC_MARKER)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "term_hash", term_hash_expr(F.col("term"), hash_remap, hash_primary_fn)
-        ),
-        n_docs,
-    )
 
 
 def term_stats_from_postings(
@@ -632,7 +609,7 @@ def build_postings(
     cross the wire as 5 fixed-width numerics (~25% smaller than with an
     avg-8-char term, and the dominant build shuffle is exactly these rows);
     term_hash = xxhash64(term) with the (term, term_hash) dictionary kept in
-    term_stats (build_term_dict checks for collisions). Within each group we
+    term_stats (assert_no_hash_collisions guards the dictionary). Within each group we
     sort by doc_id (Spark's shuffle is the external sort-merge of SPIMI runs;
     the in-group sort is numpy) and emit delta+varint blocks with per-block
     max_impact for block-max WAND.
@@ -798,11 +775,17 @@ def build_index(
     if dedup_urls:
         from pyspark.sql import Window
 
+        # tiebreak on the CONTENT column actually present (not just html):
+        # without it the winner among equal-warc_ts re-crawls is partition-
+        # layout-dependent, breaking the byte-identical-at-any-parallelism
+        # invariant for (url, text)-shaped inputs
         order = [F.asc("url")]
         if "warc_ts" in pages.columns:
             order.insert(0, F.desc_nulls_last("warc_ts"))
-        if "html" in pages.columns:
-            order.append(F.asc(F.xxhash64("html")))
+        for content in ("html", text_col):
+            if content in pages.columns:
+                order.append(F.asc(F.xxhash64(content)))
+                break
         w = Window.partitionBy("url").orderBy(*order)
         pages = (
             pages.withColumn("_rn", F.row_number().over(w))
@@ -869,6 +852,12 @@ def build_index(
         write_table(term_stats, f"{out_dir}/term_stats", sort_cols=["term"])
         assert_no_hash_collisions(read_table(spark, f"{out_dir}/term_stats"))
         write_table(doc_stats, f"{out_dir}/doc_stats", sort_cols=["doc_id"])
+        # derive everything below from the COMMITTED table: re-using the
+        # in-memory plan would re-execute the whole pages+runs join per
+        # consumer; the read-back is a thin columnar scan
+        doc_stats = assert_no_docid_collisions(
+            read_table(spark, f"{out_dir}/doc_stats")
+        )
         # url-keyed reverse-lookup projection: doc_stats is doc_id-sorted
         # (point lookups by id prune to one file), so a url probe would scan
         # everything. This thin (url, doc_id) projection is partitioned by
@@ -900,7 +889,6 @@ def build_index(
             f"{out_dir}/conf",
         )
         term_stats = read_table(spark, f"{out_dir}/term_stats")
-        doc_stats = read_table(spark, f"{out_dir}/doc_stats")
         _vocab_handle.unpersist()
     else:
         # materialize the index once — queries must never re-run the build
@@ -909,7 +897,7 @@ def build_index(
         term_stats = assert_no_hash_collisions(term_stats.persist())
         doc_stats = doc_stats.persist()
         term_stats.count()
-        doc_stats.count()
+        assert_no_docid_collisions(doc_stats)
         _vocab_handle.unpersist()
         if runs_persist:
             runs.unpersist()
@@ -930,17 +918,24 @@ def _url_index_or_none(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """The url_index projection if this index has one (indexes written
     before round 4 don't — lookup_url then falls back to doc_stats)."""
     from webindex.io import read_table, table_format
-    from webindex.fsutil import hadoop_fs
+    from webindex.fsutil import path_exists
 
     if table_format() == "parquet":
-        fs, jvm = hadoop_fs(spark, out_dir)
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{out_dir}/url_index")):
+        if not path_exists(spark, f"{out_dir}/url_index"):
             return None
         return read_table(spark, f"{out_dir}/url_index")
+    # iceberg: the absence check IS the read — catch ONLY table-not-found
+    # (a transient catalog/auth failure must propagate, not silently
+    # degrade every lookup_url to a full doc_stats scan)
+    from pyspark.errors import AnalysisException
+
     try:
         return read_table(spark, f"{out_dir}/url_index")
-    except Exception:
-        return None
+    except AnalysisException as e:
+        klass = getattr(e, "getErrorClass", lambda: None)() or ""
+        if "TABLE_OR_VIEW_NOT_FOUND" in klass or "cannot be found" in str(e):
+            return None
+        raise
 
 
 def load_index(
@@ -954,7 +949,6 @@ def load_index(
     into the encoded blocks, so querying with anything else would silently
     mis-score. Pre-sidecar indexes fall back to the conf argument."""
     from webindex.io import read_table, table_format
-    from webindex.fsutil import hadoop_fs
 
     range_width = DEFAULT_RANGE_WIDTH
     # Fall back to the caller's conf ONLY when the sidecar is genuinely
@@ -965,8 +959,9 @@ def load_index(
     sidecar_exists = True
     sidecar_rows = None
     if table_format() == "parquet":
-        fs, jvm = hadoop_fs(spark, out_dir)
-        sidecar_exists = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{out_dir}/conf"))
+        from webindex.fsutil import path_exists
+
+        sidecar_exists = path_exists(spark, f"{out_dir}/conf")
     elif table_format() == "iceberg":
         # the absence check for a catalog table IS the read: catch only the
         # table-not-found AnalysisException so a genuinely absent conf table
