@@ -309,7 +309,9 @@ def test_explain_doc_contribs_sum_to_score(idx, corpus, oracle):
     rows = explain_doc(idx, QUERY, doc).collect()
     assert rows  # the doc matches at least one term
     assert [r["term"] for r in rows] == sorted(r["term"] for r in rows)
-    assert sum(r["contrib"] for r in rows) == pytest.approx(scores[doc], abs=1e-9)
+    # BITWISE: contribs are idf*(tf/denom) summed in term-asc order — the
+    # exact float64 terms and order the scoring path uses
+    assert sum(r["contrib"] for r in rows) == scores[doc]
     toks = tokenize(corpus["text"][doc])
     for r in rows:
         assert r["tf"] == toks.count(r["term"])

@@ -95,10 +95,11 @@ class OracleIndex:
         return ranked[:k]
 
     def topk_prefix(
-        self, prefix: str, k: int, max_expansions: int | None = None
+        self, prefix: str, k: int, max_expansions: int | None = 1024
     ) -> list[tuple[int, float]]:
         """Constant-score prefix query: docs containing any term starting
-        with `prefix` score 1.0, order doc_id asc. Mirrors query.topk_prefix."""
+        with `prefix` score 1.0, order doc_id asc. Mirrors query.topk_prefix
+        (default cap = query.MAX_CLAUSE_COUNT)."""
         terms = [t for t in self.postings if t.startswith(prefix)]
         if max_expansions is not None:
             terms = sorted(terms, key=lambda t: (-self.df(t), t))[:max_expansions]
@@ -106,13 +107,22 @@ class OracleIndex:
         return [(d, 1.0) for d in docs[:k]]
 
     def topk_wildcard(
-        self, pattern: str, k: int, max_expansions: int | None = None
+        self, pattern: str, k: int, max_expansions: int | None = 1024
     ) -> list[tuple[int, float]]:
-        """Constant-score wildcard (*/? over the whole term). Mirrors
-        webindex.query.topk_wildcard."""
-        import fnmatch
+        """Constant-score wildcard: ONLY * and ? are wild (the engine maps
+        the pattern 1:1 onto SQL LIKE, so brackets etc. are literal — NOT
+        fnmatch character classes). Mirrors webindex.query.topk_wildcard
+        (default cap = query.MAX_CLAUSE_COUNT)."""
+        import re
 
-        terms = [t for t in self.postings if fnmatch.fnmatchcase(t, pattern)]
+        rx = re.compile(
+            "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                for ch in pattern
+            )
+            + r"\Z"
+        )
+        terms = [t for t in self.postings if rx.match(t)]
         if max_expansions is not None:
             terms = sorted(terms, key=lambda t: (-self.df(t), t))[:max_expansions]
         docs = sorted({d for t in terms for d, _ in self.postings[t]})
@@ -225,6 +235,13 @@ class OracleIndex:
         only filter clauses score 0.0. Mirrors webindex.query.topk_bool."""
         must_t, should_t = set(tokenize(must)), set(tokenize(should))
         not_t, filt_t = set(tokenize(must_not)), set(tokenize(filter_))
+        if not_t and not (must_t | should_t | filt_t):
+            # must_not-only = ES pure filter context: match_all minus the
+            # excluded docs, score 0.0 (mirrors query.topk_bool)
+            excl = {
+                d for d, toks in self._toks.items() if set(toks) & not_t
+            }
+            return [(d, 0.0) for d in sorted(self._toks) if d not in excl][:k]
         if (must_t | filt_t) & not_t:
             return []
         should_t -= not_t

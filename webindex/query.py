@@ -648,16 +648,15 @@ def topk_bool(
     present_scored = sorted(t for t in scored if t in stats)
     if not required and not present_scored:
         return spark.createDataFrame([], _HIT)
-    present = {t: stats[t] for t in stats}
     # scored terms first in term-ascending order (the summation order the
     # oracle uses); the remaining (filter-only / excluded) terms after, in
     # term order for stability
-    rest = sorted(t for t in present if t not in present_scored)
-    term_rank = {present[t][2]: i for i, t in enumerate(present_scored + rest)}
-    idf_map = {present[t][2]: present[t][1] for t in present_scored}
+    rest = sorted(t for t in stats if t not in present_scored)
+    term_rank = {stats[t][2]: i for i, t in enumerate(present_scored + rest)}
+    idf_map = {stats[t][2]: stats[t][1] for t in present_scored}
     roles = {
-        present[t][2]: (t in required, t in present_scored, t in not_t, t in present_should)
-        for t in present
+        stats[t][2]: (t in required, t in present_scored, t in not_t, t in present_should)
+        for t in stats
     }
     blocks = index.postings.filter(F.col("term_hash").isin(list(roles)))
     hits = blocks.groupBy("bucket").applyInPandas(
@@ -1991,10 +1990,6 @@ def suggest_terms(
     `levenshtein(l, r, threshold)` form, which early-exits the DP row scan
     past the band. Output (input, suggestion, distance, df), ordered
     (input, distance, df desc, suggestion)."""
-    from pyspark.sql import Window
-
-    from webindex.textproc import tokenize
-
     spark = index.term_stats.sparkSession
     toks = sorted(set(tokenize(text)))
     out_schema = "input string, suggestion string, distance int, df long"
@@ -2082,7 +2077,10 @@ def explain_doc(index: Index, query: str, doc_id: int) -> DataFrame:
                     continue
                 tf, dl = int(tfs[pos]), float(dls[pos])
                 idf = idf_map[int(th)]
-                contrib = idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                # idf * (tf/denom), NOT (idf*tf)/denom: float64 is not
+                # associative and the scoring path computes idf * impact —
+                # this keeps sum(contrib) bitwise equal to the topk score
+                contrib = idf * (tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
                 rows["term"].append(term_of[int(th)])
                 rows["tf"].append(tf)
                 rows["doc_len"].append(int(dl))
@@ -2202,8 +2200,6 @@ def topk_collapse(
     One window rank over the group-keyed shuffle (WindowGroupLimit pushes
     the rank<=1 filter map-side), then the global TakeOrdered — the
     collapse never materializes more than each group's frontier."""
-    from pyspark.sql import Window
-
     from webindex.aggs import match_scores
 
     scores = match_scores(index, query)
@@ -2315,11 +2311,9 @@ def topk_rescore(
             ),
             schema=_HIT,
         )
-        idset = set(ids.tolist())
         ph = {
             r["doc_id"]: r["score"]
             for r in local.filter(F.col("doc_id").isin(ids.tolist())).collect()
-            if r["doc_id"] in idset
         }
     qw, rw = float(query_weight), float(rescore_weight)
     rescored = sorted(
@@ -2635,7 +2629,8 @@ def topk_cross_fields(
 
 
 def topk_match_bool_prefix(
-    index: Index, query: str, k: int = 10, max_expansions: int | None = None
+    index: Index, query: str, k: int = 10,
+    max_expansions: int | None = MAX_CLAUSE_COUNT,
 ) -> DataFrame:
     """ES `match_bool_prefix`: the analyzed terms become a bool query of
     should clauses — every term but the LAST is a scored term query, the
