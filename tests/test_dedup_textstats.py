@@ -214,3 +214,55 @@ def test_multimodal_real_bmp_decode(spark):
             float(13 * i % 256),
             float(29 * i % 256),
         ), i
+
+
+def test_edge_hardening_nulls_and_degenerate_inputs(spark):
+    """Round-4 review edges: zero-norm / NULL embeddings in near-dup LSH,
+    radius-0 simhash blocking, NULL text quality, NULL media payloads, and
+    sub-shingle docs excluded from LSH banding."""
+    from webindex.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_near_pairs,
+    )
+    from webindex.multimodal import image_channel_stats
+    from webindex.simsearch import all_pairs_above
+    from webindex.textstats import quality_score
+
+    # zero-norm + NULL embeddings: no crash, no bogus pairs
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0]), (4, None)],
+        "vec_id long, embedding array<double>",
+    )
+    assert all_pairs_above(emb, 0.5).collect() == []
+
+    # max_hamming=0: exact-fingerprint blocking works (width-64 chunk)
+    fps = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 9)], "doc_id long, simhash long"
+    )
+    got = [(r["a"], r["b"]) for r in simhash_near_pairs(fps, 0).collect()]
+    assert got == [(1, 2)]
+
+    # NULL text scores as an empty doc, never as maximal length
+    q = quality_score(
+        spark.createDataFrame([(1, None), (2, "real text here")],
+                              "doc_id long, text string")
+    ).collect()
+    null_row = next(r for r in q if r["doc_id"] == 1)
+    assert null_row["n_tokens"] == 0 and null_row["len_score"] == 0.0
+    assert null_row["quality"] is not None
+
+    # NULL payload rows are skipped, not crashed on
+    m = spark.createDataFrame(
+        [(1, "image", None, None)],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    assert image_channel_stats(m).collect() == []
+
+    # sub-shingle docs (all-NULL signatures) never flood LSH buckets
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "three four"), (3, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, n_hashes=4, shingle=3)
+    assert lsh_candidate_pairs(sigs, n_bands=2, max_bucket=100).collect() == []

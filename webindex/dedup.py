@@ -103,7 +103,14 @@ def lsh_candidate_pairs(
 
     Skew guard: buckets larger than max_bucket are dropped (they would create
     O(size^2) pairs; at web scale those are boilerplate clusters handled by
-    exact_dedup first)."""
+    exact_dedup first).
+
+    Sub-shingle docs (fewer tokens than the shingle width) have all-NULL
+    signatures — concat_ws drops NULLs, so without a guard every such doc
+    would share the md5('') bucket in every band, flooding candidates with
+    content-free pairs. They carry no shingle signal and are excluded here;
+    tiny docs are exact_dedup's domain."""
+    sigs = sigs.filter(F.col("sig")[0].isNotNull())
     rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
     bands = sigs.select(
         "doc_id",
@@ -248,7 +255,12 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
         "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                # width=64 (max_hamming=0: one full-word chunk) has no mask —
+                # (1<<64)-1 overflows a LongType literal; the unsigned shift
+                # by 0 already yields the whole word
+                F.shiftrightunsigned(F.col("simhash"), off)
+                if width == 64
+                else F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
                     F.lit((1 << width) - 1)
                 )
                 for off, width in layout

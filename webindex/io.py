@@ -56,8 +56,13 @@ def write_table(
     """Write an index table with the engine's layout guarantees.
 
     dest is a filesystem path for parquet, a catalog table name for iceberg.
-    sort_cols: clustering for row-group/file pruning (parquet:
-    sortWithinPartitions; iceberg: WRITE ORDERED BY via sortedBy)."""
+    sort_cols: clustering for row-group/file pruning. Both formats get it
+    per-write via sortWithinPartitions (this write's files are clustered);
+    the DataFrameWriterV2 API cannot register a TABLE-level sort order, so
+    on iceberg run `ALTER TABLE <dest> WRITE ORDERED BY (<sort_cols>)` once
+    after creation to make the clustering binding for OTHER writers and
+    compactions too — without it only writes through this function are
+    clustered."""
     fmt = fmt or table_format()
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)

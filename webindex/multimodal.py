@@ -199,6 +199,8 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, ws, hs, rs, gs, bs = [], [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # MEDIA_SCHEMA allows NULL payloads: no pixels
                 img = decode_image(bytes(payload))
                 m = img.astype(np.float64).mean(axis=(0, 1))
                 ids.append(mid)

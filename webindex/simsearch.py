@@ -143,6 +143,10 @@ def all_pairs_above(
     thresholds need many narrow bands. max_bucket drops degenerate buckets
     (skew guard, same trade as lsh_candidate_pairs — disabled by default so
     small exact comparisons stay exact)."""
+    # NULL embeddings carry no signal and would crash the banding UDF's
+    # np.stack; drop them up front (the brute-force oracle path scores them
+    # cos=0, below any useful threshold — same verdict, no crash)
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     first = vectors.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"]) if first else 0
     planes_arr = hyperplanes(dim, n_planes * n_bands, seed)
@@ -165,7 +169,14 @@ def all_pairs_above(
     # the dedup shuffle then carries only (a, b, cos) — 24 bytes — instead of
     # two full embedding vectors per candidate row. cos is a pure function of
     # (a, b), so dropDuplicates stays deterministic.
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    # zero-norm guard: under Spark 4's default ANSI mode 0/0 is a hard
+    # DIVIDE_BY_ZERO error, and sign-LSH puts ALL zero vectors in one
+    # bucket (0 >= 0 sets every bit), so padding vectors would abort the
+    # job; define their cosine as 0 like cosine_topk_bruteforce does
+    na, nb = _norm(F.col("va")), _norm(F.col("vb"))
+    cos = F.when(
+        (na > 0) & (nb > 0), _dot(F.col("va"), F.col("vb")) / (na * nb)
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))

@@ -53,6 +53,11 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
       alpha_ratio    alnum chars / all chars
       stopword_ratio EN stopword fraction (prose-likeness signal)
     score = 0.4*len + 0.3*diversity + 0.2*alpha + 0.1*min(1, 5*stopword)."""
+    # NULL text = empty document, not "maximally long": F.least skips NULL
+    # operands, so an unguarded NULL/100 would give len_score 1.0 and NULL
+    # n_tokens/quality
+    docs = docs.withColumn("__qs_text", F.coalesce(F.col(text_col), F.lit("")))
+    text_col = "__qs_text"
     toks = tokens_col(text_col)
     n = F.size(toks).cast("double")
     uniq = F.size(F.array_distinct(toks)).cast("double")
