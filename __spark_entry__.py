@@ -1349,57 +1349,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return bidirectional_edges(edges)
 
+    # Registry ordering is deliberate: the driver's correctness gate samples
+    # the FIRST 50 keys, so entries with the least cumulative driver evidence
+    # come first. Tier 1 = never driver-checked before round 5; tier 2 =
+    # green in r1-r3 but not re-run in r4; tier 3 = r4-green core re-confirm;
+    # tier 4 = remaining r4-green entries.
     return {
-        "doc_stats": doc_stats,
-        "term_stats": term_stats,
-        "postings_tf": postings_tf,
-        "corpus_stats": corpus_stats,
-        "bm25_topk": bm25_topk,
-        "bm25_topk_hot": bm25_topk_hot,
-        "bm25_topk_rare": bm25_topk_rare,
-        "bm25_match_and": bm25_match_and,
-        "bm25_match_msm": bm25_match_msm,
-        "bm25_bool": bm25_bool,
-        "agg_terms_lang": agg_terms_lang,
-        "agg_hist_nchars": agg_hist_nchars,
-        "agg_stats": agg_stats,
-        "agg_extended_stats": agg_extended_stats,
-        "agg_percentiles": agg_percentiles,
-        "agg_cardinality": agg_cardinality,
-        "agg_range": agg_range,
-        "agg_date_histogram": agg_date_histogram,
-        "agg_composite": agg_composite,
-        "agg_top_hits": agg_top_hits,
-        "agg_significant_sampled": agg_significant_sampled,
-        "bm25_function_score": bm25_function_score,
-        "search_sort_nchars": search_sort_nchars,
-        "suggest_spell": suggest_spell,
-        "count_matches": count_matches_q,
-        "bm25_boosting": bm25_boosting,
-        "bm25_dismax": bm25_dismax,
-        "bm25_collapse": bm25_collapse,
-        "bm25_synonyms": bm25_synonyms,
-        "bm25_rescore": bm25_rescore,
-        "bm25_sqs": bm25_sqs,
-        "explain_score": explain_score,
-        "complete_prefix": complete_prefix,
-        "agg_significant_terms": agg_significant_terms,
-        "bm25_highlight": bm25_highlight,
-        "bm25_search_after": bm25_search_after,
-        "bm25_prefix": bm25_prefix,
-        "bm25_fuzzy": bm25_fuzzy,
-        "bm25_phrase_prefix": bm25_phrase_prefix,
-        "bm25_more_like_this": bm25_more_like_this,
-        "ids_lookup": ids_lookup,
-        "wildcard_match": wildcard_match,
-        "bm25_phrase": bm25_phrase,
-        "bm25_phrase_slop": bm25_phrase_slop,
-        "bm25_phrase_batch": bm25_phrase_batch,
-        "time_range_agg": time_range_agg,
-        "dedup_merge": dedup_merge,
-        "argmax_largest_doc": argmax_largest_doc,
-        "lookup_join": lookup_join,
-        "union_categories": union_categories,
+        # -- tier 1: first driver check happens this round --
+        "bm25_most_fields": bm25_most_fields,
+        "bm25_cross_fields": bm25_cross_fields,
+        "bm25_match_bool_prefix": bm25_match_bool_prefix,
+        "rrf_hybrid": rrf_hybrid_search,
+        "knn_filtered": knn_filtered,
+        "multimodal_bmp_stats": multimodal_bmp_stats,
+        # -- tier 2: green in r1-r3, not re-run in r4 --
         "coalesce_fallback": coalesce_fallback,
         "embedding_neardup": q_embedding_neardup,
         "exact_dedup": q_exact_dedup,
@@ -1422,15 +1385,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bidir_edges": bidir_edges,
         "bm25_topk_batch": bm25_topk_batch,
         "bm25_best_fields": bm25_best_fields,
-        "bm25_most_fields": bm25_most_fields,
-        "bm25_cross_fields": bm25_cross_fields,
-        "bm25_match_bool_prefix": bm25_match_bool_prefix,
-        "rrf_hybrid": rrf_hybrid_search,
-        "knn_filtered": knn_filtered,
         "spdx_resolve": spdx_resolve_q,
         "map_record_flatten": map_record_flatten,
         "multimodal_features": multimodal_features,
-        "multimodal_bmp_stats": multimodal_bmp_stats,
+        # -- tier 3: r4-green core, re-confirmed every round --
+        "doc_stats": doc_stats,
+        "term_stats": term_stats,
+        "postings_tf": postings_tf,
+        "corpus_stats": corpus_stats,
+        "bm25_topk": bm25_topk,
+        "bm25_bool": bm25_bool,
+        "bm25_phrase": bm25_phrase,
+        "bm25_phrase_slop": bm25_phrase_slop,
+        "agg_terms_lang": agg_terms_lang,
+        "agg_composite": agg_composite,
+        "bm25_function_score": bm25_function_score,
+        "bm25_rescore": bm25_rescore,
+        "bm25_synonyms": bm25_synonyms,
+        "bm25_fuzzy": bm25_fuzzy,
+        "bm25_highlight": bm25_highlight,
+        "bm25_search_after": bm25_search_after,
+        "bm25_collapse": bm25_collapse,
+        "agg_significant_terms": agg_significant_terms,
+        "time_range_agg": time_range_agg,
+        # -- tier 4: remaining r4-green entries --
+        "bm25_topk_hot": bm25_topk_hot,
+        "bm25_topk_rare": bm25_topk_rare,
+        "bm25_match_and": bm25_match_and,
+        "bm25_match_msm": bm25_match_msm,
+        "agg_hist_nchars": agg_hist_nchars,
+        "agg_stats": agg_stats,
+        "agg_extended_stats": agg_extended_stats,
+        "agg_percentiles": agg_percentiles,
+        "agg_cardinality": agg_cardinality,
+        "agg_range": agg_range,
+        "agg_date_histogram": agg_date_histogram,
+        "agg_top_hits": agg_top_hits,
+        "agg_significant_sampled": agg_significant_sampled,
+        "search_sort_nchars": search_sort_nchars,
+        "suggest_spell": suggest_spell,
+        "count_matches": count_matches_q,
+        "bm25_boosting": bm25_boosting,
+        "bm25_dismax": bm25_dismax,
+        "bm25_sqs": bm25_sqs,
+        "explain_score": explain_score,
+        "complete_prefix": complete_prefix,
+        "bm25_prefix": bm25_prefix,
+        "bm25_phrase_prefix": bm25_phrase_prefix,
+        "bm25_more_like_this": bm25_more_like_this,
+        "ids_lookup": ids_lookup,
+        "wildcard_match": wildcard_match,
+        "bm25_phrase_batch": bm25_phrase_batch,
+        "dedup_merge": dedup_merge,
+        "argmax_largest_doc": argmax_largest_doc,
+        "lookup_join": lookup_join,
+        "union_categories": union_categories,
     }
 
 
