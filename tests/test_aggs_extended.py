@@ -114,6 +114,14 @@ def test_percentiles_agg(idx, stored, corpus):
     for p in (1.0, 25.0, 50.0, 75.0, 99.0):
         # numpy's default interpolation is the same linear rule
         assert got[p] == pytest.approx(np.percentile(v, p), abs=1e-3)
+    # the 100 TB path: quantile sketch, map-side combined; close at this scale
+    approx = {
+        r["percent"]: r["value"]
+        for r in percentiles_agg(idx, stored, QUERY, "n_chars", exact=False).collect()
+    }
+    for p in (25.0, 50.0, 75.0):
+        ref = np.percentile(v, p)
+        assert abs(approx[p] - ref) <= max(2.0, 0.05 * abs(ref))
 
 
 def test_cardinality_exact_and_hll(idx, stored, corpus):
@@ -506,3 +514,95 @@ def test_rescore_requires_positions(idx):
 
     with pytest.raises(ValueError, match="positional"):
         topk_rescore(idx, "data", "data merge", window=20, k=5)
+
+
+def test_function_score_per_bucket_extrema_prunes_skewed(spark):
+    """Round-5 per-bucket extrema sidecar: on a heavy-tailed boost field one
+    global extremum makes θ nearly useless (M is set by the hottest doc).
+    With per-bucket bounds the cold buckets must decode strictly fewer
+    blocks than under the global bound, and the pruned result must stay
+    byte-identical to the exhaustive path."""
+    import math
+
+    import pandas as pd
+
+    from webindex.query import (
+        _maps_of,
+        _query_terms,
+        _score_bucket_fn,
+        field_extrema,
+        topk_function_score,
+        topk_wand,
+    )
+
+    n = 256
+    texts, boost = {}, {}
+    for i in range(n):
+        texts[i] = "aa " + " ".join(f"w{(i * 7 + j) % 29}" for j in range(40))
+        # skew: only the first doc-range bucket (dense ids, range_width=32)
+        # carries huge boosts; everywhere else the field is ~1
+        boost[i] = 1_000_000 + i if i < 32 else 1 + (i % 3)
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "url": [f"u{i}" for i in texts],
+         "text": list(texts.values()), "pop": [boost[i] for i in texts]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    idx = build_index(
+        spark, sdf, text_col="text", doc_id_method="provided",
+        range_width=32, conf=BM25Config(block_size=8),
+    )
+    assert idx.id_space == "dense"
+    stored = sdf.select("doc_id", "pop")
+
+    got_pruned = [
+        (r["doc_id"], r["score"])
+        for r in topk_function_score(idx, stored, "aa", "pop", k=5).collect()
+    ]
+    got_exh = [
+        (r["doc_id"], r["score"])
+        for r in topk_function_score(
+            idx, stored, "aa", "pop", k=5, pruned=False
+        ).collect()
+    ]
+    assert got_pruned == got_exh and len(got_pruned) == 5
+
+    # decode-count comparison, global θ vs per-bucket θ_b, through the same
+    # bucket scorer the production path uses (probe runs driver-side)
+    stats = _query_terms(idx, "aa")
+    idf_map, term_rank = _maps_of(stats)
+    seed = sorted(
+        (
+            (r["score"] * math.log1p(float(boost[r["doc_id"]])), r["doc_id"])
+            for r in topk_wand(idx, "aa", 5).collect()
+        ),
+        key=lambda kv: (-kv[0], kv[1]),
+    )[:5]
+    theta_fs = seed[-1][0]
+    ext = {
+        int(r["bucket"]): float(r["mx"])
+        for r in field_extrema(idx, stored, "pop").collect()
+    }
+    rows = idx.postings.filter(F.col("term_hash").isin(list(idf_map))).toPandas()
+
+    def decoded(theta_global: float, per_bucket: bool) -> int:
+        probe = {}
+        fn = _score_bucket_fn(
+            idf_map, term_rank, idx.conf, idx.avgdl, None, theta_global,
+            _probe=probe,
+        )
+        for b, grp in rows.groupby("bucket"):
+            grp = grp.reset_index(drop=True)
+            if per_bucket:
+                mb = math.log1p(ext[int(b)])
+                tb = (theta_fs / mb) * (1 - 1e-15) if mb > 0 else float("inf")
+                grp = grp.assign(_theta_b=tb)
+            fn(grp)
+        return probe.get("blocks_decoded", 0)
+
+    big_m = math.log1p(float(max(boost.values())))
+    theta_global = float(np.nextafter(theta_fs / big_m, 0.0))
+    d_global = decoded(theta_global, per_bucket=False)
+    d_bucket = decoded(theta_global, per_bucket=True)
+    assert d_bucket < d_global, (d_bucket, d_global)
+    # the cold buckets carry ~7/8 of the corpus; most of their decodes go
+    assert d_bucket <= d_global // 2, (d_bucket, d_global)

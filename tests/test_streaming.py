@@ -289,3 +289,48 @@ def test_positions_layout_mismatch_fails_loudly(spark, tmp_path):
     again = IncrementalIndexer(spark, workdir, text_col="html")
     idx = again.upsert(spark.createDataFrame(pdf.iloc[20:]), compact_now=True)
     assert idx.n_docs == 30
+
+
+def test_checkpoint_reset_does_not_skip_recycled_epochs(spark, tmp_path):
+    """ADVICE round-4: _epoch_map is keyed by the checkpoint's query id, so
+    resetting/relocating the engine checkpoint (epochs recycle from 0) must
+    NOT skip the new stream's first micro-batches as redeliveries."""
+    import shutil
+
+    pdf = make_pages_pdf(0, 40)
+    src = str(tmp_path / "src_ck")
+    spark.createDataFrame(pdf.iloc[:20]).coalesce(1).write.mode("append").parquet(src)
+
+    workdir = str(tmp_path / "inc_ck")
+    indexer = IncrementalIndexer(spark, workdir, text_col="html")
+    indexer.start(src).awaitTermination(120)
+    assert indexer.compact().n_docs == 20
+
+    # reset the engine checkpoint: a fresh stream re-reads the source from
+    # scratch and its epochs recycle from 0 under a NEW query id
+    shutil.rmtree(f"{workdir}/_stream_ckpt")
+    spark.createDataFrame(pdf.iloc[20:]).coalesce(1).write.mode("append").parquet(src)
+    indexer2 = IncrementalIndexer.open(spark, workdir, text_col="html")
+    indexer2.start(src).awaitTermination(120)
+    idx = indexer2.compact()
+    # every page ingested exactly once (the re-read of the first 20 collapses
+    # via latest-crawl-wins; the new 20 must NOT be dropped as redeliveries)
+    assert idx.n_docs == 40
+
+
+def test_synthetic_events_fenced_while_stream_active(spark, tmp_path):
+    """upsert/delete must refuse to race an active stream's batch-id
+    allocation (single-writer fence)."""
+    workdir = str(tmp_path / "inc_fence")
+    indexer = IncrementalIndexer(spark, workdir, text_col="html")
+
+    class _FakeQuery:
+        @property
+        def isActive(self):
+            return True
+
+    indexer._active_query = _FakeQuery()
+    with pytest.raises(RuntimeError, match="batch-id"):
+        indexer.upsert(spark.createDataFrame(make_pages_pdf(0, 2)))
+    with pytest.raises(RuntimeError, match="batch-id"):
+        indexer.delete(["https://x.example/1"])

@@ -123,3 +123,36 @@ def test_full_compact_restores_persisted_conf(spark, tmp_path):
     assert opened.conf.k1 == 0.5 and opened.conf.b == 0.3
     after = [(r["doc_id"], round(r["score"], 9)) for r in topk(idx1, "data", 5).collect()]
     assert after == before
+
+
+def test_finish_tables_crash_window_recovers(spark, tmp_path):
+    """Crash injection for the _finish_tables commit window (round-4 verdict
+    item): a crash between rename(term_stats -> _term_stats_old) and
+    rename(staging -> term_stats) leaves _term_stats_old as the ONLY
+    surviving table. The next compact (via _recover_term_stats at entry)
+    must restore it and proceed without manual intervention."""
+    import shutil
+
+    wd = str(tmp_path / "wd")
+    ing = IncrementalIndexer(spark, wd, text_col="text")
+    ing.upsert(_pages(spark, 0, 12), compact_now=False)
+    idx0 = ing.compact()
+    baseline = [
+        (r["doc_id"], round(r["score"], 9)) for r in topk(idx0, "data", 5).collect()
+    ]
+    # simulate the exact post-crash FS state: old renamed aside, final
+    # missing, staging (the half-committed new table) left behind
+    out = f"{wd}/index"
+    shutil.move(f"{out}/term_stats", f"{out}/_term_stats_old")
+    shutil.copytree(f"{out}/_term_stats_old", f"{out}/_term_stats_staging")
+    reopened = IncrementalIndexer.open(spark, wd, text_col="text")
+    idx1 = reopened.compact()  # no-op delta; must restore term_stats first
+    after = [
+        (r["doc_id"], round(r["score"], 9)) for r in topk(idx1, "data", 5).collect()
+    ]
+    assert after == baseline
+    # and a further incremental ingest + compact over the recovered table works
+    reopened.upsert(_pages(spark, 12, 18), compact_now=False)
+    idx2 = reopened.compact()
+    assert idx2.n_docs == 18
+    assert len(topk(idx2, "data", 5).collect()) == 5

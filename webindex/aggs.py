@@ -115,6 +115,7 @@ def significant_terms(
     spark = index.postings.sparkSession
     qn = index.conf.quantize_norms
     sample_arr = None
+    fg_ids = None
     if sample is not None:
         top = (
             match_scores(index, query, msm)
@@ -132,6 +133,8 @@ def significant_terms(
         fg_ids = matching_doc_ids(index, query, msm).persist()
         fg_size = fg_ids.count()
     if fg_size == 0:
+        if fg_ids is not None:
+            fg_ids.unpersist()
         return spark.createDataFrame(
             [], "term string, fg_count long, score double"
         )
@@ -224,11 +227,21 @@ def significant_terms(
             (F.col("fgp") - F.col("bgp")) * (F.col("fgp") / F.col("bgp")),
         )
     )
-    return (
+    out = (
         scored.select("term", "fg_count", "score")
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(size)
     )
+    if fg_ids is None:
+        return out
+    # unsampled path: the persisted foreground set is referenced by the lazy
+    # plan above, so an early unpersist would make the semi-join re-run the
+    # whole pruned match scan. The result is <= size rows by construction —
+    # materialize it here, release the cache, and hand back a local frame
+    # (otherwise every call leaks executor storage for the session lifetime).
+    rows = out.collect()
+    fg_ids.unpersist()
+    return spark.createDataFrame(rows, "term string, fg_count long, score double")
 
 
 def terms_agg(
@@ -358,23 +371,25 @@ def percentiles_agg(
     field: str,
     percents: list[float] | None = None,
     msm: int = 1,
+    exact: bool = True,
 ) -> DataFrame:
     """ES `percentiles` aggregation: one row per requested percent with the
-    linearly-interpolated value (exact — the semantics ES's t-digest
+    linearly-interpolated value (exact=True — the semantics ES's t-digest
     approximates; at driver-test scale exact and t-digest agree, and exact
     is what a SQL oracle can verify). Output (percent, value), percent asc.
 
     Scale: Spark's exact `percentile` needs the field's values for the
     matching set on one reducer per group — fine for a single global row
-    even at 100 TB match sets ONLY if the match set fits; the documented
-    scale path is `approx_percentile` (t-digest-style sketch, map-side
-    combined), which this function exposes via exact=False."""
+    even at 100 TB match sets ONLY if the match set fits; exact=False is
+    the 100 TB path and ES's actual algorithm class: `approx_percentile`
+    (fixed-size quantile sketch, map-side combined, no value shuffle)."""
     if percents is None:
         percents = [1.0, 25.0, 50.0, 75.0, 99.0]
     ids = matching_doc_ids(index, query, msm)
     fracs = F.array(*[F.lit(p / 100.0) for p in percents])
+    pct_fn = F.percentile if exact else F.approx_percentile
     row = stored.join(ids, "doc_id").agg(
-        F.percentile(F.col(field), fracs).alias("vals")
+        pct_fn(F.col(field), fracs).alias("vals")
     )
     pcts = F.array(*[F.lit(float(p)) for p in percents])
     return (

@@ -89,6 +89,22 @@ class Index:
     # url_hash-sorted); None on in-memory / pre-round-4 indexes — lookup_url
     # then falls back to a doc_stats scan
     url_stats: DataFrame | None = None
+    # the bucket function's identity: doc_id -> bucket is
+    # bucket_expr(doc_id, n_docs, range_width, id_space, bucket_bits).
+    # id_space None = unknown (pre-round-5 sidecar) — consumers that need
+    # the doc->bucket map (per-bucket function_score extrema) must fall
+    # back to bucket-agnostic behavior rather than guess
+    id_space: str | None = None
+    bucket_bits: int | None = None
+
+    def bucket_of(self, doc_id_col: F.Column) -> F.Column:
+        """doc_id -> bucket column, usable only when id_space is known."""
+        if self.id_space is None:
+            raise ValueError("index id_space unknown (pre-round-5 index)")
+        return bucket_expr(
+            doc_id_col, self.n_docs, self.range_width, self.id_space,
+            self.bucket_bits,
+        )
 
 
 # --------------------------------------------------------------------------
@@ -491,7 +507,18 @@ def assert_no_docid_collisions(doc_stats: DataFrame) -> DataFrame:
     target, each silently merging two documents, so it gets the same
     loud-failure standard as term hashes (remedy: widen the doc key or
     assign dense ids). One url twice is a duplicate-input contract breach —
-    pass dedup_urls=True (or dedup upstream)."""
+    pass dedup_urls=True (or dedup upstream).
+
+    Fast path: one global (count, distinct-id) agg — map-side partial
+    aggregation, a few bytes per task through the shuffle. The per-id
+    groupBy that names the offending id runs only on the failure path
+    (it cost a full extra doc_stats shuffle on EVERY build — measured as
+    part of the 1.34x build regression, BENCH/ab_r3r4.jsonl)."""
+    tot = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("d")
+    ).collect()[0]
+    if int(tot["n"]) == int(tot["d"]):
+        return doc_stats
     dup = (
         doc_stats.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("url").alias("u"))
@@ -867,8 +894,14 @@ def build_index(
         # min/max stats prune inside the directory too. At 10^12 docs raise
         # N_URL_BUCKETS (or use an Iceberg bucket(url) partition transform);
         # the lookup code only relies on the pmod contract.
+        # repartition on the dir key first: without it every upstream task
+        # fans out into every url_bucket dir (tasks x buckets tiny files —
+        # measured as part of the 1.34x build regression, BENCH/ab_r3r4.jsonl);
+        # with it each bucket dir gets exactly one url_hash-sorted file
         write_table(
-            url_index_projection(doc_stats),
+            url_index_projection(doc_stats).repartition(
+                N_URL_BUCKETS, F.col("url_bucket")
+            ),
             f"{out_dir}/url_index",
             sort_cols=["url_hash"],
             partition_by="url_bucket",
@@ -883,7 +916,10 @@ def build_index(
         # conf it was built with.
         write_table(
             spark.createDataFrame(
-                [(conf.k1, conf.b, conf.block_size, conf.quantize_norms, range_width)],
+                [(
+                    conf.k1, conf.b, conf.block_size, conf.quantize_norms,
+                    range_width, id_space,
+                )],
                 schema=schema.INDEX_CONF,
             ),
             f"{out_dir}/conf",
@@ -911,6 +947,10 @@ def build_index(
         conf=conf,
         range_width=range_width,
         url_stats=(read_table(spark, f"{out_dir}/url_index") if out_dir else None),
+        id_space=id_space,
+        bucket_bits=(
+            hash_bucket_bits(n_docs, range_width) if id_space == "hash" else None
+        ),
     )
 
 
@@ -951,6 +991,7 @@ def load_index(
     from webindex.io import read_table, table_format
 
     range_width = DEFAULT_RANGE_WIDTH
+    id_space: str | None = None
     # Fall back to the caller's conf ONLY when the sidecar is genuinely
     # absent (pre-sidecar index). A transient read failure (S3 flake,
     # permissions) must propagate — silently dropping the sidecar would
@@ -991,6 +1032,9 @@ def load_index(
             quantize_norms=bool(c["quantize_norms"]),
         )
         range_width = int(c["range_width"])
+        # pre-round-5 sidecars lack id_space: record None (unknown), never
+        # guess — a wrong bucket map would make per-bucket bounds unsound
+        id_space = c.asDict().get("id_space")
 
     stats = read_table(spark, f"{out_dir}/corpus_stats").collect()[0]
     postings = read_table(spark, f"{out_dir}/postings")
@@ -1014,4 +1058,10 @@ def load_index(
         conf=conf,
         range_width=range_width,
         url_stats=_url_index_or_none(spark, out_dir),
+        id_space=id_space,
+        bucket_bits=(
+            hash_bucket_bits(int(stats["n_docs"]), range_width)
+            if id_space == "hash"
+            else None
+        ),
     )

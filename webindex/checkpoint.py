@@ -244,23 +244,28 @@ def build_index_resumable(
     doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         f"{out}/doc_stats"
     )
-    # url reverse-lookup projection — the shared helper IS the contract
-    from webindex.build import url_index_projection
+    # url reverse-lookup projection — the shared helper IS the contract.
+    # repartition on the dir key: one url_hash-sorted file per bucket dir
+    # instead of a tasks-x-buckets small-file fan-out (see build.build_index)
+    from webindex.build import N_URL_BUCKETS, url_index_projection
 
-    url_index_projection(doc_stats).sortWithinPartitions(
-        "url_hash"
-    ).write.mode("overwrite").partitionBy("url_bucket").parquet(
-        f"{out}/url_index"
-    )
+    url_index_projection(doc_stats).repartition(
+        N_URL_BUCKETS, F.col("url_bucket")
+    ).sortWithinPartitions("url_hash").write.mode("overwrite").partitionBy(
+        "url_bucket"
+    ).parquet(f"{out}/url_index")
     spark.createDataFrame([(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS).write.mode(
         "overwrite"
     ).parquet(f"{out}/corpus_stats")
     # conf sidecar (same contract as build_index): load_index restores the
     # conf the blocks were encoded with
     spark.createDataFrame(
-        [(conf.k1, conf.b, conf.block_size, conf.quantize_norms, range_width)],
+        [(conf.k1, conf.b, conf.block_size, conf.quantize_norms, range_width,
+          id_space)],
         schema=schema.INDEX_CONF,
     ).write.mode("overwrite").parquet(f"{out}/conf")
+
+    from webindex.build import hash_bucket_bits
 
     return Index(
         postings=spark.read.parquet(f"{out}/postings"),
@@ -272,4 +277,8 @@ def build_index_resumable(
         range_width=range_width,
         lineage=read_lineage(spark, workdir),
         url_stats=spark.read.parquet(f"{out}/url_index"),
+        id_space=id_space,
+        bucket_bits=(
+            hash_bucket_bits(n_docs, range_width) if id_space == "hash" else None
+        ),
     )

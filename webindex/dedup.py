@@ -108,9 +108,16 @@ def lsh_candidate_pairs(
     Sub-shingle docs (fewer tokens than the shingle width) have all-NULL
     signatures — concat_ws drops NULLs, so without a guard every such doc
     would share the md5('') bucket in every band, flooding candidates with
-    content-free pairs. They carry no shingle signal and are excluded here;
-    tiny docs are exact_dedup's domain."""
-    sigs = sigs.filter(F.col("sig")[0].isNotNull())
+    content-free pairs. They carry no shingle signal and are excluded; tiny
+    docs are exact_dedup's domain. The guard runs AFTER posexplode as
+    `bucket != md5('')`: an all-NULL slice concat_ws's to '' and nothing
+    else can (non-null band inputs are 32-char md5 hex), so the predicates
+    are equivalent — but a pre-projection `sig[0].isNotNull()` filter gets
+    pushed through the signature projection by Catalyst, re-deriving
+    tokenize+shingle+one full md5-min pass PER ROW just for the predicate
+    (measured 1.66x on the whole LSH job, BENCH/ab_r3r4.jsonl), while a
+    generator-output predicate cannot be pushed below the explode and
+    costs one string compare."""
     rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
     bands = sigs.select(
         "doc_id",
@@ -124,7 +131,7 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("band", "bucket"),
-    )
+    ).filter(F.col("bucket") != F.md5(F.lit("")))
     sized = bands.withColumn(
         "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("bsize") <= max_bucket)

@@ -175,7 +175,13 @@ def _score_bucket_fn(
     least msm distinct query terms survive — intervals under-covered at the
     block-metadata level are pruned before any decode, and the per-doc
     distinct-term count (row count per doc: a doc appears at most once per
-    term, blocks partition doc ranges) filters the rest post-sum."""
+    term, blocks partition doc ranges) filters the rest post-sum.
+
+    Per-bucket θ (round 5, function_score skew pruning): if the incoming
+    blocks frame carries a `_theta_b` column (one value per bucket, joined
+    on upstream), the EFFECTIVE θ for this bucket is max(theta, _theta_b);
+    a non-finite/NULL _theta_b prunes the whole bucket before any metadata
+    work (the caller has proven no doc in it can reach the global top-k)."""
     k1, b, qn = conf.k1, conf.b, conf.quantize_norms
 
     empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
@@ -184,10 +190,19 @@ def _score_bucket_fn(
     n_terms = len(term_rank)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        theta_eff = theta
+        if "_theta_b" in pdf.columns:
+            tb = pdf["_theta_b"].iloc[0]
+            # NULL (bucket absent from the extrema frame: no rankable docs)
+            # and +inf (bound proves the bucket can't reach top-k) both
+            # prune the entire bucket
+            if tb is None or not np.isfinite(tb):
+                return empty
+            theta_eff = max(theta_eff, float(tb))
         keep_mask = None  # block-level decode filter
         bounds = None  # elementary interval bounds (kept intervals only)
         interval_keep = None
-        if theta > 0.0 or msm > 1:
+        if theta_eff > 0.0 or msm > 1:
             tmins = pdf["min_doc"].to_numpy(dtype=np.int64)
             tmaxs = pdf["max_doc"].to_numpy(dtype=np.int64)
             # blocks encoded at an older avgdl keep a sound upper bound when
@@ -201,7 +216,9 @@ def _score_bucket_fn(
                 * drift
             )
             tranks = pdf["term_hash"].map(term_rank).to_numpy(dtype=np.int64)
-            pruned = _interval_prune(tmins, tmaxs, timps, tranks, n_terms, theta, msm)
+            pruned = _interval_prune(
+                tmins, tmaxs, timps, tranks, n_terms, theta_eff, msm
+            )
             if pruned is None:
                 return empty
             bounds, interval_keep, keep_mask = pruned
@@ -1827,6 +1844,28 @@ def topk_with_urls(index: Index, query: str, k: int = 10, exact: bool = False) -
     )
 
 
+def field_extrema(index: Index, stored: DataFrame, field: str) -> DataFrame:
+    """(bucket, mx, mn) of `field` per doc-range bucket — the function_score
+    pruning sidecar (round 5). Bucket-count-sized output from ONE columnar
+    scan of `stored` (map-side-combined min/max, two doubles of agg state
+    per bucket). At deployment scale compute it once per boost field and
+    persist it beside doc_stats (it only changes when the field does);
+    topk_function_score accepts it via `extrema=` and otherwise computes it
+    per call — the same single scan the global-extremum bound already paid.
+
+    Requires the index's doc->bucket map (id_space + bucket_bits from the
+    conf sidecar); raises on pre-round-5 indexes — callers fall back to the
+    global bound."""
+    fcol = F.col(field).cast("double")
+    return (
+        stored.select(
+            index.bucket_of(F.col("doc_id")).alias("bucket"), fcol.alias("_f")
+        )
+        .groupBy("bucket")
+        .agg(F.max("_f").alias("mx"), F.min("_f").alias("mn"))
+    )
+
+
 def topk_function_score(
     index: Index,
     stored: DataFrame,
@@ -1836,6 +1875,7 @@ def topk_function_score(
     factor: float = 1.0,
     k: int = 10,
     pruned: bool = True,
+    extrema: DataFrame | None = None,
 ) -> DataFrame:
     """ES `function_score` with `field_value_factor`: final score =
     BM25(query, doc) * modifier(factor * doc[field]). Supported modifiers:
@@ -1898,23 +1938,46 @@ def topk_function_score(
         )
 
     theta_bm25 = 0.0
+    theta_df = None
     stats = _query_terms(index, query)
     if not stats:
         spark = index.postings.sparkSession
         return spark.createDataFrame([], _HIT)
     if pruned:
-        fcol = F.col(field).cast("double")
-        row = fielded.agg(
-            F.max(fcol).alias("mx"), F.min(fcol).alias("mn")
-        ).collect()
+        # Per-bucket extrema (round 5): on a skewed boost field one global
+        # extremum makes θ nearly useless (M is set by the single hottest
+        # doc; every cold bucket still decodes). A (bucket -> extremum)
+        # frame gives each doc-range shard its own sound bound
+        # M_b = modifier(factor·extremum_b), so θ_b = θ_fs / M_b prunes
+        # cold buckets hard. Needs the doc->bucket map, i.e. a known
+        # id_space; pre-round-5 disk indexes fall back to the global bound.
+        ext = extrema
+        own_ext = ext is None
+        per_bucket = index.id_space is not None
+        if per_bucket and own_ext:
+            ext = field_extrema(index, stored, field)
+        if per_bucket:
+            # global ends derived from the bucket frame: same one scan of
+            # `stored`, plus one agg over a bucket-count-sized frame. Only
+            # a frame we computed ourselves is persisted here — a caller-
+            # supplied sidecar manages its own caching.
+            if own_ext:
+                ext = ext.persist()
+            row = ext.agg(F.max("mx").alias("mx"), F.min("mn").alias("mn")).collect()
+        else:
+            fcol = F.col(field).cast("double")
+            row = fielded.agg(
+                F.max(fcol).alias("mx"), F.min(fcol).alias("mn")
+            ).collect()
         mx = row[0]["mx"] if row else None
         mn = row[0]["mn"] if row else None
         big_m = None
         if mx is not None and mn is not None:
             # M from the extremum the sign of factor makes largest; the
-            # OTHER end must also be in the modifier's domain, else some
-            # doc's fv is NaN and the exhaustive ranking (NaN first under
-            # desc) has no sound θ
+            # OTHER end must also be in the modifier's domain (GLOBALLY —
+            # a per-bucket domain check would be unsound), else some doc's
+            # fv is NaN and the exhaustive ranking (NaN first under desc)
+            # has no sound θ
             hi, lo = (mx, mn) if factor >= 0 else (mn, mx)
             if math.isfinite(_py_mod(float(factor) * float(lo))):
                 big_m = _py_mod(float(factor) * float(hi))
@@ -1924,18 +1987,51 @@ def topk_function_score(
                 theta_fs = float(seed[-1]["score"])
                 if theta_fs > 0.0:
                     theta_bm25 = float(np.nextafter(theta_fs / big_m, 0.0))
+                    if per_bucket:
+                        # columnar θ_b: buckets whose M_b <= 0 (every
+                        # combined score <= 0 < θ_fs) or whose extremum is
+                        # NULL (no rankable docs: the field join is inner
+                        # and NULL fv ranks below every θ_fs doc) prune
+                        # entirely via +inf; the (1 - 1e-15) nudge rounds
+                        # θ_b a few ulp TOWARD ZERO so float division can
+                        # never prune a true boundary tie (sound: a smaller
+                        # θ only prunes less)
+                        hi_col = F.col("mx") if factor >= 0 else F.col("mn")
+                        mb = mods[modifier](hi_col * F.lit(float(factor)))
+                        theta_df = ext.select(
+                            "bucket",
+                            F.when(
+                                mb > 0.0,
+                                (F.lit(theta_fs) / mb) * F.lit(1.0 - 1e-15),
+                            )
+                            .otherwise(F.lit(float("inf")))
+                            .alias("_theta_b"),
+                        )
+        if per_bucket and own_ext and theta_df is None:
+            ext.unpersist()
 
     idf_map, term_rank = _maps_of(stats)
     blocks = index.postings.filter(F.col("term_hash").isin(list(idf_map)))
+    if theta_df is not None:
+        # bucket-count-sized frame: broadcast, no shuffle of the blocks
+        blocks = blocks.join(F.broadcast(theta_df), "bucket", "left")
     base = blocks.groupBy("bucket").applyInPandas(
         _score_bucket_fn(
             idf_map, term_rank, index.conf, index.avgdl, None, theta_bm25
         ),
         schema=_HIT,
     )
-    return _ranked(base).select(
+    out = _ranked(base).select(
         "doc_id", F.round("score", 4).alias("score")
     )
+    if theta_df is not None and own_ext:
+        # the k-row result is what every caller materializes; collecting it
+        # here releases the extrema cache deterministically
+        rows = out.collect()
+        ext.unpersist()
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(rows, _HIT)
+    return out
 
 
 def search_sort(

@@ -153,5 +153,11 @@ INDEX_CONF = T.StructType(
         T.StructField("block_size", T.IntegerType(), False),
         T.StructField("quantize_norms", T.BooleanType(), False),
         T.StructField("range_width", T.LongType(), False),
+        # round-5: the doc_id -> bucket function's id space ("hash"/"dense"),
+        # needed by consumers that map stored fields to buckets (per-bucket
+        # function_score extrema). Nullable: pre-round-5 sidecars lack it and
+        # load_index then records id_space=None (bucket-map consumers fall
+        # back to bucket-agnostic bounds).
+        T.StructField("id_space", T.StringType(), True),
     ]
 )

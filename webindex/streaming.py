@@ -110,7 +110,15 @@ class IncrementalIndexer:
     max_impact; quantize_norms changes the doc_lens byte format): resuming an
     existing workdir restores the conf the blocks were encoded with,
     overriding the constructor argument — same guarantee as build_index's
-    conf sidecar."""
+    conf sidecar.
+
+    A workdir is SINGLE-WRITER: batch ids (the latest-event-wins total
+    order) are allocated by read-then-write against the lineage table, so
+    exactly one process may ingest/upsert/delete/compact a workdir at a
+    time. Within one process the indexer enforces the reachable half of
+    the contract (_require_no_active_stream: synthetic events are refused
+    while a stream this indexer started is active); concurrent writers in
+    other processes must be excluded by the caller's orchestration."""
 
     def __init__(
         self,
@@ -137,6 +145,9 @@ class IncrementalIndexer:
         # injectable primary term hash (tests force collisions with a coarse
         # space; production always uses xxhash64 — see build.term_hash_col)
         self.hash_primary_fn = hash_primary_fn
+        # the stream this indexer started, if any — synthetic events
+        # (upsert/delete) are fenced against it (_require_no_active_stream)
+        self._active_query = None
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- ingestion ----------------------------------------------------------
@@ -178,22 +189,66 @@ class IncrementalIndexer:
                 "(or use a fresh workdir to change the layout)"
             )
 
-    def _seen_epochs(self) -> set[int]:
-        """Engine epochs already ingested (the _epoch_map sidecar). Only a
-        MISSING sidecar means none — any other read failure propagates
-        (silently treating it as empty would re-ingest, or worse, collide)."""
+    def _checkpoint_query_id(self) -> str | None:
+        """The streaming query id persisted in the engine checkpoint's
+        metadata file. This is the CHECKPOINT'S identity: it survives
+        restarts from the same checkpoint but changes whenever the
+        checkpoint is reset or relocated — exactly the event after which
+        engine epochs recycle from 0 and must NOT match old _epoch_map
+        rows (keying redelivery detection on the bare epoch number would
+        silently skip the new stream's first batches as 'redeliveries').
+        None when no checkpoint metadata exists yet."""
+        import json
+
+        from webindex.fsutil import path_exists
+
+        p = f"{self.workdir}/_stream_ckpt/metadata"
+        if not path_exists(self.spark, p):
+            return None
+        txt = "".join(
+            r["value"] for r in self.spark.read.text(p).collect()
+        )
+        return str(json.loads(txt)["id"])
+
+    def _seen_epochs(self, qid: str | None) -> set[int]:
+        """Engine epochs already ingested FOR THIS CHECKPOINT IDENTITY (the
+        _epoch_map sidecar, keyed (qid, epoch)). Rows written by the
+        pre-round-5 layout carry no qid column and are counted for any qid
+        (same behavior as before; a legacy workdir whose checkpoint was
+        ALSO reset keeps the old flaw — rebuild the workdir to clear it).
+        Only a MISSING sidecar means none — any other read failure
+        propagates (silently treating it as empty would re-ingest, or
+        worse, collide)."""
         from webindex.fsutil import path_exists
 
         p = f"{self.workdir}/_epoch_map"
         if not path_exists(self.spark, p):
             return set()
-        return {
-            int(r["epoch"]) for r in self.spark.read.parquet(p).collect()
-        }
+        df = self.spark.read.option("mergeSchema", "true").parquet(p)
+        if "qid" in df.columns:
+            df = df.filter(F.col("qid").isNull() | (F.col("qid") == qid))
+        return {int(r["epoch"]) for r in df.select("epoch").collect()}
 
     def _next_batch_id(self) -> int:
         done = self._done_batches()
         return (max(done) + 1) if done else 0
+
+    def _require_no_active_stream(self, action: str) -> None:
+        """Batch ids are allocated by an unfenced read-then-write
+        (_next_batch_id); the workdir is SINGLE-WRITER by contract. This
+        guard enforces the one violation this object can see: a synthetic
+        event (upsert/delete) racing a stream this indexer started could
+        claim the same batch id as an in-flight micro-batch, breaking the
+        latest-event-wins total order (a tombstone and a crawl sharing an
+        id makes the winner undefined). Cross-process writers are outside
+        any one JVM's view — coordinate those externally."""
+        q = self._active_query
+        if q is not None and q.isActive:
+            raise RuntimeError(
+                f"{action} while the stream started by this indexer is "
+                "active would race its batch-id allocation; stop the "
+                "stream (query.stop() / awaitTermination) first"
+            )
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch sink. The engine's epoch counter and this index's
@@ -207,12 +262,14 @@ class IncrementalIndexer:
         detected via the _epoch_map sidecar (epoch -> internal id), written
         AFTER the lineage commit — a crash between the two re-ingests the
         same pages under a fresh id, which latest-crawl-wins collapses."""
-        if int(epoch_id) in self._seen_epochs():
+        qid = self._checkpoint_query_id()
+        if int(epoch_id) in self._seen_epochs(qid):
             return
         our_id = self._next_batch_id()
         self._ingest_pages(batch_df, our_id)
         self.spark.createDataFrame(
-            [(int(epoch_id), int(our_id))], "epoch long, batch_id long"
+            [(qid, int(epoch_id), int(our_id))],
+            "qid string, epoch long, batch_id long",
         ).write.mode("append").parquet(f"{self.workdir}/_epoch_map")
 
     def _ingest_pages(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -296,13 +353,16 @@ class IncrementalIndexer:
         )
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        q = writer.start()
+        self._active_query = q
+        return q
 
     def upsert(self, pages: DataFrame, compact_now: bool = True) -> "Index | None":
         """Single-record/doc upsert (S8): route one small pages DataFrame
         through the batch sink as a synthetic batch (id = max seen + 1, so
         latest-crawl-wins ordering holds) and optionally compact immediately.
         Compaction cost is O(the touched buckets), not O(corpus)."""
+        self._require_no_active_stream("upsert")
         self._ingest_pages(pages, self._next_batch_id())
         return self.compact() if compact_now else None
 
@@ -323,6 +383,7 @@ class IncrementalIndexer:
         `urls` is a list[str] or a DataFrame with a url column. Deleting a
         url that was never crawled is a recorded no-op (ES returns
         result=not_found)."""
+        self._require_no_active_stream("delete")
         spark = self.spark
         if isinstance(urls, DataFrame):
             u = urls.select("url").distinct()
@@ -470,7 +531,10 @@ class IncrementalIndexer:
             .parquet(f"{self.workdir}/index/postings")
         )
 
-    def _load_index(self, n_docs: int, avgdl: float, range_width: int) -> Index:
+    def _load_index(
+        self, n_docs: int, avgdl: float, range_width: int,
+        bucket_bits: int | None = None,
+    ) -> Index:
         spark, out = self.spark, f"{self.workdir}/index"
         return Index(
             postings=spark.read.parquet(f"{out}/postings"),
@@ -480,6 +544,11 @@ class IncrementalIndexer:
             avgdl=avgdl,
             conf=self.conf,
             range_width=range_width,
+            # incremental identity is always xxhash64(url); bits are PINNED
+            # in compaction state (recomputing from grown n_docs would remap
+            # buckets the committed blocks don't use)
+            id_space="hash",
+            bucket_bits=bucket_bits,
         )
 
     def _finish_tables(self, n_docs: int, term_dict: DataFrame) -> None:
@@ -567,6 +636,7 @@ class IncrementalIndexer:
                 int(state["n_docs"]),
                 float(state["sum_dl"]) / max(1, int(state["n_docs"])),
                 int(state["range_width"]),
+                int(state["bucket_bits"]),
             )
         if state is None:
             return self._compact_full(done)
@@ -664,7 +734,7 @@ class IncrementalIndexer:
         # compact() directs to)
         _hadoop_delete(self.spark, f"{self.workdir}/_compact_pending")
         self._log_compaction(done, "full", delta_rows=-1, old_rows=-1, touched=-1)
-        return self._load_index(n_docs, avgdl, range_width)
+        return self._load_index(n_docs, avgdl, range_width, bits)
 
     def _compact_incremental(self, state, done: list[int]) -> Index:
         spark = self.spark
@@ -726,7 +796,7 @@ class IncrementalIndexer:
         n_delta = delta_docs.count()
         if n_delta == 0 and dead_ids is None:
             delta_runs.unpersist(); delta_docs.unpersist()
-            return self._load_index(old_n, old_sum / max(1, old_n), range_width)
+            return self._load_index(old_n, old_sum / max(1, old_n), range_width, bits)
 
         # ---- old state for the removed docs: re-crawled (superseded) and
         # tombstoned committed docs leave the corpus counts together
@@ -880,7 +950,7 @@ class IncrementalIndexer:
         delta_runs.unpersist(); delta_docs.unpersist()
         if dead_ids is not None:
             dead_ids.unpersist()
-        return self._load_index(n_docs, avgdl, range_width)
+        return self._load_index(n_docs, avgdl, range_width, bits)
 
     def _log_compaction(
         self, batches: list[int], kind: str, *, delta_rows: int, old_rows: int, touched: int
