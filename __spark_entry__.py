@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ngram_jaccard_pairs,
         simhash64,
         simhash_near_pairs,
+        tokens_col,
     )
     from webindex.simsearch import cosine_topk_bruteforce, cosine_topk_lsh
     from webindex.textstats import fingerprint, lang_id, quality_score, token_count
@@ -1349,6 +1350,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return bidirectional_edges(edges)
 
+    def delete_visibility(spark, sf):
+        """Round-5 query-time tombstone visibility (ES refresh semantics):
+        ingest the documents corpus incrementally, tombstone ONE doc — the
+        'merge'-matching doc with the smallest original id, deterministic
+        in both engines — WITHOUT compacting, and return every matching
+        doc's BM25 score through live_index(). The dead doc is absent from
+        results while scores keep the PRE-delete corpus stats (Lucene
+        live-docs: df/avgdl shrink only at the merge), which the oracle
+        mirrors by scoring over the full corpus and excluding the victim.
+        No top-k boundary -> no cross-engine tie-break sensitivity."""
+        import tempfile
+
+        from webindex.query import topk_wand
+        from webindex.streaming import IncrementalIndexer
+
+        docs = _docs(spark, sf).select(
+            F.col("doc_id").alias("orig_id"),
+            F.col("doc_id").cast("string").alias("url"),
+            "text",
+            F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.col("text").alias("html"),
+        )
+        victim = docs.filter(
+            F.array_contains(tokens_col("text"), "merge")
+        ).agg(F.min("orig_id")).collect()[0][0]
+        wd = tempfile.mkdtemp(prefix="webindex_delvis_")
+        ing = IncrementalIndexer(spark, wd, text_col="text")
+        ing.upsert(docs.select("url", "text", "warc_ts", "html"))
+        ing.delete([str(victim)], compact_now=False)
+        live = ing.live_index()
+        hits = topk_wand(live, "merge spark", k=live.n_docs)
+        return hits.join(live.doc_stats, "doc_id").select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
     # Registry ordering is deliberate: the driver's correctness gate samples
     # the FIRST 50 keys, so entries with the least cumulative driver evidence
     # come first. Tier 1 = never driver-checked before round 5; tier 2 =
@@ -1356,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tier 4 = remaining r4-green entries.
     return {
         # -- tier 1: first driver check happens this round --
+        "delete_visibility": delete_visibility,
         "bm25_most_fields": bm25_most_fields,
         "bm25_cross_fields": bm25_cross_fields,
         "bm25_match_bool_prefix": bm25_match_bool_prefix,
@@ -1471,6 +1509,19 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len({toks})), 4) AS avgdl FROM docu
 """
 
     sql["bm25_topk"] = _bm25_oracle_sql(["merge", "spark"], 10)
+    # delete_visibility: the full 'merge spark' match set scored over the
+    # FULL corpus stats (live_index keeps pre-delete df/avgdl — Lucene
+    # live-docs semantics), minus the victim doc (the 'merge'-matching doc
+    # with the smallest id — the same deterministic choice the entry makes)
+    sql["delete_visibility"] = f"""
+SELECT doc_id, round(score, 4) AS score
+FROM ({_bm25_score_subquery(["merge", "spark"])})
+WHERE doc_id != (
+  SELECT min(doc_id)
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+  WHERE list_contains(toks, 'merge')
+)
+"""
     sql["bm25_topk_hot"] = _bm25_oracle_sql(["data", "the"], 10)
     sql["bm25_topk_rare"] = _bm25_oracle_sql(["batch", "group", "scan"], 10)
     sql["bm25_match_and"] = _bm25_match_oracle_sql(["data", "merge", "the"], 10, 3)

@@ -212,3 +212,62 @@ def test_delete_on_positional_workdir_via_open(spark, tmp_path):
     assert lookup_url(idx1, victim).count() == 0
     # positions survived: a phrase query still runs on the compacted index
     assert "positions" in idx1.postings.columns
+
+
+def test_live_index_delete_visible_before_compact(spark, tmp_path):
+    """Round-5 query-time tombstone visibility: a pending delete disappears
+    from top-k via live_index() BEFORE any compaction runs — with the
+    pre-delete corpus stats (Lucene live-docs semantics: results exclude
+    dead docs, n_docs/avgdl/df unchanged until the merge). Parity: after
+    the physical compact the dead doc stays gone."""
+    pdf = make_pages_pdf(0, 60)
+    wd = str(tmp_path / "wd")
+    ing = IncrementalIndexer(spark, wd, text_col="text")
+    idx0 = ing.upsert(spark.createDataFrame(pdf))
+    q = "the data"
+    before = _topk_list(idx0, q, 10)
+    assert len(before) == 10
+    # delete the TOP doc of the query — the strongest displacement case
+    top_doc = before[0][0]
+    url = idx0.doc_stats.filter(F.col("doc_id") == top_doc).collect()[0]["url"]
+    ing.delete([url], compact_now=False)
+
+    live = ing.live_index()
+    # stats are the PRE-delete stats (delete pending, merge not run)
+    assert live.n_docs == idx0.n_docs and abs(live.avgdl - idx0.avgdl) < 1e-12
+    got = _topk_list(live, q, 10)
+    # exactly the pre-delete ranking minus the dead doc, scores unchanged
+    # (same stats), with the next-ranked doc promoted into the k-th slot
+    want = [(d, s) for d, s in _topk_list(idx0, q, 11) if d != top_doc][:10]
+    assert got == want
+    assert all(d != top_doc for d, _ in got)
+
+    # the same queries through every fused-scorer entry point agree
+    from webindex.query import topk_exact, topk_match, topk_wand
+
+    wand = [(r["doc_id"], round(r["score"], 9)) for r in topk_wand(live, q, 10).collect()]
+    exact = [(r["doc_id"], round(r["score"], 9)) for r in topk_exact(live, q, 10).collect()]
+    assert wand == got and exact == got
+    m = [(r["doc_id"], round(r["score"], 9)) for r in topk_match(live, q, k=10).collect()]
+    assert all(d != top_doc for d, _ in m)
+
+    # compaction parity: physically applied, doc stays gone; a fresh batch
+    # build over the surviving corpus agrees completely
+    idx1 = ing.compact()
+    assert all(d != top_doc for d, _ in _topk_list(idx1, q, 10))
+    survivors = pdf[pdf["url"] != url]
+    want_idx = build_index(
+        spark, spark.createDataFrame(survivors), text_col="text",
+        doc_id_method="hash",
+    )
+    _assert_same_index(idx1, want_idx)
+
+
+def test_live_index_no_pending_deletes_is_plain_index(spark, tmp_path):
+    pdf = make_pages_pdf(0, 20)
+    wd = str(tmp_path / "wd")
+    ing = IncrementalIndexer(spark, wd, text_col="text")
+    idx0 = ing.upsert(spark.createDataFrame(pdf))
+    live = ing.live_index()
+    assert live.dead_ids is None
+    assert _topk_list(live, "the data") == _topk_list(idx0, "the data")

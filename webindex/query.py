@@ -163,6 +163,7 @@ def _score_bucket_fn(
     msm: int = 1,
     after: tuple[float, int] | None = None,
     _probe: dict | None = None,
+    dead: np.ndarray | None = None,
 ):
     """applyInPandas fn: one bucket's blocks (all query terms) -> local top-k.
 
@@ -242,6 +243,16 @@ def _score_bucket_fn(
         ids = np.concatenate(ids_all)
         terms = np.concatenate(terms_all)
         contribs = np.concatenate(contribs_all)
+        if dead is not None and len(dead):
+            # live-docs filter (Index.dead_ids): must run BEFORE the local
+            # top-k cut — a dead doc in a bucket's local k would displace a
+            # live doc that belongs in the global top-k. `dead` is sorted.
+            pos = np.searchsorted(dead, ids)
+            pos[pos >= len(dead)] = len(dead) - 1
+            alive = dead[pos] != ids
+            if not alive.any():
+                return empty
+            ids, terms, contribs = ids[alive], terms[alive], contribs[alive]
         if interval_keep is not None:
             # drop docs living in pruned intervals (their partial scores are
             # incomplete AND provably below θ)
@@ -301,7 +312,8 @@ def _run_scored(
     blocks = index.postings.filter(F.col("term_hash").isin(list(idf_map)))
     hits = blocks.groupBy("bucket").applyInPandas(
         _score_bucket_fn(
-            idf_map, term_rank, index.conf, index.avgdl, k, theta, msm, after
+            idf_map, term_rank, index.conf, index.avgdl, k, theta, msm, after,
+            dead=index.dead_ids,
         ),
         schema=_HIT,
     )
@@ -355,6 +367,13 @@ def _theta_seed(
             _decode_contribs_iter({term_hash: idf}, index.conf, index.avgdl),
             schema=_DECODED,
         )
+        if index.dead_ids is not None and len(index.dead_ids):
+            # a dead doc must not set θ: it never reaches the result set, so
+            # a θ taken from its contribution could exceed the true k-th
+            # best LIVE score and over-prune
+            seed = seed.filter(
+                ~F.col("doc_id").isin([int(d) for d in index.dead_ids])
+            )
         kth = seed.orderBy(F.desc("contrib")).limit(k).collect()
         best = np.asarray([float(r["contrib"]) for r in kth])
         exhausted = len(top) < m  # fetched every block the term has
@@ -2017,7 +2036,8 @@ def topk_function_score(
         blocks = blocks.join(F.broadcast(theta_df), "bucket", "left")
     base = blocks.groupBy("bucket").applyInPandas(
         _score_bucket_fn(
-            idf_map, term_rank, index.conf, index.avgdl, None, theta_bm25
+            idf_map, term_rank, index.conf, index.avgdl, None, theta_bm25,
+            dead=index.dead_ids,
         ),
         schema=_HIT,
     )

@@ -597,6 +597,53 @@ class IncrementalIndexer:
             Path = jvm.org.apache.hadoop.fs.Path
             _rename_checked(fs, Path(old_p), Path(final_p))
 
+    def live_index(self) -> Index:
+        """The committed index with PENDING deletes applied logically — ES
+        refresh-interval delete semantics between compacts (reference:
+        src/nmr_FAIR_DOs/connectors/elasticsearch.py delete-then-search sees
+        the delete at the next refresh, long before any segment merge).
+
+        Tombstone events newer than the compaction frontier become
+        Index.dead_ids, the analogue of Lucene's in-heap deleted-docs
+        bitmap: the fused BM25 scorer (topk/topk_wand/topk_exact/bool/
+        match/function_score) drops dead docs BEFORE its local top-k cut
+        and θ seeding ignores them, while n_docs/avgdl/df stay as-built —
+        exactly Lucene's behavior until the merge reclaims the docs. The
+        set is driver-scale by construction (deletes since the last
+        compact only). Pending CRAWL batches stay invisible until
+        compact(), the engine's refresh point for additions; query
+        families that bypass the fused scorer (phrase, aggs, term-level)
+        likewise see deletes at compact().
+
+        Requires a committed index (compact() at least once); raises
+        otherwise."""
+        state = self._read_state()
+        if state is None:
+            raise RuntimeError(
+                "no committed index yet: run compact() before live_index()"
+            )
+        idx = self._load_index(
+            int(state["n_docs"]),
+            float(state["sum_dl"]) / max(1, int(state["n_docs"])),
+            int(state["range_width"]),
+            int(state["bucket_bits"]),
+        )
+        tombs = self._new_tombstones(min_batch=int(state["max_batch"]))
+        if tombs is None:
+            return idx
+        import numpy as np
+
+        dead = np.array(
+            sorted(
+                int(r["doc_id"])
+                for r in tombs.select("doc_id").distinct().collect()
+            ),
+            dtype=np.int64,
+        )
+        if len(dead):
+            idx.dead_ids = dead
+        return idx
+
     def compact(self, full: bool = False) -> Index:
         """Merge accumulated runs into the block tables. First call (or
         full=True, e.g. to re-shard after heavy growth) compacts everything;
