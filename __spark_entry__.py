@@ -736,6 +736,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index(spark, sf), "mrge datta the", max_edits=2, size=3
         )
 
+    def suggest_spell_gram(spark, sf):
+        # Same term suggester through the q-gram dictionary sidecar: one
+        # gram-pruned probe covers all non-vacuous tokens at once; short
+        # tokens keep the length-band scan. Byte-identical to suggest_spell
+        # (webindex/query.py suggest_terms gram path)
+        from webindex.build import build_term_grams
+        from webindex.query import suggest_terms
+
+        idx = _index(spark, sf)
+        gi = build_term_grams(idx.term_stats)
+        return suggest_terms(
+            idx, "mrge datta the", max_edits=2, size=3, gram_index=gi
+        )
+
     def bm25_boosting(spark, sf):
         # ES boosting query: rank by "data merge", demote (x0.4, never
         # exclude) docs matching "slow" (webindex/query.py topk_boosting)
@@ -880,6 +894,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from webindex.query import topk_fuzzy
 
         hits = topk_fuzzy(_index(spark, sf), "merge", 10, fuzziness=1)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_fuzzy_gram(spark, sf):
+        # Same ES fuzzy query through the q-gram dictionary sidecar
+        # (webindex/build.py build_term_grams): Levenshtein runs only over
+        # terms sharing >= |D|-q·f of the word's distinct q-grams — the
+        # join-shaped analogue of Lucene's FST automaton intersection.
+        # Byte-identical results to bm25_fuzzy (same oracle), sub-linear
+        # dictionary touch (webindex/query.py _gram_candidates)
+        from webindex.build import build_term_grams
+        from webindex.query import topk_fuzzy
+
+        idx = _index(spark, sf)
+        gi = build_term_grams(idx.term_stats)
+        hits = topk_fuzzy(idx, "merge", 10, fuzziness=1, gram_index=gi)
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
     def bm25_search_after(spark, sf):
@@ -1441,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rescore": bm25_rescore,
         "bm25_synonyms": bm25_synonyms,
         "bm25_fuzzy": bm25_fuzzy,
+        "bm25_fuzzy_gram": bm25_fuzzy_gram,
         "bm25_highlight": bm25_highlight,
         "bm25_search_after": bm25_search_after,
         "bm25_collapse": bm25_collapse,
@@ -1462,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_significant_sampled": agg_significant_sampled,
         "search_sort_nchars": search_sort_nchars,
         "suggest_spell": suggest_spell,
+        "suggest_spell_gram": suggest_spell_gram,
         "count_matches": count_matches_q,
         "bm25_boosting": bm25_boosting,
         "bm25_dismax": bm25_dismax,
@@ -2558,4 +2589,10 @@ SELECT doc_id,
 FROM m
 """
 
+    # the q-gram-sidecar entries are byte-identical-by-contract to their
+    # linear-scan siblings (same query, pruned dictionary touch) — the
+    # oracle is deliberately THE SAME SQL, so a gram-path bug that changes
+    # results in any way fails the hash check
+    sql["bm25_fuzzy_gram"] = sql["bm25_fuzzy"]
+    sql["suggest_spell_gram"] = sql["suggest_spell"]
     return sql

@@ -65,6 +65,42 @@ def url_index_projection(doc_stats: DataFrame) -> DataFrame:
     )
 
 
+# q-gram width of the fuzzy/suggest dictionary sidecar (term_grams).
+# 2, not 3: the candidate bound needs |distinct grams| - q*fuzziness >= 1,
+# and with q=3 a fuzziness-1 lookup is vacuous below 7 distinct grams —
+# most real query words. Bigrams keep the bound non-vacuous from length-5
+# words up at fuzziness 1 while the gram-sorted IN probe still touches only
+# the query's ~|word| grams out of the ~1.3k-bigram key space.
+GRAM_Q = 2
+
+
+def build_term_grams(term_stats: DataFrame, q: int = GRAM_Q) -> DataFrame:
+    """(gram, term) — one row per DISTINCT q-gram per vocabulary term: the
+    fuzzy/suggest dictionary-intersection sidecar. Computed once per index
+    generation from the committed term_stats and persisted gram-sorted, so
+    a query word's IN(gram) probe prunes to its own grams' row groups; at
+    a real web vocabulary the table is ~(avg_len-q+1)× the dictionary —
+    still dwarfed by postings. Fuzzy/suggest expansion then touches only
+    the dictionary region sharing grams with the query word (the
+    join-shaped equivalent of Lucene's FST automaton intersection, which
+    likewise enumerates only the reachable dictionary region) instead of
+    running the Levenshtein DP down the whole vocabulary. Terms shorter
+    than q are omitted: a q-gram candidate filter can never require them
+    (any term within f edits of a word whose gram bound is non-vacuous has
+    length >= q — see query._gram_candidates), and the short-word region
+    falls back to the length-banded scan anyway."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.length("term") - q),
+            lambda i: F.col("term").substr(i + F.lit(1), F.lit(q)),
+        )
+    )
+    return (
+        term_stats.filter(F.length("term") >= q)
+        .select(F.explode(grams).alias("gram"), "term")
+    )
+
+
 def adaptive_range_width(n_docs: int) -> int:
     """Bucket width when the caller doesn't pin one: ~128+ buckets for
     mid-size corpora (query scoring parallelism), capped at DEFAULT_RANGE_WIDTH
@@ -89,6 +125,11 @@ class Index:
     # url_hash-sorted); None on in-memory / pre-round-4 indexes — lookup_url
     # then falls back to a doc_stats scan
     url_stats: DataFrame | None = None
+    # q-gram dictionary sidecar (build_term_grams); None on in-memory /
+    # pre-round-5 indexes — fuzzy/suggest then fall back to the length-
+    # banded linear vocabulary scan (query.ensure_term_grams builds and
+    # caches it on demand for in-memory indexes)
+    term_grams: DataFrame | None = None
     # the bucket function's identity: doc_id -> bucket is
     # bucket_expr(doc_id, n_docs, range_width, id_space, bucket_bits).
     # id_space None = unknown (pre-round-5 sidecar) — consumers that need
@@ -886,6 +927,15 @@ def build_index(
         # shuffle); the assert stays as a cheap invariant.
         write_table(term_stats, f"{out_dir}/term_stats", sort_cols=["term"])
         assert_no_hash_collisions(read_table(spark, f"{out_dir}/term_stats"))
+        # q-gram dictionary sidecar for fuzzy/suggest expansion, derived
+        # from the COMMITTED dictionary (a thin columnar re-scan beats
+        # re-running the vocab aggregate) and gram-clustered so a query
+        # word's IN(gram) probe prunes to its own row groups
+        write_table(
+            build_term_grams(read_table(spark, f"{out_dir}/term_stats")),
+            f"{out_dir}/term_grams",
+            sort_cols=["gram"],
+        )
         write_table(doc_stats, f"{out_dir}/doc_stats", sort_cols=["doc_id"])
         # derive everything below from the COMMITTED table: re-using the
         # in-memory plan would re-execute the whole pages+runs join per
@@ -955,6 +1005,9 @@ def build_index(
         conf=conf,
         range_width=range_width,
         url_stats=(read_table(spark, f"{out_dir}/url_index") if out_dir else None),
+        term_grams=(
+            read_table(spark, f"{out_dir}/term_grams") if out_dir else None
+        ),
         id_space=id_space,
         bucket_bits=(
             hash_bucket_bits(n_docs, range_width) if id_space == "hash" else None
@@ -962,23 +1015,24 @@ def build_index(
     )
 
 
-def _url_index_or_none(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """The url_index projection if this index has one (indexes written
-    before round 4 don't — lookup_url then falls back to doc_stats)."""
+def _sidecar_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """An OPTIONAL index sidecar table (url_index: pre-round-4 indexes
+    lack it, lookup_url falls back to doc_stats; term_grams: pre-round-5,
+    fuzzy/suggest fall back to the length-banded vocab scan)."""
     from webindex.io import read_table, table_format
     from webindex.fsutil import path_exists
 
     if table_format() == "parquet":
-        if not path_exists(spark, f"{out_dir}/url_index"):
+        if not path_exists(spark, path):
             return None
-        return read_table(spark, f"{out_dir}/url_index")
+        return read_table(spark, path)
     # iceberg: the absence check IS the read — catch ONLY table-not-found
     # (a transient catalog/auth failure must propagate, not silently
-    # degrade every lookup_url to a full doc_stats scan)
+    # degrade the consumer to its fallback scan)
     from pyspark.errors import AnalysisException
 
     try:
-        return read_table(spark, f"{out_dir}/url_index")
+        return read_table(spark, path)
     except AnalysisException as e:
         klass = getattr(e, "getErrorClass", lambda: None)() or ""
         if "TABLE_OR_VIEW_NOT_FOUND" in klass or "cannot be found" in str(e):
@@ -1065,7 +1119,8 @@ def load_index(
         avgdl=float(stats["avgdl"]),
         conf=conf,
         range_width=range_width,
-        url_stats=_url_index_or_none(spark, out_dir),
+        url_stats=_sidecar_or_none(spark, f"{out_dir}/url_index"),
+        term_grams=_sidecar_or_none(spark, f"{out_dir}/term_grams"),
         id_space=id_space,
         bucket_bits=(
             hash_bucket_bits(int(stats["n_docs"]), range_width)

@@ -241,6 +241,15 @@ def build_index_resumable(
     )
     _vocab_handle.unpersist()
     assert_no_hash_collisions(spark.read.parquet(f"{out}/term_stats"))
+    # q-gram dictionary sidecar (same contract as build_index): derived
+    # from the committed dictionary, gram-clustered for IN(gram) pruning
+    from webindex.build import build_term_grams
+
+    build_term_grams(
+        spark.read.parquet(f"{out}/term_stats")
+    ).sortWithinPartitions("gram").write.mode("overwrite").parquet(
+        f"{out}/term_grams"
+    )
     doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
         f"{out}/doc_stats"
     )
@@ -277,6 +286,7 @@ def build_index_resumable(
         range_width=range_width,
         lineage=read_lineage(spark, workdir),
         url_stats=spark.read.parquet(f"{out}/url_index"),
+        term_grams=spark.read.parquet(f"{out}/term_grams"),
         id_space=id_space,
         bucket_bits=(
             hash_bucket_bits(n_docs, range_width) if id_space == "hash" else None

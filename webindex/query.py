@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from webindex import codec
-from webindex.build import Index
+from webindex.build import GRAM_Q, Index, build_term_grams
 from webindex.textproc import tokenize
 
 _HIT = T.StructType(
@@ -1477,14 +1477,19 @@ MAX_CLAUSE_COUNT = 1024
 
 
 def _expansions(
-    index: Index, pred: F.Column, max_expansions: int | None
+    index: Index, pred: F.Column, max_expansions: int | None,
+    base: DataFrame | None = None,
 ) -> list:
     """Dictionary expansion rows [(term, df, idf, term_hash)] for a
     term-level query, deterministically capped like Lucene's top_terms
     rewrite: highest df first, term asc tie-break. The dictionary filter
     runs distributed over term_stats (vocab-scale, never collected whole);
-    only the capped expansion set reaches the driver."""
-    rows = index.term_stats.filter(pred).select("term", "df", "idf", "term_hash")
+    only the capped expansion set reaches the driver. `base` narrows the
+    dictionary to a pre-pruned candidate frame (the q-gram path) — pred
+    still applies, so the cap ordering is identical either way."""
+    rows = (base if base is not None else index.term_stats).filter(pred).select(
+        "term", "df", "idf", "term_hash"
+    )
     if max_expansions is not None:
         rows = rows.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions)
     return rows.collect()
@@ -1583,6 +1588,45 @@ def _dismax_bucket_fn(idf_map: dict[int, float], conf, avgdl: float, k: int):
     return fn
 
 
+def ensure_term_grams(index: Index, q: int = GRAM_Q) -> DataFrame:
+    """The index's q-gram dictionary sidecar (build.build_term_grams) —
+    loaded for on-disk indexes, built once and pinned in executor memory
+    for in-memory ones (cached on the Index handle, so repeated fuzzy/
+    suggest calls share it the way repeated queries share term_stats)."""
+    if index.term_grams is None:
+        g = build_term_grams(index.term_stats, q).persist()
+        g.count()
+        index.term_grams = g
+    return index.term_grams
+
+
+def _gram_candidates(
+    gram_index: DataFrame, word: str, fuzziness: int, q: int = GRAM_Q
+) -> DataFrame | None:
+    """Candidate vocabulary terms for `word` within `fuzziness` edits, by
+    the distinct-q-gram count filter. SOUND bound: one edit rewrites at
+    most q of the word's length-q windows, hence destroys at most q
+    distinct gram KINDS (a kind survives while any of its occurrences
+    does), so a term within f edits still contains >= |D| - q*f of word's
+    |D| distinct grams. The returned frame is the gram-pruned equi-scan
+    (IN(grams) hits only the query word's own grams' row groups in the
+    gram-sorted sidecar) + a count filter — candidate-set-sized, to be
+    Levenshtein-verified by the caller. None when the bound is vacuous
+    (|D| - q*f < 1) — callers fall back to the banded linear scan (the
+    short-word region, where the length band is narrow anyway)."""
+    grams = sorted({word[i : i + q] for i in range(len(word) - q + 1)})
+    need = len(grams) - q * fuzziness
+    if need < 1:
+        return None
+    return (
+        gram_index.filter(F.col("gram").isin(grams))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") >= need)
+        .select("term")
+    )
+
+
 def topk_fuzzy(
     index: Index,
     word: str,
@@ -1590,6 +1634,7 @@ def topk_fuzzy(
     fuzziness: int = 1,
     max_expansions: int = 50,
     prefix_length: int = 0,
+    gram_index: DataFrame | None = None,
 ) -> DataFrame:
     """ES `fuzzy` query: expand `word` to indexed terms within Levenshtein
     distance `fuzziness`, score each doc as the MAX BM25 contribution over
@@ -1611,7 +1656,17 @@ def topk_fuzzy(
     prefix_length characters must match exactly (a startswith the scan can
     push as a string-range predicate; Lucene's default is 0 but real
     deployments set 1-2 precisely for this cost reason). levenshtein
-    itself uses the bounded threshold form (early-exit DP, Spark 3.5+)."""
+    itself uses the bounded threshold form (early-exit DP, Spark 3.5+).
+
+    When the index carries the q-gram dictionary sidecar (build_term_grams
+    — on-disk indexes since round 5; ensure_term_grams builds it for
+    in-memory ones; `gram_index` overrides), the DP runs only over the
+    q-gram candidate set (_gram_candidates: terms sharing >= |D|-q·f of
+    the word's distinct grams — a sound superset of the true expansion),
+    semi-joined into the dictionary before pred: sub-linear in vocab, the
+    join-shaped analogue of Lucene's FST automaton intersection. Results
+    are byte-identical to the linear path: candidates are a superset, the
+    same Levenshtein predicate and top_terms cap decide membership."""
     spark = index.postings.sparkSession
     pred = (F.length("term") >= len(word) - fuzziness) & (
         F.length("term") <= len(word) + fuzziness
@@ -1619,7 +1674,15 @@ def topk_fuzzy(
     if prefix_length > 0:
         pred = pred & F.col("term").startswith(word[:prefix_length])
     lev = F.levenshtein(F.col("term"), F.lit(word), fuzziness)
-    exp = _expansions(index, pred & (lev >= 0) & (lev <= fuzziness), max_expansions)
+    gi = gram_index if gram_index is not None else index.term_grams
+    base = None
+    if gi is not None:
+        cand = _gram_candidates(gi, word, fuzziness)
+        if cand is not None:
+            base = index.term_stats.join(cand, "term", "left_semi")
+    exp = _expansions(
+        index, pred & (lev >= 0) & (lev <= fuzziness), max_expansions, base=base
+    )
     if not exp:
         return spark.createDataFrame([], _HIT)
     idf_map = {int(r["term_hash"]): float(r["idf"]) for r in exp}
@@ -2092,6 +2155,7 @@ def suggest_terms(
     text: str,
     max_edits: int = 2,
     size: int = 3,
+    gram_index: DataFrame | None = None,
 ) -> DataFrame:
     """ES term suggester: per misspelled input token, candidate corrections
     from the index vocabulary within `max_edits` Levenshtein, ranked the ES
@@ -2104,7 +2168,14 @@ def suggest_terms(
     distance is bounded below by the length difference) pushed to the scan
     BEFORE the levenshtein evaluation, and Spark 3.5+'s bounded
     `levenshtein(l, r, threshold)` form, which early-exits the DP row scan
-    past the band. Output (input, suggestion, distance, df), ordered
+    past the band. When the index carries the q-gram sidecar (or
+    `gram_index` is passed), tokens with a non-vacuous q-gram bound skip
+    the band scan entirely: one gram-pruned probe of the sidecar covering
+    ALL such tokens at once (a broadcast (input, gram) join → per-(input,
+    term) shared-gram count >= need — see _gram_candidates for soundness)
+    yields the candidate set, Levenshtein-verified exactly like the band
+    path; short tokens (vacuous bound) keep the band scan. Byte-identical
+    output either way. Output (input, suggestion, distance, df), ordered
     (input, distance, df desc, suggestion)."""
     spark = index.term_stats.sparkSession
     toks = sorted(set(tokenize(text)))
@@ -2118,19 +2189,54 @@ def suggest_terms(
     missing = [t for t in toks if t not in known]
     if not missing:
         return spark.createDataFrame([], out_schema)
-    qdf = F.broadcast(
-        spark.createDataFrame([(t, len(t)) for t in missing], "input string, qlen int")
-    )
+    gi = gram_index if gram_index is not None else index.term_grams
+    banded, gram_rows, needs = [], [], []
+    for t in missing:
+        grams = sorted({t[i : i + GRAM_Q] for i in range(len(t) - GRAM_Q + 1)})
+        need = len(grams) - GRAM_Q * max_edits
+        if gi is None or need < 1:
+            banded.append(t)
+        else:
+            gram_rows.extend((t, g) for g in grams)
+            needs.append((t, need))
+    verify = F.levenshtein(F.col("term"), F.col("input"), max_edits)
+    frames = []
+    if banded:
+        qdf = F.broadcast(
+            spark.createDataFrame(
+                [(t, len(t)) for t in banded], "input string, qlen int"
+            )
+        )
+        frames.append(
+            index.term_stats.select("term", "df", F.length("term").alias("tlen"))
+            .join(
+                qdf,
+                (F.col("tlen") >= F.col("qlen") - max_edits)
+                & (F.col("tlen") <= F.col("qlen") + max_edits),
+            )
+            .select("input", "term", "df")
+        )
+    if needs:
+        qg = F.broadcast(
+            spark.createDataFrame(gram_rows, "input string, gram string")
+        )
+        nd = F.broadcast(spark.createDataFrame(needs, "input string, need int"))
+        cand_g = (
+            gi.join(qg, "gram")
+            .groupBy("input", "term")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .join(nd, "input")
+            .filter(F.col("_m") >= F.col("need"))
+            .select("input", "term")
+        )
+        frames.append(
+            cand_g.join(index.term_stats.select("term", "df"), "term").select(
+                "input", "term", "df"
+            )
+        )
+    cand = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
     cand = (
-        index.term_stats.select("term", "df", F.length("term").alias("tlen"))
-        .join(
-            qdf,
-            (F.col("tlen") >= F.col("qlen") - max_edits)
-            & (F.col("tlen") <= F.col("qlen") + max_edits),
-        )
-        .withColumn(
-            "distance", F.levenshtein(F.col("term"), F.col("input"), max_edits)
-        )
+        cand.withColumn("distance", verify)
         .filter((F.col("distance") >= 0) & (F.col("distance") <= max_edits))
         .filter(F.col("distance") > 0)
     )
