@@ -736,6 +736,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index(spark, sf), "mrge datta the", max_edits=2, size=3
         )
 
+    def regexp_match(spark, sf):
+        # ES regexp query: anchored full-term regex 's(low|ort|can|park)'
+        # expanded against the dictionary (rlike, capped like top_terms),
+        # constant-score ids of docs containing any matched term
+        # (webindex/query.py topk_regexp)
+        from webindex.query import topk_regexp
+
+        return topk_regexp(_index(spark, sf), "s(low|ort|can|park)", 10)
+
+    def bm25_range_filter(spark, sf):
+        # ES bool {must: match "data merge", filter: range n_chars
+        # [250, 450]}: relevance scoring + pure-filter-context doc-values
+        # predicate (webindex/query.py topk_filtered)
+        from webindex.query import topk_filtered
+
+        stored = _docs(spark, sf).select("doc_id", "n_chars")
+        hits = topk_filtered(
+            _index(spark, sf), "data merge", stored,
+            "n_chars BETWEEN 250 AND 450", 10,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_exists_filter(spark, sf):
+        # ES bool {must: match, filter: exists 'alt_lang'} — existence
+        # filter over a derived nullable doc-values column (NULLIF keeps
+        # the nullability data-driven) (webindex/query.py topk_filtered)
+        from webindex.query import topk_filtered
+
+        stored = _docs(spark, sf).select(
+            "doc_id", F.expr("nullif(lang, 'en')").alias("alt_lang")
+        )
+        hits = topk_filtered(
+            _index(spark, sf), "data merge", stored,
+            F.col("alt_lang").isNotNull(), 10,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def terms_set_match(spark, sf):
+        # ES terms_set: docs containing >= minimum_should_match_field(doc)
+        # of {data, merge, index}, threshold 1 + pmod(doc_id, 2) read from
+        # a stored field, scored as the matched subset's BM25 sum
+        # (webindex/query.py topk_terms_set)
+        from webindex.query import topk_terms_set
+
+        stored = _docs(spark, sf).select(
+            "doc_id", F.expr("1 + pmod(doc_id, 2)").alias("required_matches")
+        )
+        hits = topk_terms_set(
+            _index(spark, sf), ["data", "merge", "index"], stored,
+            "required_matches", 10,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def pinned_promote(spark, sf):
+        # ES pinned query: doc_ids [3, 1] promoted in that order above the
+        # organic "data merge" ranking, excluded from the organic section
+        # (webindex/query.py topk_pinned)
+        from webindex.query import topk_pinned
+
+        hits = topk_pinned(_index(spark, sf), [3, 1], "data merge", 10)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    def rrf_hybrid_weighted(spark, sf):
+        # ES weighted RRF (rrf retriever per-child weight): text ranking
+        # weighted 0.7, kNN ranking 0.3 — rrf = Σ w_r/(60 + rank_r)
+        # (webindex/simsearch.py rrf_hybrid weights)
+        from webindex.simsearch import rrf_hybrid
+
+        emb = _embeddings(spark, sf)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        hits = rrf_hybrid(
+            _index(spark, sf), emb, "data merge", qvec, k=10, window=50,
+            weights=(0.7, 0.3),
+        )
+        return hits.select("doc_id", F.round("score", 6).alias("score"))
+
     def suggest_spell_gram(spark, sf):
         # Same term suggester through the q-gram dictionary sidecar: one
         # gram-pruned probe covers all non-vacuous tokens at once; short
@@ -1427,7 +1506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_cross_fields": bm25_cross_fields,
         "bm25_match_bool_prefix": bm25_match_bool_prefix,
         "rrf_hybrid": rrf_hybrid_search,
+        "rrf_hybrid_weighted": rrf_hybrid_weighted,
         "knn_filtered": knn_filtered,
+        "regexp_match": regexp_match,
+        "bm25_range_filter": bm25_range_filter,
+        "bm25_exists_filter": bm25_exists_filter,
+        "terms_set_match": terms_set_match,
+        "pinned_promote": pinned_promote,
         "multimodal_bmp_stats": multimodal_bmp_stats,
         # -- tier 2: green in r1-r3, not re-run in r4 --
         "coalesce_fallback": coalesce_fallback,
@@ -2589,6 +2674,71 @@ SELECT doc_id,
 FROM m
 """
 
+    sql["regexp_match"] = f"""
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM (SELECT doc_id, {toks} AS tk FROM documents)
+WHERE len(list_filter(tk, t -> regexp_full_match(t, 's(low|ort|can|park)'))) > 0
+ORDER BY doc_id ASC LIMIT 10
+"""
+    sql["bm25_range_filter"] = f"""
+SELECT doc_id, round(score, 4) AS score
+FROM (
+  SELECT s.doc_id, s.score FROM ({_bm25_score_subquery(["data", "merge"])}) s
+  JOIN documents d ON s.doc_id = d.doc_id
+  WHERE d.n_chars BETWEEN 250 AND 450
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+)
+"""
+    sql["bm25_exists_filter"] = f"""
+SELECT doc_id, round(score, 4) AS score
+FROM (
+  SELECT s.doc_id, s.score FROM ({_bm25_score_subquery(["data", "merge"])}) s
+  JOIN documents d ON s.doc_id = d.doc_id
+  WHERE nullif(d.lang, 'en') IS NOT NULL
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+)
+"""
+    sql["terms_set_match"] = f"""
+WITH cnt AS (
+  SELECT doc_id,
+         len(list_filter(['data', 'merge', 'index'],
+                         t -> list_contains(tk, t)))::INT AS n_matched
+  FROM (SELECT doc_id, {toks} AS tk FROM documents)
+),
+s AS ({_bm25_score_subquery(["data", "merge", "index"])})
+SELECT doc_id, round(score, 4) AS score
+FROM (
+  SELECT s.doc_id, s.score
+  FROM s JOIN cnt ON s.doc_id = cnt.doc_id
+  WHERE cnt.n_matched >= 1 + (s.doc_id % 2)
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+)
+"""
+    sql["pinned_promote"] = f"""
+WITH pinned AS (
+  SELECT * FROM (VALUES
+    (3::BIGINT, 3.4028235e38 / 1),
+    (1::BIGINT, 3.4028235e38 / 2)
+  ) AS t(doc_id, score)
+  WHERE doc_id IN (SELECT doc_id FROM documents)
+),
+organic AS (
+  SELECT doc_id, score FROM ({_bm25_score_subquery(["data", "merge"])})
+  WHERE doc_id NOT IN (3, 1)
+)
+SELECT doc_id, round(score, 4) AS score
+FROM (
+  SELECT * FROM (SELECT * FROM pinned UNION ALL SELECT * FROM organic)
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+"""
+    sql["rrf_hybrid_weighted"] = sql["rrf_hybrid"].replace(
+        "coalesce(1.0 / (60 + t.r), 0.0) + coalesce(1.0 / (60 + k2.r), 0.0)",
+        "coalesce(0.7 / (60 + t.r), 0.0) + coalesce(0.3 / (60 + k2.r), 0.0)",
+    )
+    assert sql["rrf_hybrid_weighted"] != sql["rrf_hybrid"], (
+        "rrf weighted-oracle rewrite missed — the rrf_hybrid SQL changed"
+    )
     # the q-gram-sidecar entries are byte-identical-by-contract to their
     # linear-scan siblings (same query, pruned dictionary touch) — the
     # oracle is deliberately THE SAME SQL, so a gram-path bug that changes

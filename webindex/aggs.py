@@ -70,6 +70,37 @@ def ids_for_hashes(index: Index, hashes: list[int], msm: int = 1) -> DataFrame:
     return blocks.groupBy("bucket").applyInPandas(fn, schema=_IDS)
 
 
+def ids_with_counts(index: Index, hashes: list[int]) -> DataFrame:
+    """(doc_id, n_matched) — how many DISTINCT terms of a term-hash set
+    each matching doc contains (>= 1 by construction). The count kernel
+    for per-doc minimum_should_match (ES terms_set): same pruned IN scan
+    and bucket-local decode as ids_for_hashes — a doc's postings for every
+    query term share its doc-range bucket, so the bucket-local unique
+    count is the exact global count — with the multiplicity kept instead
+    of thresholded. Integer-only work; no scoring floats."""
+    spark = index.postings.sparkSession
+    schema = "doc_id long, n_matched int"
+    if not hashes:
+        return spark.createDataFrame([], schema)
+    qn = index.conf.quantize_norms
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_all = []
+        for dbuf, tbuf, lbuf in zip(pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]):
+            ids, _, _ = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
+            ids_all.append(ids)
+        if not ids_all:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "n_matched": np.array([], dtype=np.int32)}
+            )
+        u, c = np.unique(np.concatenate(ids_all), return_counts=True)
+        return pd.DataFrame({"doc_id": u, "n_matched": c.astype(np.int32)})
+
+    blocks = index.postings.filter(F.col("term_hash").isin(hashes))
+    return blocks.groupBy("bucket").applyInPandas(fn, schema=schema)
+
+
 def significant_terms(
     index: Index,
     query: str,

@@ -1553,6 +1553,34 @@ def topk_wildcard(
     )
 
 
+def topk_regexp(
+    index: Index, pattern: str, k: int = 10,
+    max_expansions: int | None = MAX_CLAUSE_COUNT,
+) -> DataFrame:
+    """ES `regexp` query: the pattern must match the WHOLE term (Lucene
+    RegexpQuery anchors implicitly), constant-score rewrite like wildcard/
+    prefix, expansion capped like top_terms (df desc, term asc). The
+    dictionary pass is a distributed rlike over term_stats — vocab-scale,
+    never collected whole; only matched terms' postings are scanned.
+
+    Dialect note: stick to the syntax subset Java regex (the engine),
+    RE2/DuckDB (the oracle) and Lucene's own regexp all agree on —
+    literals, char classes, ., *, +, ?, {m,n}, alternation, grouping. No
+    lookaround (Lucene doesn't support it either)."""
+    from webindex.aggs import ids_for_hashes
+
+    exp = _expansions(
+        index, F.col("term").rlike(f"^(?:{pattern})$"), max_expansions
+    )
+    ids = ids_for_hashes(index, [int(r["term_hash"]) for r in exp])
+    return (
+        ids.withColumn("score", F.lit(1.0))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
 def _dismax_bucket_fn(idf_map: dict[int, float], conf, avgdl: float, k: int):
     """applyInPandas fn: one bucket's expansion-term blocks -> local top-k
     under dis_max scoring (score = MAX over matched expansions of that
@@ -2148,6 +2176,128 @@ def matching_doc_ids_of(index: Index, query: str, msm: int = 1) -> DataFrame:
     from webindex.aggs import matching_doc_ids
 
     return matching_doc_ids(index, query, msm)
+
+
+def topk_filtered(
+    index: Index,
+    query: str,
+    stored: DataFrame,
+    predicate: F.Column | str,
+    k: int = 10,
+    msm: int = 1,
+) -> DataFrame:
+    """ES bool {must: match, filter: <doc-values predicate>} — the
+    relevance-plus-structured-filter query (range on a numeric/date field,
+    `exists` via col.isNotNull(), term on a keyword field). The filter is
+    pure filter context: it constrains, never scores — exactly ES.
+
+    Plan: the text side keeps the fused exhaustive-BM25 kernel
+    (match_scores: pruned IN(term_hash) scan, one bucket stage,
+    deterministic term-rank summation); the filter side is a pushable
+    predicate on the stored-fields table (Catalyst pushes range/notnull
+    into the parquet scan); they meet in a doc_id-keyed LEFT SEMI join —
+    fixed-width rows, AQE-broadcastable when the filter is selective —
+    then TakeOrderedAndProject. θ-seeded WAND pruning is deliberately NOT
+    used here: its bound would need the filter's per-bucket selectivity to
+    stay sound (a pruned bucket might hold the k-th best FILTERED doc),
+    and ES likewise evaluates bool filters as an intersect during scoring.
+    Ties doc_id asc. Output (doc_id, score)."""
+    from webindex.aggs import match_scores
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    ids = stored.filter(pred).select("doc_id")
+    return (
+        match_scores(index, query, msm)
+        .join(ids, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def topk_terms_set(
+    index: Index,
+    terms: list[str],
+    stored: DataFrame,
+    msm_field: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES `terms_set` query: match docs containing at least
+    `minimum_should_match_field`(doc) — a PER-DOC threshold read from a
+    stored field — of the given terms; score = sum of the matched terms'
+    BM25 contributions (Lucene CoveringQuery combines matched clauses'
+    scores; unmatched terms contribute nothing, so the sum equals the
+    plain match disjunction score over the doc's matched subset).
+
+    Plan: two passes over the same pruned IN(term_hash) scan — the fused
+    BM25 kernel (deterministic term-rank summation) for scores, and the
+    integer-only ids_with_counts kernel for per-doc distinct-match counts
+    (the per-doc threshold can't ride the scoring kernel: it lives outside
+    the postings, and a bucket-local cut under a varying threshold would
+    be unsound). Both outputs are match-set-sized fixed-width frames; the
+    threshold field joins doc_id-keyed, then TakeOrderedAndProject. Docs
+    whose threshold exceeds the given term count can never qualify —
+    mirrored by construction since n_matched <= len(terms)."""
+    from webindex.aggs import ids_with_counts, match_scores
+
+    spark = index.postings.sparkSession
+    toks = sorted(set(t for term in terms for t in tokenize(term)))
+    if not toks:
+        return spark.createDataFrame([], _HIT)
+    stats = _query_terms(index, " ".join(toks))
+    scores = match_scores(index, " ".join(toks), msm=1)
+    counts = ids_with_counts(index, [h for (_, _, h) in stats.values()])
+    req = stored.select(
+        "doc_id", F.col(msm_field).cast("int").alias("_required")
+    )
+    return (
+        scores.join(counts, "doc_id")
+        .join(req, "doc_id")
+        .filter(F.col("n_matched") >= F.col("_required"))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ES pinned-query promotion base: Lucene PinnedQueryBuilder gives pinned
+# docs Float.MAX_VALUE-anchored scores so they always outrank organic
+# hits. Position i pins at PIN_BASE / (1 + i) — NOT base minus rank: at
+# 3.4e38 the float64 ulp is ~3.9e22, so subtracting small ranks collapses
+# to equal scores and the tiebreak would reorder the pins by doc_id;
+# division keeps every pinned score distinct, descending, and far above
+# any BM25 score.
+PIN_BASE = 3.4028235e38
+
+
+def topk_pinned(
+    index: Index, pinned_ids: list[int], query: str, k: int = 10
+) -> DataFrame:
+    """ES `pinned` query: the given ids rank first IN THE GIVEN ORDER
+    (whether or not they match), organic BM25 hits follow, pinned ids
+    excluded from the organic section (ES dedupes). Pinned scores descend
+    by position (PIN_BASE / (1 + i) — see PIN_BASE for why not
+    subtraction), so one (score desc, doc_id asc) order covers both
+    sections.
+
+    Pinned ids that don't exist in the index are dropped (ES resolves pins
+    by id lookup) — a doc_stats semi-join, metadata-scale — and organic
+    hits fill the freed slots: the organic side keeps the full θ-pruned
+    WAND plan cut at k + |pinned| (a sound superset — excluding pinned
+    rows can only promote organic docs already inside that cut), and the
+    final (score desc, doc_id asc) limit k does the sectioning."""
+    spark = index.postings.sparkSession
+    pins = [int(d) for d in pinned_ids[:k]]
+    pinned_df = spark.createDataFrame(
+        [(d, PIN_BASE / (1 + i)) for i, d in enumerate(pins)], _HIT
+    ).join(index.doc_stats.select("doc_id"), "doc_id", "left_semi")
+    organic = topk_wand(index, query, k + len(pins))
+    if pins:
+        organic = organic.filter(~F.col("doc_id").isin(pins))
+    return (
+        pinned_df.unionByName(organic)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def suggest_terms(

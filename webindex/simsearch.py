@@ -196,12 +196,17 @@ def rrf_hybrid(
     window: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    weights: tuple[float, float] = (1.0, 1.0),
 ) -> DataFrame:
     """ES 8.8 hybrid search with reciprocal rank fusion (`rank: {rrf}`):
     fuse the BM25 ranking of `query` with the cosine-kNN ranking of
     `query_vec` by
 
-        rrf(doc) = Σ over rankings r of 1 / (rank_constant + rank_r(doc))
+        rrf(doc) = Σ over rankings r of w_r / (rank_constant + rank_r(doc))
+
+    `weights` = (w_text, w_knn) is ES's weighted RRF (the rrf retriever's
+    per-child `weight`, ES 8.18): each ranking's reciprocal-rank
+    contribution is scaled before the sum — (1, 1) is classic RRF
 
     where rank_r is the doc's 1-based position in ranking r and docs absent
     from a ranking contribute nothing for it — exactly ES's rank_window_size
@@ -221,6 +226,7 @@ def rrf_hybrid(
     if not (0 < k <= window):
         raise ValueError("need 0 < k <= window")
     rc = float(rank_constant)
+    w_text, w_knn = float(weights[0]), float(weights[1])
     text = topk_wand(index, query, window).withColumn(
         "r", F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id")))
     )
@@ -228,8 +234,12 @@ def rrf_hybrid(
     knn = knn.withColumn(
         "r", F.row_number().over(W.orderBy(F.desc("cos"), F.asc("vec_id")))
     ).withColumnRenamed("vec_id", "doc_id")
-    t = text.select("doc_id", (F.lit(1.0) / (F.lit(rc) + F.col("r"))).alias("a"))
-    v = knn.select("doc_id", (F.lit(1.0) / (F.lit(rc) + F.col("r"))).alias("b"))
+    t = text.select(
+        "doc_id", (F.lit(w_text) / (F.lit(rc) + F.col("r"))).alias("a")
+    )
+    v = knn.select(
+        "doc_id", (F.lit(w_knn) / (F.lit(rc) + F.col("r"))).alias("b")
+    )
     return (
         t.join(v, "doc_id", "full")
         .select(
