@@ -592,6 +592,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sig = significant_terms(_index(spark, sf), "slow", size=10)
         return sig.select("term", "fg_count", F.round("score", 4).alias("score"))
 
+    def agg_significant_text(spark, sf):
+        # ES significant_text: JLH significance from RE-ANALYZING the free
+        # text of the top-100-by-BM25 sample of docs matching "slow" —
+        # foreground counts from the sampled rows' tokens, background from
+        # term_stats (webindex/aggs.py significant_text)
+        from webindex.aggs import significant_text
+
+        stored = _docs(spark, sf).select("doc_id", "text")
+        sig = significant_text(
+            _index(spark, sf), stored, "slow", sample=100, size=10
+        )
+        return sig.select(
+            "term", "fg_count", F.round("score", 4).alias("score")
+        )
+
     def agg_hist_nchars(spark, sf):
         # ES histogram aggregation (interval=100 over n_chars) for docs
         # matching "data merge"; empty buckets omitted (min_doc_count=1)
@@ -1575,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_date_histogram": agg_date_histogram,
         "agg_top_hits": agg_top_hits,
         "agg_significant_sampled": agg_significant_sampled,
+        "agg_significant_text": agg_significant_text,
         "search_sort_nchars": search_sort_nchars,
         "suggest_spell": suggest_spell,
         "suggest_spell_gram": suggest_spell_gram,
@@ -2674,6 +2690,34 @@ SELECT doc_id,
 FROM m
 """
 
+    sql["agg_significant_text"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+c AS (SELECT count(*) AS n FROM tok),
+s AS ({_bm25_score_subquery(["slow"])}),
+samp AS (SELECT doc_id FROM s ORDER BY score DESC, doc_id ASC LIMIT 100),
+fgsize AS (SELECT count(*) AS s FROM samp),
+fgc AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_count
+  FROM (
+    SELECT t.doc_id, unnest(list_distinct(t.toks)) AS term
+    FROM tok t JOIN samp USING(doc_id)
+  ) GROUP BY term
+),
+bdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term
+)
+SELECT term, fg_count, round(score, 4) AS score
+FROM (
+  SELECT f.term, f.fg_count,
+         ((f.fg_count / CAST(fgsize.s AS DOUBLE)) - (b.df / CAST(c.n AS DOUBLE)))
+         * ((f.fg_count / CAST(fgsize.s AS DOUBLE)) / (b.df / CAST(c.n AS DOUBLE)))
+           AS score
+  FROM fgc f JOIN bdf b USING(term) CROSS JOIN fgsize CROSS JOIN c
+  WHERE f.term <> 'slow' AND f.fg_count >= 3
+  ORDER BY score DESC, term ASC LIMIT 10
+)
+"""
     sql["regexp_match"] = f"""
 SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM (SELECT doc_id, {toks} AS tk FROM documents)

@@ -606,3 +606,99 @@ def test_function_score_per_bucket_extrema_prunes_skewed(spark):
     assert d_bucket < d_global, (d_bucket, d_global)
     # the cold buckets carry ~7/8 of the corpus; most of their decodes go
     assert d_bucket <= d_global // 2, (d_bucket, d_global)
+
+
+def _sig_text_expected(corpus, oracle, query, sample, size, min_doc_count,
+                       sample_ids=None):
+    """Driver-side significant_text recomputation: top-`sample` matching
+    docs by BM25, per-term sampled-doc counts vs whole-corpus df, JLH."""
+    if sample_ids is None:
+        ranked = oracle.topk(query, sample)
+        sample_ids = [d for d, _ in ranked]
+    fg_size = float(len(sample_ids))
+    fg: dict[str, int] = {}
+    for d in sample_ids:
+        for t in set(tokenize(corpus["text"][d])):
+            fg[t] = fg.get(t, 0) + 1
+    df: dict[str, int] = {}
+    for i in range(N_DOCS):
+        for t in set(tokenize(corpus["text"][i])):
+            df[t] = df.get(t, 0) + 1
+    exclude = set(tokenize(query))
+    out = []
+    for t, c in fg.items():
+        if t in exclude or c < min_doc_count:
+            continue
+        fgp, bgp = c / fg_size, df[t] / float(N_DOCS)
+        out.append((t, c, (fgp - bgp) * (fgp / bgp)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return [(t, c, round(s, 9)) for t, c, s in out[:size]]
+
+
+def test_significant_text_vs_recomputation(spark, idx, corpus, oracle):
+    from webindex.aggs import significant_text
+
+    stored = spark.createDataFrame(corpus[["doc_id", "text"]])
+    got = [
+        (r["term"], r["fg_count"], round(r["score"], 9))
+        for r in significant_text(
+            idx, stored, "merge", sample=50, size=10
+        ).collect()
+    ]
+    want = _sig_text_expected(corpus, oracle, "merge", 50, 10, 3)
+    assert got == want
+    assert len(got) > 0
+
+
+def test_significant_text_background_scan_equals_index(spark, idx, corpus):
+    """When text_col IS the indexed field, background='scan' must agree
+    with background='index' (df definitions coincide)."""
+    from webindex.aggs import significant_text
+
+    stored = spark.createDataFrame(corpus[["doc_id", "text"]])
+    a = significant_text(idx, stored, "merge", sample=50, size=10).collect()
+    b = significant_text(
+        idx, stored, "merge", sample=50, size=10, background="scan"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_significant_text_filter_duplicate_text(spark, idx, corpus, oracle):
+    """Exact-content duplicates in the sample collapse to the min-doc_id
+    winner before counting."""
+    import pandas as pd
+
+    from webindex.aggs import significant_text
+
+    dup = corpus.copy()
+    # duplicate the best-matching doc's text into a higher doc_id
+    best = oracle.topk("merge", 1)[0][0]
+    victim = int(dup["doc_id"].iloc[-1])
+    dup.loc[dup["doc_id"] == victim, "text"] = dup["text"][best]
+    stored = spark.createDataFrame(dup[["doc_id", "text"]])
+    idx2 = build_index(
+        spark, spark.createDataFrame(dup), text_col="text",
+        doc_id_method="provided", range_width=32,
+    )
+    ranked = OracleIndex(
+        {i: dup["text"][i] for i in range(N_DOCS)}
+    ).topk("merge", 50)
+    sample_ids = [d for d, _ in ranked]
+    # dedup: md5-canonical-equal texts keep the smallest doc_id
+    seen, kept = {}, []
+    for d in sorted(sample_ids):
+        key = " ".join(tokenize(dup["text"][d]))
+        if key not in seen:
+            seen[key] = d
+            kept.append(d)
+    got = [
+        (r["term"], r["fg_count"], round(r["score"], 9))
+        for r in significant_text(
+            idx2, stored, "merge", sample=50, size=10,
+            filter_duplicate_text=True,
+        ).collect()
+    ]
+    want = _sig_text_expected(
+        dup, None, "merge", 50, 10, 3, sample_ids=kept
+    )
+    assert got == want

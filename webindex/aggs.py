@@ -275,6 +275,110 @@ def significant_terms(
     return spark.createDataFrame(rows, "term string, fg_count long, score double")
 
 
+def significant_text(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    text_col: str = "text",
+    size: int = 10,
+    sample: int = 200,
+    min_doc_count: int = 3,
+    msm: int = 1,
+    filter_duplicate_text: bool = False,
+    background: str = "index",
+) -> DataFrame:
+    """ES `significant_text` aggregation: JLH-scored term significance from
+    RE-ANALYZING the free text of a relevance sample of matching docs —
+    ES's for-text sibling of significant_terms, built for fields where a
+    full fielddata load would be prohibitive: it only ever analyzes the
+    sampled docs' source text. Foreground = the top-`sample` matching docs
+    by BM25 (ES docs pair significant_text with a sampler parent for
+    exactly this cost reason; we bake it in like significant_terms's
+    sample=); fg_count = sampled docs CONTAINING the term (distinct per
+    doc). Background df comes from term_stats when `background="index"`
+    (text_col is the indexed field — free) or from one tokenize-aggregate
+    scan of `stored` when `background="scan"` (arbitrary unindexed text
+    columns — the honest full pass ES would also pay via a lookup index).
+
+    `filter_duplicate_text` mirrors ES's near-dup noise guard with a
+    deterministic exact-content dedup (md5 of canonical tokens, min-doc_id
+    winner) over the sample — ES's own filter is a lossier streaming
+    near-dup; ours is exact, which can only keep MORE docs.
+
+    Scale shape: the sample ids are driver-known (sample is small by
+    contract — same as sampler significant_terms); the analyze pass
+    touches `sample` rows of stored text via a pushable IN(doc_id) probe
+    of the doc_id-sorted table; the fg aggregate is at most
+    sample × distinct-terms-per-doc rows, map-side combined; the
+    vocab-scale join to the background is left to AQE. Output
+    (term, fg_count, score), jlh desc / term asc."""
+    from webindex.dedup import tokens_col
+
+    spark = index.postings.sparkSession
+    if background not in ("index", "scan"):
+        raise ValueError("background must be 'index' or 'scan'")
+    top = (
+        match_scores(index, query, msm)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(sample)
+        .select("doc_id")
+        .collect()
+    )
+    ids = [int(r["doc_id"]) for r in top]
+    empty = "term string, fg_count long, score double"
+    if not ids:
+        return spark.createDataFrame([], empty)
+    fg_docs = stored.filter(F.col("doc_id").isin(ids)).select(
+        "doc_id", text_col
+    )
+    if filter_duplicate_text:
+        canon = F.md5(F.concat_ws(" ", tokens_col(text_col)))
+        kept = (
+            fg_docs.select("doc_id", canon.alias("_c"))
+            .groupBy("_c")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+            .collect()
+        )
+        ids = sorted(int(r["doc_id"]) for r in kept)
+        fg_docs = fg_docs.filter(F.col("doc_id").isin(ids))
+    fg_size = float(len(ids))
+    fg_counts = (
+        fg_docs.select(
+            F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+    )
+    if background == "index":
+        bg = index.term_stats.select("term", "df")
+        n_docs = float(index.n_docs)
+    else:
+        bg = (
+            stored.select(
+                F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        n_docs = float(stored.count())
+    exclude = sorted(set(_query_terms(index, query)))
+    return (
+        fg_counts.join(bg, "term")
+        .filter(~F.col("term").isin(exclude))
+        .filter(F.col("fg_count") >= min_doc_count)
+        .withColumn("fgp", F.col("fg_count") / F.lit(fg_size))
+        .withColumn("bgp", F.col("df") / F.lit(n_docs))
+        .withColumn(
+            "score",
+            (F.col("fgp") - F.col("bgp")) * (F.col("fgp") / F.col("bgp")),
+        )
+        .select("term", "fg_count", "score")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+    )
+
+
 def terms_agg(
     index: Index,
     stored: DataFrame,
