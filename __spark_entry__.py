@@ -1187,6 +1187,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = lang_id(_docs(spark, sf))
         return li.select("doc_id", "pred_lang", F.col("lang_hits").cast("long").alias("lang_hits"))
 
+    def q_lang_train(spark, sf):
+        # distributed NB char-bigram trainer: the parameter table itself is
+        # the verified output (lang × vocab-gram, add-one-smoothed logp)
+        from webindex.textstats import train_char_ngram_model
+
+        return train_char_ngram_model(_docs(spark, sf), n=2, top_grams=50)
+
+    def q_lang_id_model(spark, sf):
+        # train-then-score round trip: the broadcast-model inference path
+        # (one Arrow-vectorized linear scan, byte-coded n-gram counting)
+        from webindex.textstats import lang_id_model, train_char_ngram_model
+
+        docs = _docs(spark, sf)
+        model = train_char_ngram_model(docs, n=2, top_grams=50)
+        return lang_id_model(docs, model, n=2)
+
     def q_embedding_neardup(spark, sf):
         # banded sign-LSH scale path (equi-join on (band, bucket), no
         # cartesian) verified against the exact all-pairs oracle: 32 bands of
@@ -1516,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tier 4 = remaining r4-green entries.
     return {
         # -- tier 1: first driver check happens this round --
+        "lang_train_ngram": q_lang_train,
+        "lang_id_model": q_lang_id_model,
         "delete_visibility": delete_visibility,
         "bm25_most_fields": bm25_most_fields,
         "bm25_cross_fields": bm25_cross_fields,
@@ -2688,6 +2706,67 @@ SELECT doc_id,
             ELSE '{_last}' END AS pred_lang,
        mx::BIGINT AS lang_hits
 FROM m
+"""
+
+    # trainable NB char-bigram model: the CTE chain mirrors
+    # train_char_ngram_model's contract clause by clause (canon analyzer,
+    # raw bigram counts, per-lang top-50 by (c desc, gram asc), union
+    # vocab, dense langs × V smoothing, round-6 logp)
+    _ngram_model_ctes = f"""
+canon AS (
+  SELECT lang, doc_id, array_to_string({toks}, ' ') AS s FROM documents
+),
+gr AS (
+  SELECT lang, s[i:i+1] AS gram
+  FROM canon, unnest(generate_series(1, length(s) - 1)) AS u(i)
+  WHERE lang IS NOT NULL AND length(s) >= 2
+),
+counts AS (SELECT lang, gram, count(*)::BIGINT AS c FROM gr GROUP BY 1, 2),
+kept AS (
+  SELECT lang, gram FROM (
+    SELECT lang, gram,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rn
+    FROM counts) WHERE rn <= 50
+),
+vocab AS (SELECT DISTINCT gram FROM kept),
+vsize AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+dense AS (
+  SELECT l.lang, g.gram, coalesce(c.c, 0)::BIGINT AS c
+  FROM (SELECT DISTINCT lang FROM counts) l
+  CROSS JOIN vocab g
+  LEFT JOIN counts c ON c.lang = l.lang AND c.gram = g.gram
+),
+tot AS (SELECT lang, sum(c)::DOUBLE AS tot FROM dense GROUP BY lang),
+model AS (
+  SELECT d.lang, d.gram, round(ln((d.c + 1) / (t.tot + vsize.v)), 6) AS logp
+  FROM dense d JOIN tot t USING (lang) CROSS JOIN vsize
+)"""
+
+    sql["lang_train_ngram"] = f"""
+WITH {_ngram_model_ctes}
+SELECT lang, gram, logp FROM model
+"""
+
+    sql["lang_id_model"] = f"""
+WITH {_ngram_model_ctes},
+dgr AS (
+  SELECT doc_id, s[i:i+1] AS gram
+  FROM canon, unnest(generate_series(1, length(s) - 1)) AS u(i)
+),
+sc AS (
+  SELECT d.doc_id, m.lang, round(sum(m.logp), 6) AS score
+  FROM dgr d JOIN model m USING (gram)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+    FROM sc) WHERE rn = 1
+)
+SELECT c.doc_id, coalesce(b.lang, 'und') AS pred_lang
+FROM (SELECT DISTINCT doc_id FROM canon) c
+LEFT JOIN best b USING (doc_id)
 """
 
     sql["agg_significant_text"] = f"""

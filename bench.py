@@ -213,12 +213,23 @@ def main() -> None:
             ).collect()
             per.append(time.monotonic() - t0)
         extras["bool_query"] = min(per)
+        # fuzzy_query stays the LINEAR dictionary pass (r3/r4-comparable);
+        # fuzzy_query_gram is the round-5 q-gram-sidecar path on the same
+        # word (same results by contract, pruned dictionary touch)
+        _tg, idx.term_grams = idx.term_grams, None
         per = []
         for _ in range(2):
             t0 = time.monotonic()
             topk_fuzzy(idx, "merge", 10).collect()
             per.append(time.monotonic() - t0)
         extras["fuzzy_query"] = min(per)
+        idx.term_grams = _tg
+        per = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            topk_fuzzy(idx, "merge", 10).collect()
+            per.append(time.monotonic() - t0)
+        extras["fuzzy_query_gram"] = min(per)
         per = []
         for _ in range(2):
             t0 = time.monotonic()

@@ -116,6 +116,72 @@ def test_lang_id_heuristic_langs(spark):
     assert got[0] == "de" and got[1] == "es" and got[2] == "fr" and got[3] == "und"
 
 
+def test_lang_ngram_model_train_and_score(spark):
+    """Trained NB char-bigram model: (a) parameter table honors the
+    documented contract (dense langs × V, add-one smoothing, round-6 logp);
+    (b) inference recovers the training language on held-in text; (c) no
+    in-vocab gram -> 'und'; (d) empty/NULL text -> 'und'."""
+    import math
+
+    from webindex.textstats import lang_id_model, train_char_ngram_model
+
+    rows = [
+        (0, "aaab aaab aaab aaab", "aa"),
+        (1, "aaba aaba aaba aaba", "aa"),
+        (2, "zzzy zzzy zzzy zzzy", "zz"),
+        (3, "zyzz zyzz zyzz zyzz", "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = train_char_ngram_model(df, n=2, top_grams=3)
+    rows_m = model.collect()
+    langs = {r["lang"] for r in rows_m}
+    vocab = {r["gram"] for r in rows_m}
+    assert langs == {"aa", "zz"}
+    # dense: every (lang, gram) pair present
+    assert len(rows_m) == len(langs) * len(vocab)
+    # contract spot-check: recompute one weight by hand
+    by = {(r["lang"], r["gram"]): r["logp"] for r in rows_m}
+    # count c('aa', g) over canon 'aaab aaab aaab aaab' + 'aaba aaba aaba aaba'
+    def count_bigrams(texts):
+        c = {}
+        for t in texts:
+            for i in range(len(t) - 1):
+                g = t[i : i + 2]
+                c[g] = c.get(g, 0) + 1
+        return c
+
+    c_aa = count_bigrams(["aaab aaab aaab aaab", "aaba aaba aaba aaba"])
+    tot_aa = sum(v for g, v in c_aa.items() if g in vocab)
+    v = len(vocab)
+    for g in vocab:
+        want = round(math.log((c_aa.get(g, 0) + 1) / (tot_aa + v)), 6)
+        assert by[("aa", g)] == pytest.approx(want, abs=1e-9)
+
+    test = spark.createDataFrame(
+        [(10, "aaab aaba"), (11, "zzzy zyzz"), (12, "qqqq"), (13, None), (14, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id_model(test, model, n=2).collect()}
+    assert got[10] == "aa" and got[11] == "zz"
+    assert got[12] == "und"  # 'qq' never in either top-3 vocab
+    assert got[13] == "und" and got[14] == "und"
+
+
+def test_lang_ngram_model_tie_breaks_lang_asc(spark):
+    """Symmetric corpora make every score tie; the argmax must pick the
+    ascending-first language on BOTH the vectorized engine path and the
+    oracle contract."""
+    from webindex.textstats import lang_id_model, train_char_ngram_model
+
+    rows = [(0, "abab abab", "l2"), (1, "abab abab", "l1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = train_char_ngram_model(df, n=2, top_grams=5)
+    got = lang_id_model(
+        spark.createDataFrame([(5, "abab")], "doc_id long, text string"), model
+    ).collect()
+    assert got[0]["pred_lang"] == "l1"
+
+
 def test_cosine_topk_and_lsh(spark):
     from webindex.simsearch import cosine_topk_bruteforce, cosine_topk_lsh
 

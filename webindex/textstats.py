@@ -114,6 +114,162 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def train_char_ngram_model(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n: int = 2,
+    top_grams: int = 200,
+) -> DataFrame:
+    """Fit a multinomial-Naive-Bayes character-n-gram language model —
+    the DISTRIBUTED training half of the pluggable lang-ID hook (the
+    fastText/CLD-class model stand-in lang_id's docstring promises; same
+    shape: per-class n-gram log-probabilities). Deterministic contract
+    (mirrored exactly by the model-scoring oracle SQL and lang_id_model):
+
+      canon(doc)   = tokens joined by ' ' (the shared analyzer — no
+                     whitespace/punctuation dialect between engine/oracle)
+      c(lang, g)   = occurrences of char n-gram g in lang's canon texts
+      kept(lang)   = top `top_grams` grams by (c desc, g asc)
+      G            = union of kept grams across langs, V = |G|
+      w(lang, g∈G) = round(ln((c(lang, g) + 1) / (tot(lang) + V)), 6),
+                     tot(lang) = Σ_{g∈G} c(lang, g)   (add-one smoothing;
+                     the round-6 makes the parameter table hash-stable
+                     across libm implementations — JVM StrictMath vs
+                     DuckDB ln differ in the last ulp)
+
+    Output: one DENSE row per (lang, gram ∈ G) — langs × V rows, DRIVER-
+    SCALE BY CONSTRUCTION (the model is the reduction; at any corpus size
+    the parameter table stays ≤ |langs|·top_grams·n_langs rows), ready to
+    broadcast into lang_id_model. Training itself is two shuffles of
+    (lang, gram) longs: one count aggregate, one top-k window per lang —
+    both map-side combined, corpus-scale-safe."""
+    canon = F.concat_ws(" ", tokens_col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(canon) - (n - 1), F.lit(0))),
+        lambda i: canon.substr(i, F.lit(n)),
+    )
+    counts = (
+        docs.filter(F.col(label_col).isNotNull() & (F.length(canon) >= n))
+        .select(F.col(label_col).alias("lang"), F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
+    kept = counts.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= top_grams
+    )
+    union_g = kept.select("gram").distinct()
+    langs = counts.select("lang").distinct()
+    dense = (
+        langs.crossJoin(union_g)  # langs × V — model-scale, not data-scale
+        .join(counts, ["lang", "gram"], "left")
+        .select("lang", "gram", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    v = union_g.count()
+    tot = dense.groupBy("lang").agg(F.sum("c").alias("tot"))
+    return (
+        dense.join(tot, "lang")
+        .select(
+            "lang",
+            "gram",
+            F.round(
+                F.log((F.col("c") + 1) / (F.col("tot") + F.lit(float(v)))), 6
+            ).alias("logp"),
+        )
+    )
+
+
+def lang_id_model(
+    docs: DataFrame,
+    model: DataFrame | list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """(doc_id, pred_lang) — language ID under a BROADCAST parameter table:
+    `model` is (lang, gram, logp) rows from train_char_ngram_model (or any
+    externally-trained drop-in with the same schema — this is the hook a
+    real fastText/CLD substitute plugs into). score(doc, lang) = Σ over
+    the doc's canon n-gram OCCURRENCES that are in the model vocabulary of
+    logp(lang, gram), ROUNDED to 6 decimals (so the argmax is stable under
+    summation-order float drift between engine and oracle); argmax, ties
+    lang asc; docs with no in-vocabulary gram -> 'und'.
+
+    Scale shape: the parameter table is model-scale (langs × V — see the
+    trainer), collected once and closed over into ONE Arrow-batched
+    mapInPandas pass; no shuffle, no join — the inference cost is one
+    linear scan of the corpus regardless of model origin. Inside each
+    batch the work is pure numpy: the canon text is ASCII by construction
+    ([a-z0-9 ] from the shared tokenizer), so each char n-gram packs into
+    an int64 byte-code; windows are matched to the vocabulary with one
+    searchsorted, counted with one add.at, and scored with one (docs × V)
+    @ (V × langs) matmul — no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    rows = model.collect() if isinstance(model, DataFrame) else list(model)
+    langs = sorted({r["lang"] for r in rows})
+    grams = sorted({r["gram"] for r in rows})
+    g_ix = {g: i for i, g in enumerate(grams)}
+    l_ix = {l: j for j, l in enumerate(langs)}
+    W = np.zeros((len(grams), len(langs)), dtype=np.float64)
+    for r in rows:
+        W[g_ix[r["gram"]], l_ix[r["lang"]]] = float(r["logp"])
+    lang_arr = np.array(langs)
+
+    def _pack(b: bytes) -> int:
+        code = 0
+        for ch in b:
+            code = (code << 8) | ch
+        return code
+
+    # sorted int64 codes of the vocabulary + their column index in W
+    vocab_codes = np.array(sorted(_pack(g.encode("ascii")) for g in grams), dtype=np.int64)
+    vocab_cols = np.array(
+        [g_ix[g] for g in sorted(grams, key=lambda g: _pack(g.encode("ascii")))],
+        dtype=np.int64,
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            texts = pdf["_canon"].fillna("").to_list()
+            nb = len(ids)
+            # one buffer: docs joined by NUL (never in canon, so window
+            # codes spanning a boundary can't collide with vocab codes)
+            buf = np.frombuffer(("\x00".join(texts)).encode("ascii"), dtype=np.uint8)
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            starts = np.zeros(nb, dtype=np.int64)
+            if nb > 1:
+                starts[1:] = np.cumsum(lens[:-1] + 1)
+            cnt = np.zeros((nb, len(grams)), dtype=np.float64)
+            n_win = len(buf) - n + 1
+            if n_win > 0:
+                codes = np.zeros(n_win, dtype=np.int64)
+                for k in range(n):
+                    codes = (codes << 8) | buf[k : k + n_win].astype(np.int64)
+                pos = np.searchsorted(vocab_codes, codes)
+                pos_c = np.minimum(pos, len(vocab_codes) - 1)
+                hit = vocab_codes[pos_c] == codes
+                # doc index of each window start (separators resolve to the
+                # preceding doc, but their codes never hit the vocab)
+                doc_of = np.searchsorted(starts, np.arange(n_win), side="right") - 1
+                np.add.at(cnt, (doc_of[hit], vocab_cols[pos_c[hit]]), 1.0)
+            scores = np.round(cnt @ W, 6)  # (docs, langs)
+            seen = cnt.sum(axis=1) > 0
+            pred = lang_arr[np.argmax(scores, axis=1)]  # first max = lang asc
+            pred = np.where(seen, pred, "und")
+            yield pd.DataFrame({"doc_id": ids, "pred_lang": pred})
+
+    canon = F.concat_ws(" ", tokens_col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), canon.alias("_canon")
+    ).mapInPandas(score, schema="doc_id long, pred_lang string")
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
