@@ -1187,6 +1187,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = lang_id(_docs(spark, sf))
         return li.select("doc_id", "pred_lang", F.col("lang_hits").cast("long").alias("lang_hits"))
 
+    def q_repetition_stats(spark, sf):
+        # Gopher-style repetition quality signals — per-row folds, no shuffle
+        from webindex.textstats import repetition_stats
+
+        return repetition_stats(_docs(spark, sf))
+
+    def q_pii_scrub(spark, sf):
+        # the synthetic corpus carries no PII, so the entry plants a
+        # deterministic doc-derived email/phone/ip in each text (engine and
+        # oracle inject the SAME string), then verifies count + redaction;
+        # clean text is md5'd so the hash compare stays cheap
+        from webindex.textstats import pii_scrub
+
+        docs = _docs(spark, sf).withColumn(
+            "text",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example or 555-123-4567 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        out = pii_scrub(docs)
+        return out.select(
+            "doc_id", "n_email", "n_phone", "n_ipv4",
+            F.md5("clean_text").alias("clean_md5"),
+        )
+
+    def q_source_curation(spark, sf):
+        from webindex.textstats import source_stats
+
+        return source_stats(_docs(spark, sf), blocklist=["src3", "src7"])
+
     def q_lang_train(spark, sf):
         # distributed NB char-bigram trainer: the parameter table itself is
         # the verified output (lang × vocab-gram, add-one-smoothed logp)
@@ -1534,6 +1568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 1: first driver check happens this round --
         "lang_train_ngram": q_lang_train,
         "lang_id_model": q_lang_id_model,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "source_curation": q_source_curation,
         "delete_visibility": delete_visibility,
         "bm25_most_fields": bm25_most_fields,
         "bm25_cross_fields": bm25_cross_fields,
@@ -2767,6 +2804,103 @@ best AS (
 SELECT c.doc_id, coalesce(b.lang, 'und') AS pred_lang
 FROM (SELECT DISTINCT doc_id FROM canon) c
 LEFT JOIN best b USING (doc_id)
+"""
+
+    # Gopher-style repetition signals: the SQL computes the bigram mode via
+    # explode+group (fine at oracle scale); the engine computes the same
+    # mode with an in-row sorted fold (no shuffle) — same (count desc,
+    # bigram asc) winner by construction
+    sql["repetition_stats"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+big AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+  FROM t, unnest(generate_series(1, len(tk) - 1)) u(i)
+  WHERE len(tk) >= 2
+),
+bc AS (SELECT doc_id, gram, count(*)::BIGINT AS c FROM big GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, gram, c FROM (
+    SELECT doc_id, gram, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+    FROM bc) WHERE rn = 1
+),
+chars AS (
+  SELECT doc_id, coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS tc
+  FROM t
+),
+g5 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(tk) - 4),
+                        i -> array_to_string(tk[i:i+4], ' ')) AS grams
+  FROM t
+),
+runs AS (
+  SELECT doc_id, max(cnt)::BIGINT AS max_run FROM (
+    SELECT doc_id, rid, count(*) AS cnt FROM (
+      SELECT doc_id, i,
+             sum(CASE WHEN i = 1 OR tk[i] != tk[i-1] THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS rid
+      FROM t, unnest(generate_series(1, len(tk))) u(i)
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT t.doc_id,
+       round(CASE WHEN top.c IS NOT NULL AND chars.tc > 0
+                  THEN top.c * (length(top.gram) - 1) / chars.tc::DOUBLE
+                  ELSE 0.0 END, 6) AS top_bigram_frac,
+       round(CASE WHEN len(g5.grams) > 0
+                  THEN (len(g5.grams) - len(list_distinct(g5.grams)))::DOUBLE
+                       / len(g5.grams)
+                  ELSE 0.0 END, 6) AS dup_5gram_frac,
+       coalesce(runs.max_run, 0)::BIGINT AS max_token_run
+FROM t
+JOIN chars USING (doc_id) JOIN g5 USING (doc_id)
+LEFT JOIN top USING (doc_id) LEFT JOIN runs USING (doc_id)
+"""
+
+    # pii_scrub: patterns come from textstats.PII_PATTERNS (single source
+    # of truth; RE2 ∩ Java-regex subset) — injection string matches the
+    # entry's Spark-side concat exactly
+    from webindex.textstats import PII_PATTERNS as _PII
+
+    sql["pii_scrub"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact u' || doc_id::VARCHAR
+           || '@mail.example or 555-123-4567 at 10.0.0.'
+           || (doc_id % 256)::VARCHAR AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII["email"]}'))::BIGINT AS n_email,
+         regexp_replace(text, '{_PII["email"]}', '<EMAIL>', 'g') AS t1
+  FROM t
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '{_PII["ipv4"]}'))::BIGINT AS n_ipv4,
+         regexp_replace(t1, '{_PII["ipv4"]}', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t2, '{_PII["phone"]}'))::BIGINT AS n_phone,
+         regexp_replace(t2, '{_PII["phone"]}', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_email, n_phone, n_ipv4, md5(t3) AS clean_md5 FROM s3
+"""
+
+    sql["source_curation"] = f"""
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(len({toks}))::BIGINT AS total_tokens,
+       round(avg(length(coalesce(text, ''))), 6) AS avg_nchars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       (source IN ('src3', 'src7')) AS blocked
+FROM documents
+GROUP BY source
 """
 
     sql["agg_significant_text"] = f"""

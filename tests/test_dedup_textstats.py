@@ -182,6 +182,75 @@ def test_lang_ngram_model_tie_breaks_lang_asc(spark):
     assert got[0]["pred_lang"] == "l1"
 
 
+def test_repetition_stats_contract(spark):
+    """Gopher-style signals: hand-computed fractions, tie-break bigram asc,
+    consecutive-run fold, and the empty/short-doc zero cases."""
+    from webindex.textstats import repetition_stats
+
+    rows = [
+        # 'a b a b a' -> bigrams: 'a b'x2, 'b a'x2 -> tie -> 'a b' (asc);
+        # frac = 2 * 3-1=... len('a b')-1 = 2 chars; tok_chars = 5
+        (0, "a b a b a"),
+        # run of 4 'x'; 5-grams: 'x x x x x' dup? tokens: x x x x y ->
+        # one 5-gram only -> dup frac 0; max run 4
+        (1, "x x x x y"),
+        # 6 identical tokens: 5-grams 'z z z z z' x2 -> dup frac 0.5
+        (2, "z z z z z z"),
+        (3, ""),  # empty
+        (4, None),  # null
+        (5, "solo"),  # 1 token: no bigrams, no 5-grams, run 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[0]["top_bigram_frac"] == pytest.approx(2 * 2 / 5, abs=1e-6)
+    assert got[0]["max_token_run"] == 1
+    assert got[1]["max_token_run"] == 4
+    assert got[1]["dup_5gram_frac"] == 0.0
+    assert got[2]["dup_5gram_frac"] == pytest.approx(0.5, abs=1e-6)
+    assert got[2]["max_token_run"] == 6
+    for d in (3, 4):
+        assert got[d]["top_bigram_frac"] == 0.0
+        assert got[d]["dup_5gram_frac"] == 0.0
+        assert got[d]["max_token_run"] == 0
+    assert got[5]["top_bigram_frac"] == 0.0 and got[5]["max_token_run"] == 1
+
+
+def test_pii_scrub_counts_and_order(spark):
+    from webindex.textstats import pii_scrub
+
+    rows = [
+        (0, "mail me at jo.doe+x@site.example or call 555-123-4567"),
+        (1, "server at 192.168.0.1 and 10.0.0.7"),
+        (2, "no pii here"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 1
+    assert "<EMAIL>" in got[0]["clean_text"] and "<PHONE>" in got[0]["clean_text"]
+    assert "jo.doe" not in got[0]["clean_text"]
+    assert got[1]["n_ipv4"] == 2 and got[1]["clean_text"].count("<IP>") == 2
+    assert got[2]["n_email"] == got[2]["n_phone"] == got[2]["n_ipv4"] == 0
+    assert got[3]["clean_text"] == ""
+
+
+def test_source_stats_blocklist(spark):
+    from webindex.textstats import source_stats
+
+    rows = [
+        (0, "one two", "en", "good.example"),
+        (1, "three", "de", "good.example"),
+        (2, "four five six", "en", "spam.example"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r for r in source_stats(df, blocklist=["spam.example"]).collect()}
+    assert got["good.example"]["n_docs"] == 2
+    assert got["good.example"]["total_tokens"] == 3
+    assert got["good.example"]["n_langs"] == 2
+    assert not got["good.example"]["blocked"]
+    assert got["spam.example"]["blocked"]
+
+
 def test_cosine_topk_and_lsh(spark):
     from webindex.simsearch import cosine_topk_bruteforce, cosine_topk_lsh
 

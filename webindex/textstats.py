@@ -352,3 +352,182 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col).alias("doc_id"),
         F.md5(F.concat_ws(" ", tokens_col(text_col))).alias("fp"),
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the repetition-removal half of
+    the quality filter a training-data pipeline runs over every document).
+    Deterministic contract, mirrored exactly by the oracle SQL:
+
+      top_bigram_frac  chars in the most frequent word 2-gram:
+                       count(top) * (len('w1 w2') - 1) / Σ len(token);
+                       top by (count desc, bigram asc); 0.0 when < 2 tokens
+      dup_5gram_frac   fraction of word-5-gram occurrences that are
+                       repeats: (n_5grams - n_distinct) / n_5grams;
+                       0.0 when < 5 tokens
+      max_token_run    longest run of one token repeated consecutively
+                       (0 for empty docs)
+
+    Scale shape: ZERO shuffle — every signal is a single-pass fold inside
+    the row (whole-stage codegen). The bigram mode is computed by sorting
+    the row's bigram array and folding run lengths (O(m log m) per doc,
+    never the O(m²) explode+groupBy that would shuffle (doc, bigram) pairs
+    corpus-wide). Each stage is its own projection (see
+    winnow_fingerprints' CollapseProject note)."""
+    empty = F.array().cast("array<string>")
+    d = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # staged: bigrams ('w1 w2'), sorted; 5-grams
+    d = d.select(
+        "doc_id",
+        "_toks",
+        F.when(
+            n >= 2,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("_toks"), i),
+                        F.element_at(F.col("_toks"), i + 1),
+                    ),
+                )
+            ),
+        ).otherwise(empty).alias("_big"),
+        F.when(
+            n >= 5,
+            F.transform(
+                F.sequence(F.lit(1), n - 4),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 5)),
+            ),
+        ).otherwise(empty).alias("_g5"),
+    )
+    # fold the SORTED bigram array: track current run + best (count, gram).
+    # Strict > keeps the FIRST (= ascending-smallest) gram at equal count.
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("bc"),
+        F.lit("").alias("bg"),
+    )
+
+    def step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = new_run > acc["bc"]
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, new_run).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    best = F.aggregate(F.col("_big"), zero, step)
+    tok_chars = F.aggregate(
+        F.col("_toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    # consecutive-run fold over the raw token stream
+    rzero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")
+    )
+
+    def rstep(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["mx"], new_run).alias("mx"),
+        )
+
+    runs = F.aggregate(F.col("_toks"), rzero, rstep)
+    n5 = F.size(F.col("_g5"))
+    return d.select(
+        "doc_id",
+        F.round(
+            F.when(
+                (best["bc"] > 0) & (tok_chars > 0),
+                best["bc"] * (F.length(best["bg"]) - 1) / tok_chars,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(
+                n5 > 0,
+                (n5 - F.size(F.array_distinct(F.col("_g5")))).cast("double") / n5,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_5gram_frac"),
+        # NULL text -> NULL token array -> NULL fold result; that's an empty
+        # doc (0-run), not an unknown
+        F.coalesce(runs["mx"], F.lit(0)).cast("long").alias("max_token_run"),
+    )
+
+
+# PII patterns shared by engine and oracle (Java regex ∩ RE2 syntax — no
+# backreferences, no lookaround, so DuckDB's RE2 and the JVM agree).
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3,4}[-.]?\d{0,4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_phone, n_ipv4, clean_text) — count + redact the
+    classic PII surface a pre-training pipeline scrubs: emails, phone-like
+    digit groups, IPv4 literals. Replacement tokens are <EMAIL>/<IP>/
+    <PHONE>, applied in THAT fixed order — each pattern runs on the
+    previous pass's redacted text, and IPv4 must precede phone because the
+    looser phone shape (ddd[-.]ddd…) would otherwise eat the front of a
+    dotted quad ('192.168.0' out of '192.168.0.1').
+
+    All JVM-side regexp_count/regexp_replace — zero Python, zero shuffle;
+    the patterns live in PII_PATTERNS so the oracle SQL is generated from
+    the same strings (RE2-compatible subset: both engines parse them
+    identically)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_email = F.regexp_count(text, F.lit(PII_PATTERNS["email"]))
+    t1 = F.regexp_replace(text, PII_PATTERNS["email"], "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_PATTERNS["ipv4"]))
+    t2 = F.regexp_replace(t1, PII_PATTERNS["ipv4"], "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PATTERNS["phone"]))
+    t3 = F.regexp_replace(t2, PII_PATTERNS["phone"], "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_email.cast("long").alias("n_email"),
+        n_phone.cast("long").alias("n_phone"),
+        n_ip.cast("long").alias("n_ipv4"),
+        t3.alias("clean_text"),
+    )
+
+
+def source_stats(
+    docs: DataFrame,
+    blocklist: list[str] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source curation rollup — the domain-level view a corpus curator
+    cuts on before document-level filters: (source, n_docs, total_tokens,
+    avg_nchars, n_langs, blocked). One map-side-combined groupBy on the
+    source key; the blocklist is a LITERAL broadcast membership test
+    (array_contains over a driver-known list — the Spark analogue of
+    joining a broadcast domain-blocklist dim), so no second shuffle."""
+    blocked = (
+        F.array_contains(F.array(*[F.lit(s) for s in blocklist]), F.col("source"))
+        if blocklist
+        else F.lit(False)
+    )
+    toks = tokens_col(text_col)
+    return (
+        docs.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+            F.round(F.avg(F.length(F.coalesce(F.col(text_col), F.lit("")))), 6).alias(
+                "avg_nchars"
+            ),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .withColumn("blocked", blocked)
+    )
