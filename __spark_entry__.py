@@ -706,6 +706,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index(spark, sf), stored, "data merge", "lang", hits_per_group=2
         )
 
+    def _date_hist_parent(spark, sf):
+        # shared parent for the pipeline-agg entries: the agg_date_histogram
+        # monthly buckets (ts derived deterministically from doc_id)
+        from webindex.aggs import date_histogram_agg
+
+        stored = _docs(spark, sf).select("doc_id").withColumn(
+            "ts",
+            F.expr(
+                "timestamp '2025-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, cast(doc_id % 365 as int), 0, 0, 0)"
+            ),
+        )
+        out = date_histogram_agg(_index(spark, sf), stored, "data merge", "ts", "month")
+        return out.select(F.col("bucket").cast("date").alias("bucket"), "doc_count")
+
+    def agg_derivative(spark, sf):
+        # ES derivative pipeline agg over monthly buckets (first bucket NULL)
+        from webindex.aggs import pipeline_agg
+
+        return pipeline_agg(_date_hist_parent(spark, sf), "derivative")
+
+    def agg_cumulative_sum(spark, sf):
+        from webindex.aggs import pipeline_agg
+
+        return pipeline_agg(_date_hist_parent(spark, sf), "cumulative_sum")
+
+    def agg_moving_avg(spark, sf):
+        # trailing 3-bucket mean including current (documented alignment)
+        from webindex.aggs import pipeline_agg
+
+        return pipeline_agg(_date_hist_parent(spark, sf), "moving_avg", window=3)
+
+    def agg_stats_bucket(spark, sf):
+        # ES stats_bucket sibling agg over the monthly doc_count series
+        from webindex.aggs import stats_bucket_agg
+
+        return stats_bucket_agg(_date_hist_parent(spark, sf))
+
+    def agg_bucket_sort(spark, sf):
+        # ES bucket_sort: re-sort lang terms buckets by doc_count ASC, skip
+        # 1, keep 3 (from/size truncation with key-asc tie-break)
+        from webindex.aggs import bucket_sort_agg, terms_agg
+
+        stored = _docs(spark, sf).select("doc_id", "lang")
+        parent = terms_agg(_index(spark, sf), stored, "data merge", "lang", size=100)
+        return bucket_sort_agg(parent, "doc_count", asc=True, size=3, offset=1, key="lang")
+
+    def agg_percentile_ranks(spark, sf):
+        # ES percentile_ranks (exact form): % of matching docs with
+        # n_chars <= v for v in (200, 400, 800) — one conditional-sum pass
+        from webindex.aggs import percentile_ranks_agg
+
+        stored = _docs(spark, sf).select("doc_id", "n_chars")
+        return percentile_ranks_agg(
+            _index(spark, sf), stored, "data merge", "n_chars", [200.0, 400.0, 800.0]
+        )
+
+    def agg_rare_terms(spark, sf):
+        # ES rare_terms: long-tail sources among "slow" matches
+        from webindex.aggs import rare_terms_agg
+
+        stored = _docs(spark, sf).select("doc_id", "source")
+        return rare_terms_agg(
+            _index(spark, sf), stored, "slow", "source", max_doc_count=18
+        )
+
+    def agg_multi_terms(spark, sf):
+        # ES multi_terms: (lang, source) tuple buckets, top-7 by count
+        from webindex.aggs import multi_terms_agg
+
+        stored = _docs(spark, sf).select("doc_id", "lang", "source")
+        return multi_terms_agg(
+            _index(spark, sf), stored, "data merge", ["lang", "source"], size=7
+        )
+
     def agg_significant_sampled(spark, sf):
         # ES sampler>significant_terms: foreground = top-30 "slow" docs by
         # relevance; the decode pass prunes to blocks covering sampled ids
@@ -1571,6 +1646,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "source_curation": q_source_curation,
+        "agg_derivative": agg_derivative,
+        "agg_cumulative_sum": agg_cumulative_sum,
+        "agg_moving_avg": agg_moving_avg,
+        "agg_stats_bucket": agg_stats_bucket,
+        "agg_bucket_sort": agg_bucket_sort,
+        "agg_percentile_ranks": agg_percentile_ranks,
+        "agg_rare_terms": agg_rare_terms,
+        "agg_multi_terms": agg_multi_terms,
         "delete_visibility": delete_visibility,
         "bm25_most_fields": bm25_most_fields,
         "bm25_cross_fields": bm25_cross_fields,
@@ -1802,6 +1885,87 @@ SELECT lang, source, count(*)::BIGINT AS doc_count
 FROM m
 WHERE (lang, source) > ('de', 'src3')
 GROUP BY lang, source ORDER BY lang, source LIMIT 7
+"""
+
+    # shared monthly-bucket parent for the pipeline aggs (same derived ts
+    # as agg_date_histogram)
+    _dh = f"""WITH {_m},
+b AS (
+  SELECT (date_trunc('month',
+           TIMESTAMP '2025-01-01 00:00:00' + (doc_id % 365) * INTERVAL 1 DAY
+         ))::DATE AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM m GROUP BY bucket
+)"""
+
+    sql["agg_derivative"] = f"""
+{_dh}
+SELECT bucket, doc_count,
+       (doc_count - lag(doc_count) OVER (ORDER BY bucket))::DOUBLE AS derivative
+FROM b ORDER BY bucket
+"""
+
+    sql["agg_cumulative_sum"] = f"""
+{_dh}
+SELECT bucket, doc_count,
+       (sum(doc_count) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::DOUBLE
+         AS cumulative_sum
+FROM b ORDER BY bucket
+"""
+
+    sql["agg_moving_avg"] = f"""
+{_dh}
+SELECT bucket, doc_count,
+       round(avg(doc_count) OVER
+               (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg
+FROM b ORDER BY bucket
+"""
+
+    sql["agg_stats_bucket"] = f"""
+{_dh}
+SELECT count(doc_count)::BIGINT AS count,
+       min(doc_count)::DOUBLE AS min,
+       max(doc_count)::DOUBLE AS max,
+       round(avg(doc_count), 6) AS avg,
+       sum(doc_count)::DOUBLE AS sum
+FROM b
+"""
+
+    sql["agg_bucket_sort"] = f"""
+WITH {_m},
+parent AS (
+  SELECT lang, count(*)::BIGINT AS doc_count
+  FROM m GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 100
+)
+SELECT lang, doc_count FROM parent
+ORDER BY doc_count ASC, lang ASC LIMIT 3 OFFSET 1
+"""
+
+    # exact percentile_ranks: one conditional-sum pass per the engine; the
+    # oracle cross-joins the literal values list (non-empty match set at
+    # sf0.01 by construction)
+    sql["agg_percentile_ranks"] = f"""
+WITH {_m}, vals(value) AS (VALUES (200.0), (400.0), (800.0))
+SELECT value::DOUBLE AS value,
+       round(100.0::DOUBLE * sum(CASE WHEN m.n_chars <= value THEN 1 ELSE 0 END)
+             / count(*), 6) AS percent
+FROM m, vals GROUP BY value ORDER BY value
+"""
+
+    sql["agg_rare_terms"] = f"""
+SELECT source, count(*)::BIGINT AS doc_count
+FROM (SELECT doc_id, source, {toks} AS tk FROM documents)
+WHERE list_contains(tk, 'slow')
+GROUP BY source HAVING count(*) <= 18
+ORDER BY doc_count ASC, source ASC
+"""
+
+    sql["agg_multi_terms"] = f"""
+WITH {_m}
+SELECT lang, source, count(*)::BIGINT AS doc_count
+FROM m GROUP BY lang, source
+ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 7
 """
     sql["agg_top_hits"] = f"""
 WITH s AS ({_bm25_score_subquery(["data", "merge"])})

@@ -702,3 +702,74 @@ def test_significant_text_filter_duplicate_text(spark, idx, corpus, oracle):
         dup, None, "merge", 50, 10, 3, sample_ids=kept
     )
     assert got == want
+
+
+def test_pipeline_aggs(spark):
+    """derivative / cumulative_sum / moving_avg over a hand-built bucket
+    frame (pipeline aggs never touch the corpus — they reduce a parent
+    agg's bucket list)."""
+    from webindex.aggs import pipeline_agg
+
+    b = spark.createDataFrame(
+        [(1, 10), (2, 13), (3, 7), (4, 7)], "bucket int, doc_count long"
+    )
+    d = {r["bucket"]: r["derivative"] for r in pipeline_agg(b, "derivative").collect()}
+    assert d[1] is None and d[2] == 3.0 and d[3] == -6.0 and d[4] == 0.0
+    c = {
+        r["bucket"]: r["cumulative_sum"]
+        for r in pipeline_agg(b, "cumulative_sum").collect()
+    }
+    assert c == {1: 10.0, 2: 23.0, 3: 30.0, 4: 37.0}
+    m = {
+        r["bucket"]: r["moving_avg"]
+        for r in pipeline_agg(b, "moving_avg", window=3).collect()
+    }
+    assert m[1] == 10.0 and m[2] == 11.5  # partial leading windows
+    assert m[3] == 10.0 and m[4] == 9.0
+    with pytest.raises(ValueError):
+        pipeline_agg(b, "nope")
+
+
+def test_bucket_sort_and_stats_bucket(spark):
+    from webindex.aggs import bucket_sort_agg, stats_bucket_agg
+
+    b = spark.createDataFrame(
+        [("a", 5), ("b", 2), ("c", 2), ("d", 9)], "bucket string, doc_count long"
+    )
+    # asc by count, tie key asc, skip 1 take 2 -> c(2), a(5)
+    got = [(r["bucket"], r["doc_count"]) for r in
+           bucket_sort_agg(b, "doc_count", asc=True, size=2, offset=1).collect()]
+    assert got == [("c", 2), ("a", 5)]
+    row = stats_bucket_agg(b).collect()[0]
+    assert (row["count"], row["min"], row["max"], row["sum"]) == (4, 2.0, 9.0, 18.0)
+    assert row["avg"] == 4.5
+
+
+def test_percentile_ranks_agg(idx, stored, corpus):
+    from webindex.aggs import percentile_ranks_agg
+
+    v = _vals(corpus, QUERY)
+    vals = [float(np.median(v)), float(v.max())]
+    got = {r["value"]: r["percent"] for r in
+           percentile_ranks_agg(idx, stored, QUERY, "n_chars", vals).collect()}
+    for q in vals:
+        want = round(100.0 * (v <= q).sum() / len(v), 6)
+        assert got[q] == pytest.approx(want, abs=1e-6)
+    assert got[float(v.max())] == 100.0
+
+
+def test_rare_and_multi_terms(idx, stored, corpus):
+    from webindex.aggs import multi_terms_agg, rare_terms_agg
+    from collections import Counter
+
+    m = _matching(corpus, QUERY)
+    src_counts = Counter(corpus["src"][i] for i in m)
+    cut = min(src_counts.values())
+    rare = rare_terms_agg(idx, stored, QUERY, "src", max_doc_count=cut).collect()
+    assert {(r["src"], r["doc_count"]) for r in rare} == {
+        (s, c) for s, c in src_counts.items() if c <= cut
+    }
+    pair_counts = Counter((corpus["lang"][i], corpus["src"][i]) for i in m)
+    top = multi_terms_agg(idx, stored, QUERY, ["lang", "src"], size=3).collect()
+    want = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [((r["lang"], r["src"]), r["doc_count"]) for r in top] == want

@@ -692,3 +692,182 @@ def top_hits_agg(
         )
         .orderBy("group", "rank")
     )
+
+
+def pipeline_agg(
+    buckets: DataFrame,
+    kind: str,
+    metric: str = "doc_count",
+    key: str = "bucket",
+    window: int = 3,
+) -> DataFrame:
+    """ES pipeline aggregations over a PARENT bucket frame (the output of
+    date_histogram/histogram/terms aggs): `derivative` (metric - lag, NULL
+    first bucket), `cumulative_sum`, and `moving_avg` (trailing mean over
+    the last `window` buckets INCLUDING the current one — ES moving_fn
+    with shift=1 alignment; round-6 for cross-engine hash stability).
+
+    Scale shape: in ES these are coordinator-side reductions over the
+    parent agg's ALREADY-REDUCED bucket list — bucket-count scale, never
+    corpus scale. The single-ordering window below is the same thing: by
+    the time this runs, `buckets` is an aggregate output (histogram
+    buckets, term cardinality), so one ordered pass over it is the
+    CORRECT plan at any corpus size; the corpus-scale work happened in the
+    parent agg's map-side-combined shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(key)
+    if kind == "derivative":
+        out = F.col(metric) - F.lag(metric).over(w)
+        return buckets.withColumn("derivative", out.cast("double")).orderBy(key)
+    if kind == "cumulative_sum":
+        cw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return buckets.withColumn(
+            "cumulative_sum", F.sum(metric).over(cw).cast("double")
+        ).orderBy(key)
+    if kind == "moving_avg":
+        mw = w.rowsBetween(-(window - 1), Window.currentRow)
+        return buckets.withColumn(
+            "moving_avg", F.round(F.avg(metric).over(mw), 6)
+        ).orderBy(key)
+    raise ValueError(f"unknown pipeline agg kind: {kind}")
+
+
+def bucket_sort_agg(
+    buckets: DataFrame,
+    sort_field: str,
+    asc: bool = False,
+    size: int | None = None,
+    offset: int = 0,
+    key: str = "bucket",
+) -> DataFrame:
+    """ES `bucket_sort` pipeline agg: re-order the parent's buckets by a
+    metric and truncate (from/size). Tie-break on the bucket key asc so
+    the page cut is total-ordered. Bucket-count scale (see pipeline_agg);
+    offset>0 needs a row_number since Spark has no OFFSET pushdown on
+    DataFrames — still a window over an aggregate output."""
+    from pyspark.sql import Window
+
+    order = [
+        F.asc(sort_field) if asc else F.desc(sort_field),
+        F.asc(key),
+    ]
+    if offset == 0:
+        out = buckets.orderBy(*order)
+        return out.limit(size) if size is not None else out
+    w = Window.orderBy(*order)
+    out = (
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > offset)
+    )
+    if size is not None:
+        out = out.filter(F.col("_rn") <= offset + size)
+    return out.drop("_rn").orderBy(*order)
+
+
+def stats_bucket_agg(
+    buckets: DataFrame, metric: str = "doc_count"
+) -> DataFrame:
+    """ES sibling pipeline aggs (`stats_bucket`, subsuming avg_/min_/max_/
+    sum_bucket): one row of stats over the parent's bucket metric.
+    Bucket-count scale reduction — one global agg over an agg output."""
+    return buckets.agg(
+        F.count(metric).cast("long").alias("count"),
+        F.min(metric).cast("double").alias("min"),
+        F.max(metric).cast("double").alias("max"),
+        F.round(F.avg(metric), 6).alias("avg"),
+        F.sum(metric).cast("double").alias("sum"),
+    )
+
+
+def percentile_ranks_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    field: str,
+    values: list[float],
+    msm: int = 1,
+) -> DataFrame:
+    """ES `percentile_ranks`: for each given value v, the percentage of
+    matching docs whose `field` <= v (the inverse of percentiles; exact
+    form — ES's t-digest approximates this). Output (value, percent)
+    value-asc, round-6.
+
+    One pruned match + keyed join (see terms_agg) + ONE conditional-sum
+    aggregate computing every requested value in the same pass — the
+    values list is user-query scale, so this is corpus-linear with a
+    constant factor, never one pass per value."""
+    ids = matching_doc_ids(index, query, msm)
+    joined = stored.join(ids, "doc_id")
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.when(F.col(field) <= v, 1).otherwise(0)).alias(f"_le_{i}")
+        for i, v in enumerate(values)
+    ]
+    row = joined.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(v)).alias("value"),
+                F.round(
+                    F.when(
+                        F.col("_n") > 0,
+                        100.0 * F.col(f"_le_{i}") / F.col("_n"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("percent"),
+            )
+            for i, v in enumerate(values)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"))
+        .select("p.value", "p.percent")
+        .orderBy("value")
+    )
+
+
+def rare_terms_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    field: str,
+    max_doc_count: int = 1,
+    msm: int = 1,
+) -> DataFrame:
+    """ES `rare_terms`: the long-tail complement of `terms` — buckets for
+    field values whose matching-doc count is <= max_doc_count, ordered
+    (doc_count asc, field asc). Same pruned-filter + keyed-join + map-side
+    combined groupBy plan as terms_agg; the HAVING cut keeps the output
+    tail-sized. (ES bounds memory with a CuckooFilter and accepts false
+    negatives; the exact groupBy is already scale-safe on Spark, so this
+    keeps exact semantics.)"""
+    ids = matching_doc_ids(index, query, msm)
+    return (
+        stored.join(ids, "doc_id")
+        .groupBy(field)
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.asc("doc_count"), F.asc(field))
+    )
+
+
+def multi_terms_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    fields: list[str],
+    size: int = 10,
+    msm: int = 1,
+) -> DataFrame:
+    """ES `multi_terms`: terms buckets keyed by a FIELD TUPLE, top-`size`
+    by doc_count (desc, then key tuple asc — ES's _count order with a
+    deterministic tie-break). One groupBy on the composite key; the limit
+    is a TakeOrdered, so no full bucket set ever sits on one node."""
+    ids = matching_doc_ids(index, query, msm)
+    return (
+        stored.join(ids, "doc_id")
+        .groupBy(*fields)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), *[F.asc(f) for f in fields])
+        .limit(size)
+    )
