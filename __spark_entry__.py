@@ -781,6 +781,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index(spark, sf), stored, "data merge", ["lang", "source"], size=7
         )
 
+    def agg_filters(spark, sf):
+        # ES filters agg: named buckets, one pruned probe each
+        from webindex.aggs import filters_agg
+
+        return filters_agg(_index(spark, sf), {"d": "data", "m": "merge", "s": "slow"})
+
+    def agg_adjacency(spark, sf):
+        # ES adjacency_matrix: singles + pairwise intersections of the
+        # named match sets (doc_id equi-joins, match-set scale)
+        from webindex.aggs import adjacency_matrix_agg
+
+        return adjacency_matrix_agg(
+            _index(spark, sf), {"d": "data", "m": "merge", "s": "slow"}
+        )
+
+    def agg_weighted_avg(spark, sf):
+        # ES weighted_avg: n_chars weighted by token count
+        from webindex.aggs import weighted_avg_agg
+
+        stored = _docs(spark, sf).select(
+            "doc_id", "n_chars", F.size(tokens_col("text")).alias("n_toks")
+        )
+        return weighted_avg_agg(
+            _index(spark, sf), stored, "data merge", "n_chars", "n_toks"
+        )
+
+    def agg_matrix_stats(spark, sf):
+        # ES matrix_stats: population covariance + correlation between
+        # n_chars and token count, every cell from ONE aggregate
+        from webindex.aggs import matrix_stats_agg
+
+        stored = _docs(spark, sf).select(
+            "doc_id", "n_chars", F.size(tokens_col("text")).alias("n_toks")
+        )
+        return matrix_stats_agg(
+            _index(spark, sf), stored, "data merge", ["n_chars", "n_toks"]
+        )
+
+    def agg_histogram_zerofill(spark, sf):
+        # ES histogram with min_doc_count=0 + extended_bounds [0,1500]:
+        # zero-filled skeleton from spark.range, no data pass for the keys
+        from webindex.aggs import histogram_full_agg
+
+        stored = _docs(spark, sf).select("doc_id", "n_chars")
+        return histogram_full_agg(
+            _index(spark, sf), stored, "data merge", "n_chars", 100, (0, 1500)
+        )
+
+    def agg_missing(spark, sf):
+        # ES missing agg: docs whose (derived-nullable) lang field is unset
+        from webindex.aggs import missing_agg
+
+        stored = _docs(spark, sf).select(
+            "doc_id", F.expr("nullif(lang, 'en')").alias("lang_opt")
+        )
+        return missing_agg(_index(spark, sf), stored, "data merge", "lang_opt")
+
     def agg_significant_sampled(spark, sf):
         # ES sampler>significant_terms: foreground = top-30 "slow" docs by
         # relevance; the decode pass prunes to blocks covering sampled ids
@@ -1654,6 +1711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentile_ranks": agg_percentile_ranks,
         "agg_rare_terms": agg_rare_terms,
         "agg_multi_terms": agg_multi_terms,
+        "agg_filters": agg_filters,
+        "agg_adjacency": agg_adjacency,
+        "agg_weighted_avg": agg_weighted_avg,
+        "agg_matrix_stats": agg_matrix_stats,
+        "agg_histogram_zerofill": agg_histogram_zerofill,
+        "agg_missing": agg_missing,
         "delete_visibility": delete_visibility,
         "bm25_most_fields": bm25_most_fields,
         "bm25_cross_fields": bm25_cross_fields,
@@ -1951,6 +2014,80 @@ SELECT value::DOUBLE AS value,
        round(100.0::DOUBLE * sum(CASE WHEN m.n_chars <= value THEN 1 ELSE 0 END)
              / count(*), 6) AS percent
 FROM m, vals GROUP BY value ORDER BY value
+"""
+
+    _tk_doc = f"(SELECT doc_id, lang, n_chars, {toks} AS tk FROM documents)"
+    sql["agg_filters"] = f"""
+SELECT * FROM (
+  SELECT 'd' AS key, count(*)::BIGINT AS doc_count FROM {_tk_doc} WHERE list_contains(tk, 'data')
+  UNION ALL
+  SELECT 'm', count(*)::BIGINT FROM {_tk_doc} WHERE list_contains(tk, 'merge')
+  UNION ALL
+  SELECT 's', count(*)::BIGINT FROM {_tk_doc} WHERE list_contains(tk, 'slow')
+) ORDER BY key
+"""
+
+    sql["agg_adjacency"] = f"""
+SELECT key, doc_count FROM (
+  SELECT 'd' AS key, count(*)::BIGINT AS doc_count FROM {_tk_doc} WHERE list_contains(tk, 'data')
+  UNION ALL SELECT 'm', count(*)::BIGINT FROM {_tk_doc} WHERE list_contains(tk, 'merge')
+  UNION ALL SELECT 's', count(*)::BIGINT FROM {_tk_doc} WHERE list_contains(tk, 'slow')
+  UNION ALL SELECT 'd&m', count(*)::BIGINT FROM {_tk_doc}
+    WHERE list_contains(tk, 'data') AND list_contains(tk, 'merge')
+  UNION ALL SELECT 'd&s', count(*)::BIGINT FROM {_tk_doc}
+    WHERE list_contains(tk, 'data') AND list_contains(tk, 'slow')
+  UNION ALL SELECT 'm&s', count(*)::BIGINT FROM {_tk_doc}
+    WHERE list_contains(tk, 'merge') AND list_contains(tk, 'slow')
+) WHERE doc_count > 0 ORDER BY key
+"""
+
+    sql["agg_weighted_avg"] = f"""
+SELECT round(sum(n_chars::DOUBLE * len(tk))::DOUBLE / sum(len(tk))::DOUBLE, 6)
+         AS weighted_avg
+FROM {_tk_doc}
+WHERE list_contains(tk, 'data') OR list_contains(tk, 'merge')
+"""
+
+    sql["agg_matrix_stats"] = f"""
+WITH j AS (
+  SELECT n_chars::DOUBLE AS n_chars, len(tk)::DOUBLE AS n_toks
+  FROM {_tk_doc}
+  WHERE list_contains(tk, 'data') OR list_contains(tk, 'merge')
+)
+SELECT * FROM (
+  SELECT 'n_chars' AS field_x, 'n_chars' AS field_y, round(avg(n_chars), 6) AS mean_x,
+         round(covar_pop(n_chars, n_chars), 6) AS covariance,
+         round(corr(n_chars, n_chars), 6) AS correlation FROM j
+  UNION ALL
+  SELECT 'n_chars', 'n_toks', round(avg(n_chars), 6),
+         round(covar_pop(n_chars, n_toks), 6), round(corr(n_chars, n_toks), 6) FROM j
+  UNION ALL
+  SELECT 'n_toks', 'n_chars', round(avg(n_toks), 6),
+         round(covar_pop(n_toks, n_chars), 6), round(corr(n_toks, n_chars), 6) FROM j
+  UNION ALL
+  SELECT 'n_toks', 'n_toks', round(avg(n_toks), 6),
+         round(covar_pop(n_toks, n_toks), 6), round(corr(n_toks, n_toks), 6) FROM j
+) ORDER BY field_x, field_y
+"""
+
+    sql["agg_histogram_zerofill"] = f"""
+WITH c AS (
+  SELECT (n_chars // 100) * 100 AS bucket, count(*)::BIGINT AS n
+  FROM {_tk_doc}
+  WHERE list_contains(tk, 'data') OR list_contains(tk, 'merge')
+  GROUP BY bucket
+)
+SELECT g.bucket::BIGINT AS bucket, coalesce(c.n, 0)::BIGINT AS doc_count
+FROM (SELECT unnest(generate_series(0, 1500, 100)) AS bucket) g
+LEFT JOIN c ON c.bucket = g.bucket
+ORDER BY bucket
+"""
+
+    sql["agg_missing"] = f"""
+SELECT sum(CASE WHEN nullif(lang, 'en') IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS doc_count
+FROM {_tk_doc}
+WHERE list_contains(tk, 'data') OR list_contains(tk, 'merge')
 """
 
     sql["agg_rare_terms"] = f"""

@@ -773,3 +773,62 @@ def test_rare_and_multi_terms(idx, stored, corpus):
     top = multi_terms_agg(idx, stored, QUERY, ["lang", "src"], size=3).collect()
     want = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert [((r["lang"], r["src"]), r["doc_count"]) for r in top] == want
+
+
+def test_filters_and_adjacency(idx, corpus):
+    from webindex.aggs import adjacency_matrix_agg, filters_agg
+
+    qs = {"d": "data", "m": "merge"}
+    sets = {k: _matching(corpus, v) for k, v in qs.items()}
+    got = {r["key"]: r["doc_count"] for r in filters_agg(idx, qs).collect()}
+    assert got == {k: len(v) for k, v in sets.items()}
+    adj = {r["key"]: r["doc_count"] for r in adjacency_matrix_agg(idx, qs).collect()}
+    want = {"d": len(sets["d"]), "m": len(sets["m"])}
+    inter = len(sets["d"] & sets["m"])
+    if inter:
+        want["d&m"] = inter
+    assert adj == want
+
+
+def test_weighted_avg_and_matrix_stats(idx, stored, corpus):
+    from webindex.aggs import matrix_stats_agg, weighted_avg_agg
+    from webindex.textproc import tokenize
+
+    m = sorted(_matching(corpus, QUERY))
+    chars = np.array([corpus["n_chars"][i] for i in m], dtype=np.float64)
+    toks = np.array([len(tokenize(corpus["text"][i])) for i in m], dtype=np.float64)
+    st = stored.sparkSession.createDataFrame(
+        [(int(i), int(corpus["n_chars"][i]), int(len(tokenize(corpus["text"][i]))))
+         for i in range(N_DOCS)],
+        "doc_id long, n_chars long, n_toks long",
+    )
+    wa = weighted_avg_agg(idx, st, QUERY, "n_chars", "n_toks").collect()[0]
+    assert wa["weighted_avg"] == pytest.approx(
+        (chars * toks).sum() / toks.sum(), abs=1e-5
+    )
+    ms = {(r["field_x"], r["field_y"]): r for r in
+          matrix_stats_agg(idx, st, QUERY, ["n_chars", "n_toks"]).collect()}
+    cov = np.cov(chars, toks, bias=True)
+    assert ms[("n_chars", "n_toks")]["covariance"] == pytest.approx(cov[0, 1], rel=1e-5)
+    cor = np.corrcoef(chars, toks)[0, 1]
+    assert ms[("n_chars", "n_toks")]["correlation"] == pytest.approx(cor, abs=1e-5)
+    assert ms[("n_chars", "n_chars")]["mean_x"] == pytest.approx(chars.mean(), abs=1e-5)
+
+
+def test_histogram_zerofill_and_missing(idx, stored, corpus):
+    from webindex.aggs import histogram_full_agg, missing_agg
+
+    m = _matching(corpus, QUERY)
+    vals = [int(corpus["n_chars"][i]) for i in m]
+    hi = (max(vals) // 50 + 2) * 50
+    got = {r["bucket"]: r["doc_count"] for r in
+           histogram_full_agg(idx, stored, QUERY, "n_chars", 50, (0, hi)).collect()}
+    # every bucket in range present, zero-filled
+    assert set(got) == set(range(0, hi + 1, 50))
+    from collections import Counter
+    want = Counter((v // 50) * 50 for v in vals)
+    for b in got:
+        assert got[b] == want.get(b, 0)
+    st = stored.withColumn("lang_opt", F.expr("nullif(lang, 'en')"))
+    n_missing = missing_agg(idx, st, QUERY, "lang_opt").collect()[0]["doc_count"]
+    assert n_missing == sum(1 for i in m if corpus["lang"][i] == "en")

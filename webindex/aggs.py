@@ -871,3 +871,173 @@ def multi_terms_agg(
         .orderBy(F.desc("doc_count"), *[F.asc(f) for f in fields])
         .limit(size)
     )
+
+
+def filters_agg(
+    index: Index, queries: dict[str, str], msm: int = 1
+) -> DataFrame:
+    """ES `filters` aggregation: one named bucket per filter query, value =
+    matching-doc count. Each filter resolves through the same pruned
+    posting probe as every other agg (term_hash IN pushdown -> fixed-width
+    doc_id longs -> map-side-combined count); the N named filters are
+    user-query scale, so the plan is N pruned probes unioned into one
+    tiny frame — never a corpus scan per filter. Output (key, doc_count)
+    key asc."""
+    parts = []
+    for name in sorted(queries):
+        ids = matching_doc_ids(index, queries[name], msm)
+        parts.append(ids.agg(F.count(F.lit(1)).alias("doc_count")).select(
+            F.lit(name).alias("key"), F.col("doc_count").cast("long")
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key")
+
+
+def adjacency_matrix_agg(
+    index: Index, filters: dict[str, str], msm: int = 1
+) -> DataFrame:
+    """ES `adjacency_matrix` aggregation: a bucket per named filter and per
+    pairwise INTERSECTION (ES key 'a&b', names sorted). Each filter's
+    match set is a fixed-width doc_id frame; intersections are doc_id
+    equi-joins of those frames (match-set scale, broadcastable when small
+    — never a text scan). Empty buckets are omitted (ES behavior). Output
+    (key, doc_count) key asc."""
+    names = sorted(filters)
+    id_frames = {n: matching_doc_ids(index, filters[n], msm) for n in names}
+    parts = []
+    for i, n in enumerate(names):
+        parts.append(
+            id_frames[n]
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .select(F.lit(n).alias("key"), F.col("doc_count").cast("long"))
+        )
+        for m2 in names[i + 1:]:
+            inter = id_frames[n].join(id_frames[m2], "doc_id")
+            parts.append(
+                inter.agg(F.count(F.lit(1)).alias("doc_count")).select(
+                    F.lit(f"{n}&{m2}").alias("key"),
+                    F.col("doc_count").cast("long"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("doc_count") > 0).orderBy("key")
+
+
+def weighted_avg_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    value_field: str,
+    weight_field: str,
+    msm: int = 1,
+) -> DataFrame:
+    """ES `weighted_avg`: sum(value*weight)/sum(weight) over matching docs
+    (round-6). One pruned match + keyed join + single global agg."""
+    ids = matching_doc_ids(index, query, msm)
+    j = stored.join(ids, "doc_id")
+    return j.agg(
+        F.round(
+            F.sum(F.col(value_field) * F.col(weight_field))
+            / F.sum(weight_field),
+            6,
+        ).alias("weighted_avg")
+    )
+
+
+def matrix_stats_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    fields: list[str],
+    msm: int = 1,
+) -> DataFrame:
+    """ES `matrix_stats`: per ordered field pair (x, y), population
+    covariance and Pearson correlation over matching docs, plus each
+    field's mean/population-variance on the diagonal row. ONE aggregate
+    computes every cell (the built-in covar_pop/corr/var_pop partials are
+    all map-side combinable) — corpus-linear regardless of field count².
+    Output (field_x, field_y, mean_x, covariance, correlation) ordered
+    (field_x, field_y), round-6. (ES streams the same running-moment
+    partials per shard and merges on the coordinator.)"""
+    ids = matching_doc_ids(index, query, msm)
+    j = stored.join(ids, "doc_id")
+    aggs = []
+    for x in fields:
+        aggs.append(F.round(F.avg(x), 6).alias(f"_mean_{x}"))
+        for y in fields:
+            aggs.append(F.round(F.covar_pop(x, y), 6).alias(f"_cov_{x}_{y}"))
+            aggs.append(F.round(F.corr(x, y), 6).alias(f"_cor_{x}_{y}"))
+    row = j.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("field_x"),
+                F.lit(y).alias("field_y"),
+                F.col(f"_mean_{x}").alias("mean_x"),
+                F.col(f"_cov_{x}_{y}").alias("covariance"),
+                F.col(f"_cor_{x}_{y}").alias("correlation"),
+            )
+            for x in fields
+            for y in fields
+        ]
+    )
+    return (
+        row.select(F.explode(cells).alias("c"))
+        .select("c.field_x", "c.field_y", "c.mean_x", "c.covariance", "c.correlation")
+        .orderBy("field_x", "field_y")
+    )
+
+
+def histogram_full_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    field: str,
+    interval: int,
+    bounds: tuple[int, int],
+    msm: int = 1,
+) -> DataFrame:
+    """ES `histogram` with min_doc_count=0 + extended_bounds: EVERY bucket
+    in [lo, hi] appears, zero-filled when no doc lands in it. The bucket
+    skeleton is a spark.range (bounds are user-query scale — a driver-known
+    arithmetic sequence, no data pass), left-joined to the same
+    map-side-combined counts histogram_agg produces; at any corpus size
+    the join's left side is (hi-lo)/interval rows."""
+    ids = matching_doc_ids(index, query, msm)
+    bucket = (F.floor(F.col(field) / interval) * interval).cast("long")
+    counts = (
+        stored.join(ids, "doc_id")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    lo, hi = bounds
+    spark = stored.sparkSession
+    skeleton = spark.range(lo // interval, hi // interval + 1).select(
+        (F.col("id") * interval).cast("long").alias("bucket")
+    )
+    return (
+        skeleton.join(counts, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def missing_agg(
+    index: Index,
+    stored: DataFrame,
+    query: str,
+    field: str,
+    msm: int = 1,
+) -> DataFrame:
+    """ES `missing` aggregation: count of matching docs with no value for
+    `field` (NULL in the stored table). One pruned match + keyed join +
+    conditional count."""
+    ids = matching_doc_ids(index, query, msm)
+    return (
+        stored.join(ids, "doc_id")
+        .agg(F.sum(F.when(F.col(field).isNull(), 1).otherwise(0)).cast("long").alias("doc_count"))
+    )
