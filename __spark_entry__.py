@@ -781,6 +781,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index(spark, sf), stored, "data merge", ["lang", "source"], size=7
         )
 
+    def span_near_ordered(spark, sf):
+        # ES span_near in_order=true: greedy-minimal position chains,
+        # width <= slop (webindex/query.py span_near_docs)
+        from webindex.query import span_near_docs
+
+        return span_near_docs(
+            _index_pos(spark, sf), ["the", "data"], slop=2, in_order=True
+        )
+
+    def span_near_unordered(spark, sf):
+        # ES span_near in_order=false: closest-assignment matching
+        from webindex.query import span_near_docs
+
+        return span_near_docs(
+            _index_pos(spark, sf), ["data", "merge"], slop=1, in_order=False
+        )
+
     def agg_filters(spark, sf):
         # ES filters agg: named buckets, one pruned probe each
         from webindex.aggs import filters_agg
@@ -1711,6 +1728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentile_ranks": agg_percentile_ranks,
         "agg_rare_terms": agg_rare_terms,
         "agg_multi_terms": agg_multi_terms,
+        "span_near_ordered": span_near_ordered,
+        "span_near_unordered": span_near_unordered,
         "agg_filters": agg_filters,
         "agg_adjacency": agg_adjacency,
         "agg_weighted_avg": agg_weighted_avg,
@@ -2014,6 +2033,47 @@ SELECT value::DOUBLE AS value,
        round(100.0::DOUBLE * sum(CASE WHEN m.n_chars <= value THEN 1 ELSE 0 END)
              / count(*), 6) AS percent
 FROM m, vals GROUP BY value ORDER BY value
+"""
+
+    # span_near: greedy-minimal ordered chain / closest-assignment
+    # unordered — the span_near_docs contract clause by clause
+    sql["span_near_ordered"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(0, len(toks) - 1)) AS p
+  FROM tok
+),
+a AS (SELECT doc_id, p AS p0 FROM pos WHERE term = 'the'),
+b AS (SELECT doc_id, p FROM pos WHERE term = 'data'),
+chain AS (
+  SELECT a.doc_id, a.p0, min(b.p) AS p1
+  FROM a JOIN b ON b.doc_id = a.doc_id AND b.p > a.p0
+  GROUP BY a.doc_id, a.p0
+)
+SELECT doc_id, count(*)::BIGINT AS n_spans
+FROM chain WHERE p1 - p0 - 1 <= 2
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+    sql["span_near_unordered"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(0, len(toks) - 1)) AS p
+  FROM tok
+),
+a AS (SELECT doc_id, p AS p0 FROM pos WHERE term = 'data'),
+b AS (SELECT doc_id, p FROM pos WHERE term = 'merge'),
+choice AS (
+  SELECT a.doc_id, a.p0,
+         arg_min(b.p, abs(b.p - a.p0) * 1048576 + b.p) AS p1
+  FROM a JOIN b ON b.doc_id = a.doc_id
+  GROUP BY a.doc_id, a.p0
+)
+SELECT doc_id, count(*)::BIGINT AS n_spans
+FROM choice WHERE greatest(p1, p0) - least(p1, p0) <= 1 + 1
+GROUP BY doc_id ORDER BY doc_id
 """
 
     _tk_doc = f"(SELECT doc_id, lang, n_chars, {toks} AS tk FROM documents)"

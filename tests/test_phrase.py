@@ -389,3 +389,72 @@ def test_phrase_impact_prune_hot_hot(spark):
     assert got == want
     # and the full engine path agrees
     assert _hits(topk_phrase(idx, "aa bb", 5)) == want
+
+
+def _span_brute(corpus, terms, slop, in_order):
+    from webindex.textproc import tokenize
+
+    out = {}
+    n = len(terms)
+    for i in range(N_DOCS):
+        toks = tokenize(corpus["text"][i])
+        pos = {w: [j for j, x in enumerate(toks) if x == w] for w in set(terms)}
+        if any(not pos.get(w) for w in terms):
+            continue
+        cnt = 0
+        for p0 in pos[terms[0]]:
+            if in_order:
+                cur, ok = p0, True
+                for w in terms[1:]:
+                    nxt = [q for q in pos[w] if q > cur]
+                    if not nxt:
+                        ok = False
+                        break
+                    cur = min(nxt)
+                if ok and cur - p0 - (n - 1) <= slop:
+                    cnt += 1
+            else:
+                chosen = [p0] + [
+                    min(pos[w], key=lambda q: (abs(q - p0), q)) for w in terms[1:]
+                ]
+                if max(chosen) - min(chosen) <= slop + n - 1:
+                    cnt += 1
+        if cnt:
+            out[i] = cnt
+    return out
+
+
+def test_span_near_matches_brute_force(pidx, corpus):
+    """span_near (ordered greedy-minimal chains / unordered closest
+    assignment) agrees with a per-doc brute force on every contract case:
+    n=2/3, slop 0..4, duplicate terms, both orders."""
+    from webindex.query import span_near_docs
+
+    cases = [
+        (["the", "data"], 0, True),
+        (["the", "data"], 2, True),
+        (["data", "the", "merge"], 3, True),
+        (["the", "the"], 2, True),
+        (["the", "data"], 1, False),
+        (["data", "merge", "spark"], 4, False),
+    ]
+    any_hits = False
+    for terms, slop, in_order in cases:
+        got = {
+            r["doc_id"]: r["n_spans"]
+            for r in span_near_docs(pidx, terms, slop, in_order).collect()
+        }
+        assert got == _span_brute(corpus, terms, slop, in_order), (terms, slop, in_order)
+        any_hits = any_hits or bool(got)
+    assert any_hits
+
+
+def test_span_near_needs_positions(spark, corpus):
+    from webindex.query import span_near_docs
+
+    flat = build_index(
+        spark, spark.createDataFrame(corpus), text_col="text",
+        doc_id_method="provided", range_width=32, positions=False,
+    )
+    with pytest.raises(ValueError, match="positional"):
+        span_near_docs(flat, ["the", "data"], 1)

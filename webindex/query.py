@@ -3047,3 +3047,120 @@ def topk_match_bool_prefix(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def span_near_docs(
+    index: Index, terms: list[str], slop: int = 0, in_order: bool = False
+) -> DataFrame:
+    """ES `span_near` (the intervals/span family's workhorse) as a
+    constant-score positional match over the positional index:
+    (doc_id, n_spans), doc_id asc. This is the filter-context shape span
+    queries are used in (clause inside bool.filter / intervals);
+    relevance-scored proximity lives in topk_phrase(slop=...).
+
+    Deterministic match contract (mirrored exactly by the oracle SQL):
+
+      in_order=True   each occurrence p0 of terms[0] anchors a GREEDY
+                      MINIMAL chain: p_{i+1} = the smallest position of
+                      terms[i+1] strictly greater than p_i in the same
+                      doc; the anchor matches iff the chain completes and
+                      p_{n-1} - p_0 - (n-1) <= slop (Lucene
+                      NearSpansOrdered's width measure: positions BETWEEN
+                      the matched slots).
+      in_order=False  closest-assignment (the sloppy-phrase kernel's
+                      matcher WITHOUT slot offsets): every other term
+                      picks its occurrence closest to p0 (tie -> the
+                      smaller position); match iff max-min of the chosen
+                      positions <= slop + n - 1.
+
+    n_spans counts matching anchors; partner occurrences may be shared
+    between anchors (deterministic on both engine and oracle — Lucene's
+    iterator consumes them, a documented divergence shared with
+    topk_phrase's sloppy matcher).
+
+    Scale shape: IN(term_hash) pushdown to the positional block scan, one
+    applyInPandas pass per bucket (buckets partition doc space, so bucket
+    outputs concatenate with no merge), vectorized searchsorted chains —
+    no per-anchor Python loop, no shuffle beyond the bucket groupBy."""
+    spark = index.postings.sparkSession
+    if "positions" not in index.postings.columns:
+        raise ValueError(
+            "span queries need a positional index — build with "
+            "build_index(..., positions=True)"
+        )
+    out_schema = "doc_id long, n_spans long"
+    stats = _query_terms(index, " ".join(terms))
+    if not terms or any(t not in stats for t in terms):
+        return spark.createDataFrame([], out_schema)
+    slot_hashes = [stats[t][2] for t in terms]
+    qn = index.conf.quantize_norms
+    n_slots = len(slot_hashes)
+    shift = np.int64(1) << np.int64(32)
+    mask = shift - 1
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "n_spans": []}).astype(
+            {"doc_id": np.int64, "n_spans": np.int64}
+        )
+        pdf = pdf.sort_values(["term_hash", "block_id"]).reset_index(drop=True)
+        per_term: dict[int, tuple] = {}
+        for th in set(slot_hashes):
+            rows = pdf.index[pdf["term_hash"] == th]
+            if len(rows) == 0:
+                return empty
+            pd_list, pp_list = [], []
+            for ri in rows:
+                ids, tfs, _ = codec.decode_block(
+                    bytes(pdf["doc_ids"].iloc[ri]), bytes(pdf["tfs"].iloc[ri]),
+                    bytes(pdf["doc_lens"].iloc[ri]), qn,
+                )
+                pos, _ = codec.decode_positions(bytes(pdf["positions"].iloc[ri]), tfs)
+                pd_list.append(np.repeat(ids, tfs))
+                pp_list.append(pos.astype(np.int64))
+            per_term[th] = (np.concatenate(pd_list), np.concatenate(pp_list))
+        all_docs = np.unique(np.concatenate([per_term[t][0] for t in set(slot_hashes)]))
+        keys_of = {}
+        for th in set(slot_hashes):
+            pdocs, ppos = per_term[th]
+            keys_of[th] = np.searchsorted(all_docs, pdocs).astype(np.int64) * shift + ppos
+
+        a_docs, a_pos = per_term[slot_hashes[0]]
+        aranks = np.searchsorted(all_docs, a_docs).astype(np.int64)
+        if in_order:
+            cur = keys_of[slot_hashes[0]].copy()
+            alive = np.ones(len(cur), dtype=bool)
+            for th in slot_hashes[1:]:
+                skeys = keys_of[th]
+                idx = np.searchsorted(skeys, cur, side="right")
+                ok = idx < len(skeys)
+                idx_c = np.minimum(idx, len(skeys) - 1)
+                cand = skeys[idx_c]
+                alive &= ok & ((cand >> np.int64(32)) == aranks)
+                cur = cand
+            width = (cur & mask) - a_pos - (n_slots - 1)
+            matched = alive & (width <= slop)
+        else:
+            akeys = keys_of[slot_hashes[0]]
+            amin, amax = a_pos.astype(np.int64).copy(), a_pos.astype(np.int64).copy()
+            alive = np.ones(len(akeys), dtype=bool)
+            for th in slot_hashes[1:]:
+                chosen, valid = _closest_slot_assign(akeys, keys_of[th])
+                ai = chosen & mask
+                alive &= valid
+                np.minimum(amin, ai, out=amin)
+                np.maximum(amax, ai, out=amax)
+            matched = alive & ((amax - amin) <= slop + n_slots - 1)
+        if not matched.any():
+            return empty
+        counts = np.bincount(aranks[matched], minlength=len(all_docs))
+        hit = np.nonzero(counts > 0)[0]
+        return pd.DataFrame(
+            {"doc_id": all_docs[hit], "n_spans": counts[hit].astype(np.int64)}
+        )
+
+    blocks = index.postings.filter(F.col("term_hash").isin(sorted(set(slot_hashes))))
+    return (
+        blocks.groupBy("bucket")
+        .applyInPandas(fn, schema=out_schema)
+        .orderBy("doc_id")
+    )
