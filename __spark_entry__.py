@@ -798,6 +798,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index_pos(spark, sf), ["data", "merge"], slop=1, in_order=False
         )
 
+    def intervals_all_of(spark, sf):
+        # ES intervals all_of(ordered, max_gaps=4): the exact phrase
+        # "the data" followed within 4 gaps by "merge"
+        # (webindex/query.py intervals_docs)
+        from webindex.query import intervals_docs
+
+        return intervals_docs(
+            _index_pos(spark, sf),
+            {"all_of": {"max_gaps": 4, "ordered": True, "intervals": [
+                {"match": {"terms": ["the", "data"], "max_gaps": 0, "ordered": True}},
+                {"match": {"terms": ["merge"]}},
+            ]}},
+        )
+
+    def intervals_any_of(spark, sf):
+        # ES intervals any_of: exact phrase "the data" OR the term "merge"
+        from webindex.query import intervals_docs
+
+        return intervals_docs(
+            _index_pos(spark, sf),
+            {"any_of": {"intervals": [
+                {"match": {"terms": ["the", "data"], "max_gaps": 0, "ordered": True}},
+                {"match": {"terms": ["merge"]}},
+            ]}},
+        )
+
     def agg_filters(spark, sf):
         # ES filters agg: named buckets, one pruned probe each
         from webindex.aggs import filters_agg
@@ -1730,6 +1756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_multi_terms": agg_multi_terms,
         "span_near_ordered": span_near_ordered,
         "span_near_unordered": span_near_unordered,
+        "intervals_all_of": intervals_all_of,
+        "intervals_any_of": intervals_any_of,
         "agg_filters": agg_filters,
         "agg_adjacency": agg_adjacency,
         "agg_weighted_avg": agg_weighted_avg,
@@ -2074,6 +2102,47 @@ choice AS (
 SELECT doc_id, count(*)::BIGINT AS n_spans
 FROM choice WHERE greatest(p1, p0) - least(p1, p0) <= 1 + 1
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # intervals: leaf spans -> greedy-minimal ordered chain over spans
+    # (intervals_docs contract)
+    _iv_ctes = f"""tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(0, len(toks) - 1)) AS p
+  FROM tok
+),
+s1 AS (
+  SELECT a.doc_id, a.p0 AS s, min(b.p) AS e
+  FROM (SELECT doc_id, p AS p0 FROM pos WHERE term = 'the') a
+  JOIN (SELECT doc_id, p FROM pos WHERE term = 'data') b
+    ON b.doc_id = a.doc_id AND b.p > a.p0
+  GROUP BY a.doc_id, a.p0
+  HAVING min(b.p) - a.p0 - 1 <= 0
+),
+m AS (SELECT doc_id, p FROM pos WHERE term = 'merge')"""
+
+    sql["intervals_all_of"] = f"""
+WITH {_iv_ctes},
+chain AS (
+  SELECT s1.doc_id, s1.s
+  FROM s1 JOIN m ON m.doc_id = s1.doc_id AND m.p > s1.e
+  GROUP BY s1.doc_id, s1.s, s1.e
+  HAVING min(m.p) - s1.e - 1 <= 4
+)
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM chain GROUP BY doc_id ORDER BY doc_id
+"""
+
+    sql["intervals_any_of"] = f"""
+WITH {_iv_ctes},
+u AS (
+  SELECT doc_id FROM s1
+  UNION ALL
+  SELECT doc_id FROM m
+)
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM u GROUP BY doc_id ORDER BY doc_id
 """
 
     _tk_doc = f"(SELECT doc_id, lang, n_chars, {toks} AS tk FROM documents)"

@@ -458,3 +458,112 @@ def test_span_near_needs_positions(spark, corpus):
     )
     with pytest.raises(ValueError, match="positional"):
         span_near_docs(flat, ["the", "data"], 1)
+
+
+def _iv_brute(corpus, spec):
+    from webindex.textproc import tokenize
+
+    def pos_of(toks, w):
+        return [j for j, x in enumerate(toks) if x == w]
+
+    def ev(node, toks):
+        kind, body = next(iter(node.items()))
+        if kind == "match":
+            terms, g, n = body["terms"], body.get("max_gaps", 0), len(body["terms"])
+            if n == 1:
+                return [(p, p) for p in pos_of(toks, terms[0])]
+            if body.get("ordered", True):
+                spans = []
+                for p0 in pos_of(toks, terms[0]):
+                    cur, ok = p0, True
+                    for w in terms[1:]:
+                        nxt = [q for q in pos_of(toks, w) if q > cur]
+                        if not nxt:
+                            ok = False
+                            break
+                        cur = min(nxt)
+                    if ok and cur - p0 + 1 - n <= g:
+                        spans.append((p0, cur))
+                return spans
+            spans = []
+            for p0 in pos_of(toks, terms[0]):
+                chosen, ok = [p0], True
+                for w in terms[1:]:
+                    ps = pos_of(toks, w)
+                    if not ps:
+                        ok = False
+                        break
+                    chosen.append(min(ps, key=lambda q: (abs(q - p0), q)))
+                if ok and max(chosen) - min(chosen) + 1 - n <= g:
+                    spans.append((min(chosen), max(chosen)))
+            return spans
+        if kind == "any_of":
+            out = []
+            for c in body["intervals"]:
+                out.extend(ev(c, toks))
+            return out
+        g = body.get("max_gaps", 0)
+        childs = [ev(c, toks) for c in body["intervals"]]
+        spans = []
+        for s0, e0 in childs[0]:
+            cur_end, gaps, ok = e0, 0, True
+            for ch in childs[1:]:
+                cands = sorted(sp for sp in ch if sp[0] > cur_end)
+                if not cands:
+                    ok = False
+                    break
+                s, e = cands[0]
+                gaps += s - cur_end - 1
+                cur_end = e
+            if ok and gaps <= g:
+                spans.append((s0, cur_end))
+        return spans
+
+    out = {}
+    for i in range(N_DOCS):
+        spans = ev(spec, tokenize(corpus["text"][i]))
+        if spans:
+            out[i] = len(spans)
+    return out
+
+
+def test_intervals_matches_brute_force(pidx, corpus):
+    from webindex.query import intervals_docs
+
+    specs = [
+        {"match": {"terms": ["the", "data"], "max_gaps": 2, "ordered": True}},
+        {"match": {"terms": ["data", "merge"], "max_gaps": 3, "ordered": False}},
+        {"any_of": {"intervals": [
+            {"match": {"terms": ["the", "data"], "max_gaps": 0, "ordered": True}},
+            {"match": {"terms": ["merge"]}},
+        ]}},
+        {"all_of": {"max_gaps": 4, "ordered": True, "intervals": [
+            {"match": {"terms": ["the", "data"], "max_gaps": 0, "ordered": True}},
+            {"match": {"terms": ["merge"]}},
+        ]}},
+        {"all_of": {"max_gaps": 6, "ordered": True, "intervals": [
+            {"match": {"terms": ["fast"]}},
+            {"any_of": {"intervals": [
+                {"match": {"terms": ["slow"]}},
+                {"match": {"terms": ["spark", "merge"], "max_gaps": 1, "ordered": True}},
+            ]}},
+        ]}},
+    ]
+    any_hits = False
+    for spec in specs:
+        got = {r["doc_id"]: r["n_intervals"]
+               for r in intervals_docs(pidx, spec).collect()}
+        assert got == _iv_brute(corpus, spec), spec
+        any_hits = any_hits or bool(got)
+    assert any_hits
+
+
+def test_intervals_rejects_unsupported(pidx):
+    from webindex.query import intervals_docs
+
+    with pytest.raises(ValueError, match="unordered"):
+        intervals_docs(pidx, {"all_of": {"ordered": False, "intervals": [
+            {"match": {"terms": ["the"]}}, {"match": {"terms": ["data"]}},
+        ]}})
+    with pytest.raises(ValueError, match="unknown"):
+        intervals_docs(pidx, {"fuzzy_rule": {}})

@@ -3164,3 +3164,201 @@ def span_near_docs(
         .applyInPandas(fn, schema=out_schema)
         .orderBy("doc_id")
     )
+
+
+def intervals_docs(index: Index, spec: dict) -> DataFrame:
+    """ES `intervals` query (the modern span replacement) as a constant-
+    score positional match: (doc_id, n_intervals), doc_id asc. `spec` is
+    the ES rule tree:
+
+      {"match":  {"terms": [t...], "max_gaps": g, "ordered": bool}}
+      {"all_of": {"intervals": [spec...], "max_gaps": g, "ordered": True}}
+      {"any_of": {"intervals": [spec...]}}
+
+    Every rule produces SPANS (start, end). Deterministic contract
+    (oracle-mirrored; the greedy-minimal discipline of span_near_docs
+    lifted from positions to spans):
+
+      match ordered    each occurrence p0 of terms[0] anchors the greedy
+                       chain p_{i+1} = smallest position > p_i; span =
+                       [p0, p_last], a match iff total gap
+                       (p_last - p0 + 1 - n) <= max_gaps.
+      match unordered  closest assignment around p0 (ties -> smaller);
+                       span = [min, max], match iff (max - min + 1 - n)
+                       <= max_gaps.
+      all_of ordered   child spans chain like terms: an anchor span s0 of
+                       child 0 picks for each next child the span with the
+                       SMALLEST start strictly greater than the previous
+                       span's end (tie on start -> the one encountered
+                       first in the child's doc-ascending/start-ascending/
+                       end-ascending order); match iff the sum of
+                       inter-span gaps <= max_gaps; the combined span is
+                       [s0.start, last.end]. Children never overlap by
+                       construction (ES all_of ordered semantics).
+      any_of           the union of child spans (exact duplicates kept
+                       once per child emission — counts are summed).
+
+    n_intervals counts the root rule's matches per doc. Unsupported:
+    all_of unordered (ES allows it; the non-overlap bookkeeping isn't
+    expressible in the vectorized chain — raises ValueError).
+
+    Scale shape: identical to span_near_docs — IN(term_hash) pushdown over
+    the UNION of all leaf terms, each term decoded once per bucket no
+    matter how many rules reference it, every combinator a vectorized
+    searchsorted pass over packed (doc_rank<<32 | position) keys."""
+    spark = index.postings.sparkSession
+    if "positions" not in index.postings.columns:
+        raise ValueError(
+            "intervals queries need a positional index — build with "
+            "build_index(..., positions=True)"
+        )
+
+    def leaf_terms(node: dict) -> list[str]:
+        kind, body = next(iter(node.items()))
+        if kind == "match":
+            return list(body["terms"])
+        if kind in ("all_of", "any_of"):
+            out = []
+            for child in body["intervals"]:
+                out.extend(leaf_terms(child))
+            return out
+        raise ValueError(f"unknown intervals rule: {kind}")
+
+    def validate(node: dict) -> None:
+        kind, body = next(iter(node.items()))
+        if kind == "all_of" and not body.get("ordered", True):
+            raise ValueError("all_of unordered is not supported")
+        if kind in ("all_of", "any_of"):
+            for child in body["intervals"]:
+                validate(child)
+
+    validate(spec)
+    out_schema = "doc_id long, n_intervals long"
+    all_terms = leaf_terms(spec)
+    stats = _query_terms(index, " ".join(all_terms))
+    if not all_terms or any(t not in stats for t in all_terms):
+        return spark.createDataFrame([], out_schema)
+    hash_of = {t: stats[t][2] for t in set(all_terms)}
+    qn = index.conf.quantize_norms
+    shift = np.int64(1) << np.int64(32)
+    mask = shift - 1
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "n_intervals": []}).astype(
+            {"doc_id": np.int64, "n_intervals": np.int64}
+        )
+        pdf = pdf.sort_values(["term_hash", "block_id"]).reset_index(drop=True)
+        per_term: dict[int, tuple] = {}
+        for th in set(hash_of.values()):
+            rows = pdf.index[pdf["term_hash"] == th]
+            if len(rows) == 0:
+                # absent from THIS bucket (buckets partition doc space) —
+                # the leaf yields no spans here, but other any_of branches
+                # may still match, so never bail out of the whole bucket
+                continue
+            pd_list, pp_list = [], []
+            for ri in rows:
+                ids, tfs, _ = codec.decode_block(
+                    bytes(pdf["doc_ids"].iloc[ri]), bytes(pdf["tfs"].iloc[ri]),
+                    bytes(pdf["doc_lens"].iloc[ri]), qn,
+                )
+                pos, _ = codec.decode_positions(bytes(pdf["positions"].iloc[ri]), tfs)
+                pd_list.append(np.repeat(ids, tfs))
+                pp_list.append(pos.astype(np.int64))
+            per_term[th] = (np.concatenate(pd_list), np.concatenate(pp_list))
+        if not per_term:
+            return empty
+        all_docs = np.unique(
+            np.concatenate([per_term[t][0] for t in per_term])
+        )
+
+        def term_spans(t: str) -> tuple[np.ndarray, np.ndarray]:
+            """(skeys, ekeys): packed start/end keys, start == end."""
+            got = per_term.get(hash_of[t])
+            if got is None:
+                z = np.empty(0, dtype=np.int64)
+                return z, z
+            pdocs, ppos = got
+            keys = np.searchsorted(all_docs, pdocs).astype(np.int64) * shift + ppos
+            return keys, keys
+
+        def chain_spans(
+            children: list[tuple[np.ndarray, np.ndarray]], max_gaps: int
+        ) -> tuple[np.ndarray, np.ndarray]:
+            """Greedy ordered chain over child span lists (each sorted by
+            packed start key). Anchor = child 0's spans."""
+            s0, e0 = children[0]
+            cur_end = e0.copy()
+            gaps = np.zeros(len(s0), dtype=np.int64)
+            alive = np.ones(len(s0), dtype=bool)
+            arank = s0 >> np.int64(32)
+            for sk, ek in children[1:]:
+                if len(sk) == 0:
+                    return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+                idx = np.searchsorted(sk, cur_end, side="right")
+                ok = idx < len(sk)
+                idx_c = np.minimum(idx, len(sk) - 1)
+                cand_s, cand_e = sk[idx_c], ek[idx_c]
+                alive &= ok & ((cand_s >> np.int64(32)) == arank)
+                gaps += (cand_s & mask) - (cur_end & mask) - 1
+                cur_end = cand_e
+            keep = alive & (gaps <= max_gaps)
+            return s0[keep], cur_end[keep]
+
+        def closest_spans(terms: list[str], max_gaps: int):
+            """Unordered leaf: closest assignment around each anchor."""
+            n = len(terms)
+            ak, _ = term_spans(terms[0])
+            if len(ak) == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            amin = (ak & mask).copy()
+            amax = amin.copy()
+            alive = np.ones(len(ak), dtype=bool)
+            for t in terms[1:]:
+                sk, _ = term_spans(t)
+                chosen, valid = _closest_slot_assign(ak, sk)
+                ai = chosen & mask
+                alive &= valid
+                np.minimum(amin, ai, out=amin)
+                np.maximum(amax, ai, out=amax)
+            keep = alive & ((amax - amin + 1 - n) <= max_gaps)
+            base = (ak >> np.int64(32)) * shift
+            return base[keep] + amin[keep], base[keep] + amax[keep]
+
+        def ev(node: dict) -> tuple[np.ndarray, np.ndarray]:
+            kind, body = next(iter(node.items()))
+            if kind == "match":
+                terms = list(body["terms"])
+                g = int(body.get("max_gaps", 0))
+                if len(terms) == 1:
+                    return term_spans(terms[0])
+                if body.get("ordered", True):
+                    return chain_spans([term_spans(t) for t in terms], g)
+                return closest_spans(terms, g)
+            if kind == "any_of":
+                parts = [ev(c) for c in body["intervals"]]
+                sk = np.concatenate([p[0] for p in parts])
+                ek = np.concatenate([p[1] for p in parts])
+                order = np.lexsort((ek, sk))
+                return sk[order], ek[order]
+            # all_of ordered
+            g = int(body.get("max_gaps", 0))
+            return chain_spans([ev(c) for c in body["intervals"]], g)
+
+        sk, _ = ev(spec)
+        if len(sk) == 0:
+            return empty
+        counts = np.bincount(sk >> np.int64(32), minlength=len(all_docs))
+        hit = np.nonzero(counts > 0)[0]
+        return pd.DataFrame(
+            {"doc_id": all_docs[hit], "n_intervals": counts[hit].astype(np.int64)}
+        )
+
+    blocks = index.postings.filter(
+        F.col("term_hash").isin(sorted(set(hash_of.values())))
+    )
+    return (
+        blocks.groupBy("bucket")
+        .applyInPandas(fn, schema=out_schema)
+        .orderBy("doc_id")
+    )
