@@ -812,6 +812,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]}},
         )
 
+    def intervals_all_of_unordered(spark, sf):
+        # ES intervals all_of(ordered=false): closest-assignment envelope
+        # of "fast" and "slow" within 5 gaps, either order
+        from webindex.query import intervals_docs
+
+        return intervals_docs(
+            _index_pos(spark, sf),
+            {"all_of": {"max_gaps": 5, "ordered": False, "intervals": [
+                {"match": {"terms": ["fast"]}},
+                {"match": {"terms": ["slow"]}},
+            ]}},
+        )
+
     def intervals_any_of(spark, sf):
         # ES intervals any_of: exact phrase "the data" OR the term "merge"
         from webindex.query import intervals_docs
@@ -1396,6 +1409,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_stats(_docs(spark, sf), blocklist=["src3", "src7"])
 
+    def q_dup_span_stats(spark, sf):
+        # Lee-et-al-style exact-substring duplication: per-doc fraction of
+        # token k-grams that occur >1x corpus-wide (k=3 at this scale so
+        # the synthetic vocab actually produces cross-doc repeats)
+        from webindex.dedup import dup_span_stats
+
+        return dup_span_stats(_docs(spark, sf), k=3)
+
     def q_lang_train(spark, sf):
         # distributed NB char-bigram trainer: the parameter table itself is
         # the verified output (lang × vocab-gram, add-one-smoothed logp)
@@ -1743,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 1: first driver check happens this round --
         "lang_train_ngram": q_lang_train,
         "lang_id_model": q_lang_id_model,
+        "dup_span_stats": q_dup_span_stats,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "source_curation": q_source_curation,
@@ -1757,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_ordered": span_near_ordered,
         "span_near_unordered": span_near_unordered,
         "intervals_all_of": intervals_all_of,
+        "intervals_all_of_unordered": intervals_all_of_unordered,
         "intervals_any_of": intervals_any_of,
         "agg_filters": agg_filters,
         "agg_adjacency": agg_adjacency,
@@ -2132,6 +2155,26 @@ chain AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM chain GROUP BY doc_id ORDER BY doc_id
+"""
+
+    sql["intervals_all_of_unordered"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(0, len(toks) - 1)) AS p
+  FROM tok
+),
+a AS (SELECT doc_id, p AS p0 FROM pos WHERE term = 'fast'),
+b AS (SELECT doc_id, p FROM pos WHERE term = 'slow'),
+choice AS (
+  SELECT a.doc_id, a.p0,
+         arg_min(b.p, abs(b.p - a.p0) * 1048576 + b.p) AS p1
+  FROM a JOIN b ON b.doc_id = a.doc_id
+  GROUP BY a.doc_id, a.p0
+)
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM choice WHERE abs(p1 - p0) - 1 <= 5
+GROUP BY doc_id ORDER BY doc_id
 """
 
     sql["intervals_any_of"] = f"""
@@ -3286,6 +3329,29 @@ SELECT t.doc_id,
 FROM t
 JOIN chars USING (doc_id) JOIN g5 USING (doc_id)
 LEFT JOIN top USING (doc_id) LEFT JOIN runs USING (doc_id)
+"""
+
+    # dup_span_stats: the oracle groups raw gram strings (same counts as
+    # the engine's md5 keys, collision probability cryptographically nil)
+    sql["dup_span_stats"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(tk) - 2)) u(i)
+),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+agg AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+  FROM g JOIN c USING (gram) GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       coalesce(agg.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(agg.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       round(CASE WHEN coalesce(agg.n_grams, 0) > 0
+                  THEN agg.n_dup_grams::DOUBLE / agg.n_grams
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM t LEFT JOIN agg USING (doc_id)
 """
 
     # pii_scrub: patterns come from textstats.PII_PATTERNS (single source

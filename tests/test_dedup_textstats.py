@@ -401,3 +401,31 @@ def test_edge_hardening_nulls_and_degenerate_inputs(spark):
     )
     sigs = minhash_signatures(docs, n_hashes=4, shingle=3)
     assert lsh_candidate_pairs(sigs, n_bands=2, max_bucket=100).collect() == []
+
+
+def test_dup_span_stats_planted(spark):
+    """Exact-substring duplication: a 5-token span planted in two docs is
+    flagged in both; a doc repeating its own span counts too; unique docs
+    and sub-k docs report zero."""
+    from webindex.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, f"intro {shared} tail one two"),
+        (1, f"other lead {shared} closing words"),
+        (2, "completely unique content nothing repeated here at all today"),
+        (3, f"{shared} {shared}"),  # intra-doc repeat
+        (4, "tiny doc"),  # < k tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_span_stats(df, k=5).collect()}
+    assert got[0]["n_dup_grams"] >= 1 and got[1]["n_dup_grams"] >= 1
+    assert got[2]["n_dup_grams"] == 0 and got[2]["n_grams"] > 0
+    assert got[3]["n_dup_grams"] >= 2  # the repeated span dups against itself
+    assert got[4]["n_grams"] == 0 and got[4]["dup_frac"] == 0.0
+    # frac contract: doc 0 has 8 tokens -> 4 grams... recompute exactly
+    for d in (0, 1, 2, 3):
+        r = got[d]
+        assert r["dup_frac"] == pytest.approx(
+            r["n_dup_grams"] / r["n_grams"], abs=1e-6
+        )

@@ -505,19 +505,32 @@ def _iv_brute(corpus, spec):
         g = body.get("max_gaps", 0)
         childs = [ev(c, toks) for c in body["intervals"]]
         spans = []
+        if body.get("ordered", True):
+            for s0, e0 in childs[0]:
+                cur_end, gaps, ok = e0, 0, True
+                for ch in childs[1:]:
+                    cands = sorted(sp for sp in ch if sp[0] > cur_end)
+                    if not cands:
+                        ok = False
+                        break
+                    s, e = cands[0]
+                    gaps += s - cur_end - 1
+                    cur_end = e
+                if ok and gaps <= g:
+                    spans.append((s0, cur_end))
+            return spans
         for s0, e0 in childs[0]:
-            cur_end, gaps, ok = e0, 0, True
+            env_s, env_e, lens, ok = s0, e0, e0 - s0 + 1, True
             for ch in childs[1:]:
-                cands = sorted(sp for sp in ch if sp[0] > cur_end)
-                if not cands:
+                if not ch:
                     ok = False
                     break
-                s, e = cands[0]
-                gaps += s - cur_end - 1
-                cur_end = e
-            if ok and gaps <= g:
-                spans.append((s0, cur_end))
-        return spans
+                s, e = min(ch, key=lambda sp: (abs(sp[0] - s0), sp[0], sp[1]))
+                env_s, env_e = min(env_s, s), max(env_e, e)
+                lens += e - s + 1
+            if ok and (env_e - env_s + 1) - lens <= g:
+                spans.append((env_s, env_e))
+        return sorted(spans)
 
     out = {}
     for i in range(N_DOCS):
@@ -548,6 +561,17 @@ def test_intervals_matches_brute_force(pidx, corpus):
                 {"match": {"terms": ["spark", "merge"], "max_gaps": 1, "ordered": True}},
             ]}},
         ]}},
+        # all_of UNORDERED (closest-assignment envelope, overlap allowed)
+        {"all_of": {"max_gaps": 5, "ordered": False, "intervals": [
+            {"match": {"terms": ["fast"]}},
+            {"match": {"terms": ["slow"]}},
+        ]}},
+        # unordered match nested INSIDE an ordered chain: exercises the
+        # (start, end) re-sort of closest-assignment outputs
+        {"all_of": {"max_gaps": 8, "ordered": True, "intervals": [
+            {"match": {"terms": ["data", "merge"], "max_gaps": 2, "ordered": False}},
+            {"match": {"terms": ["fast"]}},
+        ]}},
     ]
     any_hits = False
     for spec in specs:
@@ -561,9 +585,5 @@ def test_intervals_matches_brute_force(pidx, corpus):
 def test_intervals_rejects_unsupported(pidx):
     from webindex.query import intervals_docs
 
-    with pytest.raises(ValueError, match="unordered"):
-        intervals_docs(pidx, {"all_of": {"ordered": False, "intervals": [
-            {"match": {"terms": ["the"]}}, {"match": {"terms": ["data"]}},
-        ]}})
     with pytest.raises(ValueError, match="unknown"):
         intervals_docs(pidx, {"fuzzy_rule": {}})

@@ -286,3 +286,70 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     return pairs.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Cross-document EXACT substring duplication stats (the Lee et al.
+    2021 "Deduplicating Training Data" ExactSubstr signal, reshaped for a
+    distributed engine): a doc's token k-gram is a DUPLICATE SPAN iff that
+    k-gram occurs more than once in the whole corpus (another doc, or a
+    repeat inside the same doc). Output per doc:
+
+      n_grams      number of k-gram windows (0 for docs under k tokens)
+      n_dup_grams  windows whose gram has corpus count > 1
+      dup_frac     n_dup_grams / n_grams (round-6; 0.0 when n_grams = 0)
+
+    Training pipelines cut on dup_frac exactly like Gopher's repetition
+    rules, but against the CORPUS, not the document.
+
+    Scale shape: Lee et al. build one giant suffix array on a single
+    machine; the engine-shaped equivalent is ONE shuffle of (gram_hash)
+    longs — md5 over the token window (engine-portable, 100% reproducible
+    by any system), counted with a map-side-combined groupBy, then joined
+    back to the doc's windows and reduced per doc. Token-scale shuffle
+    rows are the honest cost of exact-substring semantics; everything is
+    fixed-width past the hash."""
+    empty = F.array().cast("array<string>")
+    d = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks"))
+    n_grams = F.size(F.col("_toks")) - (k - 1)
+    # staged projection (see winnow_fingerprints' CollapseProject note)
+    d = d.select(
+        "doc_id",
+        F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
+            ),
+        ).otherwise(empty).alias("_grams"),
+    )
+    win = d.select("doc_id", F.explode_outer("_grams").alias("gram"))
+    counts = (
+        win.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    joined = win.join(counts, "gram", "left")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("gram").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_grams"),
+        F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_grams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_dup_grams").cast("double") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )

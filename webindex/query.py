@@ -3195,12 +3195,18 @@ def intervals_docs(index: Index, spec: dict) -> DataFrame:
                        inter-span gaps <= max_gaps; the combined span is
                        [s0.start, last.end]. Children never overlap by
                        construction (ES all_of ordered semantics).
+      all_of unordered each anchor span of child 0 takes, from every other
+                       child, the span whose START is closest to the
+                       anchor's (tie -> smaller start, then smaller end);
+                       envelope = [min starts, max ends]; gaps = envelope
+                       length - Σ child span lengths (negative under
+                       overlap — ES's unordered all_of permits overlap);
+                       match iff gaps <= max_gaps.
       any_of           the union of child spans (exact duplicates kept
                        once per child emission — counts are summed).
 
-    n_intervals counts the root rule's matches per doc. Unsupported:
-    all_of unordered (ES allows it; the non-overlap bookkeeping isn't
-    expressible in the vectorized chain — raises ValueError).
+    n_intervals counts the root rule's matches per doc. Every combinator
+    output is (start, end)-sorted so rules nest arbitrarily.
 
     Scale shape: identical to span_near_docs — IN(term_hash) pushdown over
     the UNION of all leaf terms, each term decoded once per bucket no
@@ -3226,8 +3232,6 @@ def intervals_docs(index: Index, spec: dict) -> DataFrame:
 
     def validate(node: dict) -> None:
         kind, body = next(iter(node.items()))
-        if kind == "all_of" and not body.get("ordered", True):
-            raise ValueError("all_of unordered is not supported")
         if kind in ("all_of", "any_of"):
             for child in body["intervals"]:
                 validate(child)
@@ -3323,7 +3327,46 @@ def intervals_docs(index: Index, spec: dict) -> DataFrame:
                 np.maximum(amax, ai, out=amax)
             keep = alive & ((amax - amin + 1 - n) <= max_gaps)
             base = (ak >> np.int64(32)) * shift
-            return base[keep] + amin[keep], base[keep] + amax[keep]
+            sk, ek = base[keep] + amin[keep], base[keep] + amax[keep]
+            # span starts = min CHOSEN position, which need not follow the
+            # anchor order — downstream chains searchsorted these arrays,
+            # so restore (start, end) order
+            order = np.lexsort((ek, sk))
+            return sk[order], ek[order]
+
+        def closest_all_of(
+            children: list[tuple[np.ndarray, np.ndarray]], max_gaps: int
+        ) -> tuple[np.ndarray, np.ndarray]:
+            """all_of unordered: each anchor span (child 0) takes, from
+            every other child, the span whose START is closest to the
+            anchor's start (tie -> smaller start, then smaller end);
+            envelope = [min starts, max ends]; gaps = envelope length
+            minus the sum of child span lengths (negative under overlap —
+            ES allows overlap in unordered all_of); match iff
+            gaps <= max_gaps."""
+            s0, e0 = children[0]
+            if len(s0) == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            env_s, env_e = (s0 & mask).copy(), (e0 & mask).copy()
+            lens = env_e - env_s + 1
+            alive = np.ones(len(s0), dtype=bool)
+            for sk, ek in children[1:]:
+                chosen, valid = _closest_slot_assign(s0, sk)
+                # first index with the chosen start key = smallest end
+                ci = np.searchsorted(sk, chosen, side="left")
+                ci = np.minimum(ci, max(len(sk) - 1, 0))
+                cs = chosen & mask
+                ce = (ek[ci] & mask) if len(ek) else cs
+                alive &= valid
+                np.minimum(env_s, cs, out=env_s)
+                np.maximum(env_e, ce, out=env_e)
+                lens = lens + (ce - cs + 1)
+            gaps = (env_e - env_s + 1) - lens
+            keep = alive & (gaps <= max_gaps)
+            base = (s0 >> np.int64(32)) * shift
+            sk2, ek2 = base[keep] + env_s[keep], base[keep] + env_e[keep]
+            order = np.lexsort((ek2, sk2))
+            return sk2[order], ek2[order]
 
         def ev(node: dict) -> tuple[np.ndarray, np.ndarray]:
             kind, body = next(iter(node.items()))
@@ -3341,9 +3384,12 @@ def intervals_docs(index: Index, spec: dict) -> DataFrame:
                 ek = np.concatenate([p[1] for p in parts])
                 order = np.lexsort((ek, sk))
                 return sk[order], ek[order]
-            # all_of ordered
+            # all_of
             g = int(body.get("max_gaps", 0))
-            return chain_spans([ev(c) for c in body["intervals"]], g)
+            children = [ev(c) for c in body["intervals"]]
+            if body.get("ordered", True):
+                return chain_spans(children, g)
+            return closest_all_of(children, g)
 
         sk, _ = ev(spec)
         if len(sk) == 0:
