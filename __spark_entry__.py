@@ -1409,6 +1409,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_stats(_docs(spark, sf), blocklist=["src3", "src7"])
 
+    def q_ccnet_ppl(spark, sf):
+        # CCNet-style perplexity filter: score every doc under the TRAINED
+        # en char-bigram distribution (lower pseudo_ppl = more en-like)
+        from webindex.textstats import char_ngram_logprob, train_char_ngram_model
+
+        docs = _docs(spark, sf)
+        model = train_char_ngram_model(docs, n=2, top_grams=50)
+        return char_ngram_logprob(docs, model, "en", n=2)
+
+    def q_subtoken_count(spark, sf):
+        # BPE-ish pre-tokenizer counting (letter/digit/punct runs) vs
+        # whitespace tokens
+        from webindex.textstats import subtoken_count
+
+        return subtoken_count(_docs(spark, sf))
+
     def q_dup_span_stats(spark, sf):
         # Lee-et-al-style exact-substring duplication: per-doc fraction of
         # token k-grams that occur >1x corpus-wide (k=3 at this scale so
@@ -1764,6 +1780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 1: first driver check happens this round --
         "lang_train_ngram": q_lang_train,
         "lang_id_model": q_lang_id_model,
+        "ccnet_ppl": q_ccnet_ppl,
+        "subtoken_count": q_subtoken_count,
         "dup_span_stats": q_dup_span_stats,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
@@ -3329,6 +3347,49 @@ SELECT t.doc_id,
 FROM t
 JOIN chars USING (doc_id) JOIN g5 USING (doc_id)
 LEFT JOIN top USING (doc_id) LEFT JOIN runs USING (doc_id)
+"""
+
+    # ccnet_ppl: the trained-model CTEs + a lang='en' slice; avg rounds
+    # BEFORE exp so summation-order drift can't reach the hash
+    sql["ccnet_ppl"] = f"""
+WITH {_ngram_model_ctes},
+dgr AS (
+  SELECT doc_id, s[i:i+1] AS gram
+  FROM canon, unnest(generate_series(1, length(s) - 1)) AS u(i)
+),
+sc AS (
+  SELECT d.doc_id,
+         count(*)::BIGINT AS n_scored,
+         round(sum(m.logp) / count(*), 6) AS avg_logp
+  FROM dgr d JOIN model m USING (gram)
+  WHERE m.lang = 'en'
+  GROUP BY d.doc_id
+)
+SELECT c.doc_id,
+       coalesce(sc.n_scored, 0)::BIGINT AS n_scored,
+       sc.avg_logp,
+       round(exp(-sc.avg_logp), 6) AS pseudo_ppl
+FROM (SELECT DISTINCT doc_id FROM canon) c
+LEFT JOIN sc USING (doc_id)
+"""
+
+    from webindex.textstats import BPE_SPLIT_PATTERN as _BPE
+
+    sql["subtoken_count"] = f"""
+WITH t AS (SELECT doc_id, lower(coalesce(text, '')) AS tx FROM documents),
+m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(tx, '{_BPE}'))::BIGINT AS n_subtokens,
+         CASE WHEN length(trim(tx)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(tx), '\\s+')) END::BIGINT
+           AS n_ws_tokens
+  FROM t
+)
+SELECT doc_id, n_subtokens, n_ws_tokens,
+       round(CASE WHEN n_ws_tokens > 0
+                  THEN n_subtokens::DOUBLE / n_ws_tokens ELSE 0.0 END, 6)
+         AS subtoken_ratio
+FROM m
 """
 
     # dup_span_stats: the oracle groups raw gram strings (same counts as

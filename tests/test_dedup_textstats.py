@@ -429,3 +429,50 @@ def test_dup_span_stats_planted(spark):
         assert r["dup_frac"] == pytest.approx(
             r["n_dup_grams"] / r["n_grams"], abs=1e-6
         )
+
+
+def test_char_ngram_logprob_and_subtokens(spark):
+    """Perplexity filter: target-language text scores lower pseudo-ppl than
+    off-language text under a model trained on both; no-vocab docs -> NULL.
+    Subtoken counter: hand-counted BPE-ish runs."""
+    import math
+
+    from webindex.textstats import (
+        char_ngram_logprob,
+        subtoken_count,
+        train_char_ngram_model,
+    )
+
+    rows = [
+        (0, "aaab aaab aaab aaab", "aa"),
+        (1, "aaba aaba aaba aaba", "aa"),
+        (2, "zzzy zzzy zzzy zzzy", "zz"),
+        (3, "zyzz zyzz zyzz zyzz", "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = train_char_ngram_model(df, n=2, top_grams=3)
+    test = spark.createDataFrame(
+        [(10, "aaab aaab"), (11, "zzzy zzzy"), (12, "qqqq"), (13, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_ngram_logprob(test, model, "aa").collect()}
+    assert got[10]["pseudo_ppl"] < got[11]["pseudo_ppl"]  # aa-like beats zz-like
+    assert got[12]["n_scored"] == 0 and got[12]["pseudo_ppl"] is None
+    assert got[13]["pseudo_ppl"] is None
+    # contract: ppl = exp(-round(avg,6)) rounded
+    r = got[10]
+    assert r["pseudo_ppl"] == pytest.approx(round(math.exp(-r["avg_logp"]), 6), abs=1e-6)
+    with pytest.raises(ValueError, match="no rows"):
+        char_ngram_logprob(test, model, "xx")
+
+    st = spark.createDataFrame(
+        [(0, "Hello, world! v2.0"), (1, ""), (2, None), (3, "plain words here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in subtoken_count(st).collect()}
+    # hello | , | world | ! | v | 2 | . | 0  -> 8 runs; ws tokens 3
+    assert got[0]["n_subtokens"] == 8 and got[0]["n_ws_tokens"] == 3
+    assert got[0]["subtoken_ratio"] == pytest.approx(8 / 3, abs=1e-6)
+    assert got[1]["n_subtokens"] == 0 and got[1]["n_ws_tokens"] == 0
+    assert got[2]["subtoken_ratio"] == 0.0
+    assert got[3]["n_subtokens"] == 3 and got[3]["n_ws_tokens"] == 3

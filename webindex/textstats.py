@@ -531,3 +531,123 @@ def source_stats(
         )
         .withColumn("blocked", blocked)
     )
+
+
+def char_ngram_logprob(
+    docs: DataFrame,
+    model: DataFrame | list,
+    lang: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """CCNet-style model-perplexity quality signal (Wenzek et al. 2020
+    filter corpora by LM perplexity; the char-n-gram model here is the
+    sandbox stand-in for their KenLM): score every doc under the TARGET
+    language's n-gram distribution from train_char_ngram_model.
+
+      n_scored  in-vocabulary gram occurrences
+      avg_logp  round(Σ logp / n_scored, 6)  (NULL when n_scored = 0)
+      pseudo_ppl round(exp(-avg_logp), 6)    (NULL when n_scored = 0) —
+                 lower = more target-language-like; the CCNet cut point
+
+    Same scale shape as lang_id_model: the parameter column for `lang` is
+    collected once (V floats), inference is one Arrow pass with byte-coded
+    gram counting and a single dot product per doc — no shuffle, no
+    join."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    rows = model.collect() if isinstance(model, DataFrame) else list(model)
+    rows = [r for r in rows if r["lang"] == lang]
+    if not rows:
+        raise ValueError(f"model has no rows for lang {lang!r}")
+    grams = sorted(r["gram"] for r in rows)
+    logp_of = {r["gram"]: float(r["logp"]) for r in rows}
+
+    def _pack(b: bytes) -> int:
+        code = 0
+        for ch in b:
+            code = (code << 8) | ch
+        return code
+
+    order = sorted(range(len(grams)), key=lambda i: _pack(grams[i].encode("ascii")))
+    vocab_codes = np.array(
+        [_pack(grams[i].encode("ascii")) for i in order], dtype=np.int64
+    )
+    w = np.array([logp_of[grams[i]] for i in order], dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            texts = pdf["_canon"].fillna("").to_list()
+            nb = len(ids)
+            buf = np.frombuffer(("\x00".join(texts)).encode("ascii"), dtype=np.uint8)
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            starts = np.zeros(nb, dtype=np.int64)
+            if nb > 1:
+                starts[1:] = np.cumsum(lens[:-1] + 1)
+            tot = np.zeros(nb, dtype=np.float64)
+            cnt = np.zeros(nb, dtype=np.float64)
+            n_win = len(buf) - n + 1
+            if n_win > 0:
+                codes = np.zeros(n_win, dtype=np.int64)
+                for k in range(n):
+                    codes = (codes << 8) | buf[k : k + n_win].astype(np.int64)
+                pos = np.searchsorted(vocab_codes, codes)
+                pos_c = np.minimum(pos, len(vocab_codes) - 1)
+                hit = vocab_codes[pos_c] == codes
+                doc_of = np.searchsorted(starts, np.arange(n_win), side="right") - 1
+                np.add.at(tot, doc_of[hit], w[pos_c[hit]])
+                np.add.at(cnt, doc_of[hit], 1.0)
+            scored = cnt > 0
+            avg = np.where(scored, np.round(tot / np.maximum(cnt, 1.0), 6), np.nan)
+            ppl = np.where(scored, np.round(np.exp(-avg), 6), np.nan)
+            out = pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_scored": cnt.astype(np.int64),
+                    "avg_logp": avg,
+                    "pseudo_ppl": ppl,
+                }
+            )
+            out.loc[~scored, ["avg_logp", "pseudo_ppl"]] = None
+            yield out
+
+    canon = F.concat_ws(" ", tokens_col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), canon.alias("_canon")
+    ).mapInPandas(
+        score, schema="doc_id long, n_scored long, avg_logp double, pseudo_ppl double"
+    )
+
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs over
+# the lowercased text — the GPT-2-family pre-split shape, reduced to the
+# RE2 ∩ Java-regex subset so engine and oracle agree byte-for-byte
+BPE_SPLIT_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def subtoken_count(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_subtokens, n_ws_tokens, subtoken_ratio) — token counting
+    under a BPE-ish pre-tokenizer (BPE_SPLIT_PATTERN: letter/digit/punct
+    runs, the GPT-2 pre-split shape) next to the whitespace count; the
+    ratio (round-6; 0.0 for empty docs) approximates tokens-per-word, the
+    usual budget estimator for LLM training data. Pure JVM regexp — zero
+    shuffle, zero Python."""
+    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    sub = F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+    ws = F.size(F.split(F.trim(text), r"\s+"))
+    ws = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(ws)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        sub.cast("long").alias("n_subtokens"),
+        ws.cast("long").alias("n_ws_tokens"),
+        F.round(
+            F.when(ws > 0, sub.cast("double") / ws).otherwise(F.lit(0.0)), 6
+        ).alias("subtoken_ratio"),
+    )
