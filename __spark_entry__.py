@@ -825,6 +825,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]}},
         )
 
+    def intervals_filtered(spark, sf):
+        # ES intervals filter rule: "the data" within 3 gaps, kept only
+        # when NOT followed later in the doc by "merge" (not_before)
+        from webindex.query import intervals_docs
+
+        return intervals_docs(
+            _index_pos(spark, sf),
+            {"match": {"terms": ["the", "data"], "max_gaps": 3, "ordered": True,
+                       "filter": {"not_before": {"match": {"terms": ["merge"]}}}}},
+        )
+
     def intervals_any_of(spark, sf):
         # ES intervals any_of: exact phrase "the data" OR the term "merge"
         from webindex.query import intervals_docs
@@ -1798,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_unordered": span_near_unordered,
         "intervals_all_of": intervals_all_of,
         "intervals_all_of_unordered": intervals_all_of_unordered,
+        "intervals_filtered": intervals_filtered,
         "intervals_any_of": intervals_any_of,
         "agg_filters": agg_filters,
         "agg_adjacency": agg_adjacency,
@@ -2173,6 +2185,32 @@ chain AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM chain GROUP BY doc_id ORDER BY doc_id
+"""
+
+    sql["intervals_filtered"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(0, len(toks) - 1)) AS p
+  FROM tok
+),
+a AS (SELECT doc_id, p AS p0 FROM pos WHERE term = 'the'),
+b AS (SELECT doc_id, p FROM pos WHERE term = 'data'),
+m AS (SELECT doc_id, p FROM pos WHERE term = 'merge'),
+chain AS (
+  SELECT a.doc_id, a.p0 AS s, min(b.p) AS e
+  FROM a JOIN b ON b.doc_id = a.doc_id AND b.p > a.p0
+  GROUP BY a.doc_id, a.p0
+  HAVING min(b.p) - a.p0 - 1 <= 3
+),
+kept AS (
+  SELECT c.doc_id, c.s FROM chain c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM m WHERE m.doc_id = c.doc_id AND m.p > c.e
+  )
+)
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM kept GROUP BY doc_id ORDER BY doc_id
 """
 
     sql["intervals_all_of_unordered"] = f"""

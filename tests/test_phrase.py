@@ -587,3 +587,53 @@ def test_intervals_rejects_unsupported(pidx):
 
     with pytest.raises(ValueError, match="unknown"):
         intervals_docs(pidx, {"fuzzy_rule": {}})
+
+
+def test_intervals_filter_rules(pidx, corpus):
+    """All five filter relations + complements vs brute force (the brute
+    applies the relation per span against the filter spec's span set)."""
+    from webindex.query import intervals_docs
+    from webindex.textproc import tokenize
+
+    def pos_of(toks, w):
+        return [j for j, x in enumerate(toks) if x == w]
+
+    def base_spans(toks):
+        spans = []
+        for p0 in pos_of(toks, "the"):
+            nxt = [q for q in pos_of(toks, "data") if q > p0]
+            if nxt and min(nxt) - p0 - 1 <= 3:
+                spans.append((p0, min(nxt)))
+        return spans
+
+    for rule in ["containing", "not_containing", "contained_by", "overlapping",
+                 "before", "not_before", "after", "not_after"]:
+        spec = {"match": {"terms": ["the", "data"], "max_gaps": 3, "ordered": True,
+                          "filter": {rule: {"match": {"terms": ["merge"]}}}}}
+        got = {r["doc_id"]: r["n_intervals"]
+               for r in intervals_docs(pidx, spec).collect()}
+        want = {}
+        neg = rule.startswith("not_")
+        base = rule[4:] if neg else rule
+        for i in range(N_DOCS):
+            toks = tokenize(corpus["text"][i])
+            fsp = [(p, p) for p in pos_of(toks, "merge")]
+
+            def rel(sp):
+                s, e = sp
+                if base == "containing":
+                    r = any(s <= fs and fe <= e for fs, fe in fsp)
+                elif base == "contained_by":
+                    r = any(fs <= s and e <= fe for fs, fe in fsp)
+                elif base == "overlapping":
+                    r = any(fs <= e and fe >= s for fs, fe in fsp)
+                elif base == "before":
+                    r = any(e < fs for fs, _ in fsp)
+                else:
+                    r = any(fe < s for _, fe in fsp)
+                return (not r) if neg else r
+
+            n = sum(1 for sp in base_spans(toks) if rel(sp))
+            if n:
+                want[i] = n
+        assert got == want, rule

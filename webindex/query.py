@@ -3205,6 +3205,14 @@ def intervals_docs(index: Index, spec: dict) -> DataFrame:
       any_of           the union of child spans (exact duplicates kept
                        once per child emission — counts are summed).
 
+    Any rule body may carry a `filter` clause — {"filter": {"<rule>":
+    spec}} with rule ∈ containing / contained_by / overlapping / before /
+    after and their not_* complements: keep the rule's spans standing in
+    that relation to AT LEAST ONE span of the filter spec in the same doc
+    (ES intervals filter semantics; `script` filters are out of scope).
+    With no filter span in the doc, the positive rules drop the span and
+    the not_* rules keep it.
+
     n_intervals counts the root rule's matches per doc. Every combinator
     output is (start, end)-sorted so rules nest arbitrarily.
 
@@ -3222,19 +3230,30 @@ def intervals_docs(index: Index, spec: dict) -> DataFrame:
     def leaf_terms(node: dict) -> list[str]:
         kind, body = next(iter(node.items()))
         if kind == "match":
-            return list(body["terms"])
-        if kind in ("all_of", "any_of"):
+            out = list(body["terms"])
+        elif kind in ("all_of", "any_of"):
             out = []
             for child in body["intervals"]:
                 out.extend(leaf_terms(child))
-            return out
-        raise ValueError(f"unknown intervals rule: {kind}")
+        else:
+            raise ValueError(f"unknown intervals rule: {kind}")
+        if "filter" in body:
+            # the filter rule's spec has leaf terms of its own — they must
+            # reach the block scan like any other leaf
+            out.extend(leaf_terms(next(iter(body["filter"].values()))))
+        return out
 
     def validate(node: dict) -> None:
         kind, body = next(iter(node.items()))
         if kind in ("all_of", "any_of"):
             for child in body["intervals"]:
                 validate(child)
+        if "filter" in body:
+            rule, fspec = next(iter(body["filter"].items()))
+            base = rule[4:] if rule.startswith("not_") else rule
+            if base not in ("containing", "contained_by", "overlapping", "before", "after"):
+                raise ValueError(f"unknown intervals filter rule: {rule}")
+            validate(fspec)
 
     validate(spec)
     out_schema = "doc_id long, n_intervals long"
@@ -3368,28 +3387,105 @@ def intervals_docs(index: Index, spec: dict) -> DataFrame:
             order = np.lexsort((ek2, sk2))
             return sk2[order], ek2[order]
 
+        def apply_filter(
+            spans: tuple[np.ndarray, np.ndarray], fbody: dict
+        ) -> tuple[np.ndarray, np.ndarray]:
+            """ES interval `filter` rules: keep spans standing in the given
+            relation to AT LEAST ONE filter-rule span of the same doc
+            (not_* = complement). Vectorized with per-doc segmented scans:
+            every array is packed (doc_rank<<32 | position), so a plain
+            prefix-max / suffix-min over the packed values IS the per-doc
+            scan — the moment an accumulate reaches a doc's first element,
+            that element's higher rank dominates every earlier doc's
+            value."""
+            rule, fspec = next(iter(fbody.items()))
+            neg = rule.startswith("not_")
+            base_rule = rule[4:] if neg else rule
+            sk, ek = spans
+            if len(sk) == 0:
+                return spans
+            fs, fe = ev(fspec)
+            n_f = len(fs)
+            if n_f == 0:
+                keep = np.zeros(len(sk), dtype=bool)  # no filter span: no relation holds
+            elif base_rule == "containing":
+                # ∃ f: s <= f.start and f.end <= e — among filter spans with
+                # start >= s (same doc via packing), the suffix-min end
+                suf_min_e = np.minimum.accumulate(fe[::-1])[::-1]
+                idx = np.searchsorted(fs, sk)  # first f.start >= s
+                idx_c = np.minimum(idx, n_f - 1)
+                keep = (idx < n_f) & (suf_min_e[idx_c] <= ek)
+            elif base_rule == "contained_by":
+                # ∃ f: f.start <= s and e <= f.end — among f.start <= s,
+                # the prefix-max end
+                pre_max_e = np.maximum.accumulate(fe)
+                idx = np.searchsorted(fs, sk, side="right") - 1
+                idx_c = np.maximum(idx, 0)
+                keep = (idx >= 0) & (pre_max_e[idx_c] >= ek) & (
+                    (fs[idx_c] >> np.int64(32)) == (sk >> np.int64(32))
+                )
+            elif base_rule == "overlapping":
+                # ∃ f: f.start <= e and f.end >= s — among f.start <= e,
+                # the prefix-max end
+                pre_max_e = np.maximum.accumulate(fe)
+                idx = np.searchsorted(fs, ek, side="right") - 1
+                idx_c = np.maximum(idx, 0)
+                keep = (idx >= 0) & (pre_max_e[idx_c] >= sk) & (
+                    (fs[idx_c] >> np.int64(32)) == (sk >> np.int64(32))
+                )
+            elif base_rule == "before":
+                # ∃ f in our doc with f.start > e: the first f with packed
+                # start > ek either belongs to our doc (relation holds) or
+                # to a later doc (it doesn't) — no scan needed
+                idx = np.searchsorted(fs, ek, side="right")
+                idx_c = np.minimum(idx, n_f - 1)
+                keep = (idx < n_f) & (
+                    (fs[idx_c] >> np.int64(32)) == (sk >> np.int64(32))
+                )
+            elif base_rule == "after":
+                # ∃ f in our doc with f.end < s: the doc's MIN f.end is the
+                # suffix-min from the doc's first filter span (packed: a
+                # prefix-min would be dominated by earlier docs' lower
+                # ranks, so scan from the doc boundary toward later docs)
+                suf_min_e = np.minimum.accumulate(fe[::-1])[::-1]
+                doc_start_key = (sk >> np.int64(32)) * shift
+                idx = np.searchsorted(fs, doc_start_key, side="left")
+                idx_c = np.minimum(idx, n_f - 1)
+                same = (fs[idx_c] >> np.int64(32)) == (sk >> np.int64(32))
+                keep = (idx < n_f) & same & (suf_min_e[idx_c] < sk)
+            else:
+                raise ValueError(f"unknown intervals filter rule: {rule}")
+            if neg:
+                keep = ~keep
+            return sk[keep], ek[keep]
+
         def ev(node: dict) -> tuple[np.ndarray, np.ndarray]:
             kind, body = next(iter(node.items()))
             if kind == "match":
                 terms = list(body["terms"])
                 g = int(body.get("max_gaps", 0))
                 if len(terms) == 1:
-                    return term_spans(terms[0])
-                if body.get("ordered", True):
-                    return chain_spans([term_spans(t) for t in terms], g)
-                return closest_spans(terms, g)
-            if kind == "any_of":
+                    out = term_spans(terms[0])
+                elif body.get("ordered", True):
+                    out = chain_spans([term_spans(t) for t in terms], g)
+                else:
+                    out = closest_spans(terms, g)
+            elif kind == "any_of":
                 parts = [ev(c) for c in body["intervals"]]
                 sk = np.concatenate([p[0] for p in parts])
                 ek = np.concatenate([p[1] for p in parts])
                 order = np.lexsort((ek, sk))
-                return sk[order], ek[order]
-            # all_of
-            g = int(body.get("max_gaps", 0))
-            children = [ev(c) for c in body["intervals"]]
-            if body.get("ordered", True):
-                return chain_spans(children, g)
-            return closest_all_of(children, g)
+                out = sk[order], ek[order]
+            else:  # all_of
+                g = int(body.get("max_gaps", 0))
+                children = [ev(c) for c in body["intervals"]]
+                if body.get("ordered", True):
+                    out = chain_spans(children, g)
+                else:
+                    out = closest_all_of(children, g)
+            if "filter" in body:
+                out = apply_filter(out, body["filter"])
+            return out
 
         sk, _ = ev(spec)
         if len(sk) == 0:
