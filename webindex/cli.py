@@ -13,6 +13,8 @@ Usage (spark-submit takes an application file, not -m):
   spark-submit --py-files webindex.zip webindex/cli.py mlt    <workdir> "<like text>" [k] [--max-query-terms N] [--min-doc-freq N]
   spark-submit --py-files webindex.zip webindex/cli.py sqs    <workdir> '<simple query string>' [k] [--operator and|or]   (phrases need --positions build)
   spark-submit --py-files webindex.zip webindex/cli.py rescore <workdir> <query> "<phrase>" [k] [--window N] [--query-weight W] [--rescore-weight W]  (needs --positions build)
+  spark-submit --py-files webindex.zip webindex/cli.py span <workdir> "<terms>" [--slop N] [--in-order]   (needs --positions build)
+  spark-submit --py-files webindex.zip webindex/cli.py intervals <workdir> '<spec json>'   (needs --positions build)
   spark-submit --py-files webindex.zip webindex/cli.py lookup-url <workdir> <url>
   spark-submit --py-files webindex.zip webindex/cli.py resume <pages_path> <workdir>
   spark-submit --py-files webindex.zip webindex/cli.py ingest <pages_path> <inc_workdir> [--positions]   (incremental: stream + compact)
@@ -330,6 +332,32 @@ def main(argv: list[str]) -> int:
         )
         for row in rows:
             print(f"{row['score']:.17g}\t{row['doc_id']}\t{row['url']}")
+    elif cmd == "span":
+        from webindex.build import load_index
+        from webindex.query import span_near_docs
+        from webindex.textproc import tokenize
+
+        slop = 0
+        if "--slop" in argv:
+            i = argv.index("--slop")
+            slop = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+        in_order = "--in-order" in argv
+        argv = [a for a in argv if a != "--in-order"]
+        idx = load_index(spark, argv[2])
+        terms = tokenize(argv[3])
+        for row in span_near_docs(idx, terms, slop=slop, in_order=in_order).collect():
+            print(f"{row['doc_id']}\t{row['n_spans']}")
+    elif cmd == "intervals":
+        import json as _json
+
+        from webindex.build import load_index
+        from webindex.query import intervals_docs
+
+        idx = load_index(spark, argv[2])
+        spec = _json.loads(argv[3])
+        for row in intervals_docs(idx, spec).collect():
+            print(f"{row['doc_id']}\t{row['n_intervals']}")
     elif cmd == "lookup-url":
         from webindex.build import load_index
         from webindex.query import lookup_url
