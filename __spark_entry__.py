@@ -825,6 +825,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]}},
         )
 
+    def percolate_queries(spark, sf):
+        # ES percolate: a stored-query registry matched AGAINST doc 0
+        # (webindex/query.py percolate; the doc analyzed once, registry
+        # scanned with a pushable filter)
+        from webindex.query import percolate
+
+        doc_text = (
+            _docs(spark, sf).filter(F.col("doc_id") == 0).select("text").collect()
+        )[0][0] or ""
+        reg = spark.createDataFrame(
+            [
+                (1, ["data", "merge"], "or"),
+                (2, ["data", "merge"], "and"),
+                (3, ["zzzabsent"], "or"),
+                (4, [], "or"),
+                (5, ["the", "slow"], "and"),
+            ],
+            "query_id long, terms array<string>, operator string",
+        )
+        return percolate(reg, doc_text)
+
+    def term_vectors_read(spark, sf):
+        # ES _termvectors: read (term, tf, positions) back from the
+        # positional index for docs 0-2; positions CSV-serialized so the
+        # value hash is representation-independent
+        from webindex.query import term_vectors
+
+        tv = term_vectors(_index_pos(spark, sf), [0, 1, 2])
+        return tv.select(
+            "doc_id", "term", "tf",
+            F.array_join("positions", ",").alias("pos_csv"),
+        )
+
     def intervals_filtered(spark, sf):
         # ES intervals filter rule: "the data" within 3 gaps, kept only
         # when NOT followed later in the doc by "merge" (not_before)
@@ -1810,6 +1843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_all_of": intervals_all_of,
         "intervals_all_of_unordered": intervals_all_of_unordered,
         "intervals_filtered": intervals_filtered,
+        "percolate_queries": percolate_queries,
+        "term_vectors_read": term_vectors_read,
         "intervals_any_of": intervals_any_of,
         "agg_filters": agg_filters,
         "agg_adjacency": agg_adjacency,
@@ -2185,6 +2220,39 @@ chain AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM chain GROUP BY doc_id ORDER BY doc_id
+"""
+
+    sql["percolate_queries"] = f"""
+WITH d AS (
+  SELECT list_distinct({toks}) AS tk FROM documents WHERE doc_id = 0
+),
+q(query_id, terms, op) AS (VALUES
+  (1, ['data', 'merge'], 'or'),
+  (2, ['data', 'merge'], 'and'),
+  (3, ['zzzabsent'], 'or'),
+  (4, []::VARCHAR[], 'or'),
+  (5, ['the', 'slow'], 'and')
+),
+m AS (
+  SELECT query_id,
+         len(list_intersect(terms, d.tk))::BIGINT AS n_hits,
+         len(terms) AS n, op
+  FROM q, d
+)
+SELECT query_id, n_hits FROM m
+WHERE n > 0 AND n_hits >= CASE WHEN op = 'and' THEN n ELSE 1 END
+ORDER BY query_id
+"""
+
+    sql["term_vectors_read"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents WHERE doc_id IN (0, 1, 2)),
+pos AS (
+  SELECT doc_id, tk[i] AS term, i - 1 AS p
+  FROM t, unnest(generate_series(1, len(tk))) u(i)
+)
+SELECT doc_id, term, count(*)::BIGINT AS tf,
+       array_to_string(list(p ORDER BY p), ',') AS pos_csv
+FROM pos GROUP BY doc_id, term ORDER BY doc_id, term
 """
 
     sql["intervals_filtered"] = f"""

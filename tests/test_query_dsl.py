@@ -205,3 +205,42 @@ def test_rrf_weights(spark, idx):
                    weights=(0.9, 0.1))
     )
     assert got == [(d, round(s, 9)) for d, s in want]
+
+
+def test_percolate_and_term_vectors(spark):
+    """Reverse search + index read-back: percolate match rules per operator;
+    term_vectors equals tokenize-and-count on handcrafted docs."""
+    import pandas as pd
+
+    from webindex.build import build_index
+    from webindex.query import percolate, term_vectors
+    from webindex.textproc import tokenize
+
+    reg = spark.createDataFrame(
+        [(1, ["data", "merge"], "or"), (2, ["data", "merge"], "and"),
+         (3, ["absent"], "or"), (4, [], "or")],
+        "query_id long, terms array<string>, operator string",
+    )
+    got = {r["query_id"]: r["n_hits"]
+           for r in percolate(reg, "the data is interesting").collect()}
+    assert got == {1: 1}  # 'or' matches on data; 'and' needs merge too
+    got = {r["query_id"]: r["n_hits"]
+           for r in percolate(reg, "merge the data now").collect()}
+    assert got == {1: 2, 2: 2}
+    assert percolate(reg, "").collect() == []
+
+    texts = {0: "alpha beta alpha gamma", 1: "beta gamma gamma", 2: "delta alpha"}
+    pdf = pd.DataFrame({"doc_id": list(texts), "url": [f"u{i}" for i in texts],
+                        "text": list(texts.values())})
+    idx = build_index(spark, spark.createDataFrame(pdf), text_col="text",
+                      doc_id_method="provided", range_width=8, positions=True)
+    got = {(r["doc_id"], r["term"]): (r["tf"], list(r["positions"]))
+           for r in term_vectors(idx, [0, 2]).collect()}
+    want = {}
+    for d in (0, 2):
+        toks = tokenize(texts[d])
+        for t in set(toks):
+            ps = [i for i, x in enumerate(toks) if x == t]
+            want[(d, t)] = (len(ps), ps)
+    assert got == want
+    assert term_vectors(idx, []).collect() == []

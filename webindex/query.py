@@ -3504,3 +3504,130 @@ def intervals_docs(index: Index, spec: dict) -> DataFrame:
         .applyInPandas(fn, schema=out_schema)
         .orderBy("doc_id")
     )
+
+
+def percolate(
+    queries: DataFrame,
+    doc_text: str,
+    id_col: str = "query_id",
+    terms_col: str = "terms",
+    op_col: str = "operator",
+) -> DataFrame:
+    """ES percolate query — REVERSE search: given a registry of stored
+    match queries (query_id, terms array<string>, operator 'or'|'and'),
+    return the queries the presented document matches:
+    (query_id, n_hits) query_id asc, n_hits = |query terms ∩ doc terms|.
+
+    Match rule mirrors topk_match: operator='or' needs >= 1 query term in
+    the doc, 'and' needs all (empty term lists never match — ES rewrites
+    an empty match to match_none inside a percolator). The document is
+    analyzed ONCE with the shared tokenizer and the distinct-token set is
+    a LITERAL array broadcast into a pure column expression — the plan is
+    one scan of the query registry with a filter, no shuffle, no UDF,
+    exactly how ES fans a candidate doc across its stored queries (their
+    pre-filter phase indexes query terms; at registry scale the Spark
+    analogue is a filter the optimizer can push into the registry scan)."""
+    doc_terms = sorted(set(tokenize(doc_text)))
+    arr = F.array(*[F.lit(t) for t in doc_terms]) if doc_terms else F.array().cast(
+        "array<string>"
+    )
+    hits = F.size(F.array_intersect(F.col(terms_col), arr))
+    need = F.when(
+        F.col(op_col) == "and", F.size(F.col(terms_col))
+    ).otherwise(F.lit(1))
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            hits.alias("n_hits"),
+            need.alias("_need"),
+            F.size(F.col(terms_col)).alias("_n"),
+        )
+        .filter((F.col("_n") > 0) & (F.col("n_hits") >= F.col("_need")))
+        .select("query_id", F.col("n_hits").cast("long").alias("n_hits"))
+        .orderBy("query_id")
+    )
+
+
+def term_vectors(index: Index, doc_ids: list[int]) -> DataFrame:
+    """ES _termvectors: per-doc term statistics read back FROM THE INDEX —
+    (doc_id, term, tf, positions array<int>) for the requested doc ids,
+    ordered (doc_id, term). Positions come back only from a positional
+    index (NULL column otherwise).
+
+    Scale shape: doc ids are request-scale, so the postings scan prunes by
+    the ids' bucket partitions AND each block's [min_doc, max_doc] span
+    (both row-group-prunable parquet predicates); one Arrow pass decodes
+    only surviving blocks and emits rows for the requested docs; the vocab
+    join to recover term strings is a broadcast of term_stats filtered to
+    the hashes actually seen (request-scale)."""
+    spark = index.postings.sparkSession
+    ids = sorted(set(int(d) for d in doc_ids))
+    if not ids:
+        return spark.createDataFrame(
+            [], "doc_id long, term string, tf long, positions array<int>"
+        )
+    has_pos = "positions" in index.postings.columns
+    qn = index.conf.quantize_norms
+    id_arr = np.array(ids, dtype=np.int64)
+
+    buckets = sorted(
+        {int(r["bucket"]) for r in index.doc_stats.filter(
+            F.col("doc_id").isin(ids)
+        ).select(index.bucket_of(F.col("doc_id")).alias("bucket")).collect()}
+    ) if hasattr(index, "bucket_of") else None
+
+    blocks = index.postings.filter(
+        (F.col("min_doc") <= int(id_arr.max())) & (F.col("max_doc") >= int(id_arr.min()))
+    )
+    if buckets is not None:
+        blocks = blocks.filter(F.col("bucket").isin(buckets))
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_d, out_h, out_tf, out_pos = [], [], [], []
+            for ri in range(len(pdf)):
+                if not (
+                    (id_arr >= pdf["min_doc"].iloc[ri])
+                    & (id_arr <= pdf["max_doc"].iloc[ri])
+                ).any():
+                    continue
+                bids, tfs, _ = codec.decode_block(
+                    bytes(pdf["doc_ids"].iloc[ri]), bytes(pdf["tfs"].iloc[ri]),
+                    bytes(pdf["doc_lens"].iloc[ri]), qn,
+                )
+                sel = np.isin(bids, id_arr)
+                if not sel.any():
+                    continue
+                if has_pos:
+                    pos, starts = codec.decode_positions(
+                        bytes(pdf["positions"].iloc[ri]), tfs
+                    )
+                    bounds = np.concatenate((starts, [len(pos)]))
+                th = int(pdf["term_hash"].iloc[ri])
+                for i in np.nonzero(sel)[0]:
+                    out_d.append(int(bids[i]))
+                    out_h.append(th)
+                    out_tf.append(int(tfs[i]))
+                    out_pos.append(
+                        pos[bounds[i]: bounds[i + 1]].tolist() if has_pos else None
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_d, dtype="int64"),
+                    "term_hash": pd.Series(out_h, dtype="int64"),
+                    "tf": pd.Series(out_tf, dtype="int64"),
+                    "positions": pd.Series(out_pos, dtype="object"),
+                }
+            )
+
+    raw = blocks.mapInPandas(
+        fn, schema="doc_id long, term_hash long, tf long, positions array<int>"
+    )
+    vocab = index.term_stats.select("term_hash", "term")
+    return (
+        raw.join(F.broadcast(vocab), "term_hash")
+        .select("doc_id", "term", "tf", "positions")
+        .orderBy("doc_id", "term")
+    )
