@@ -308,12 +308,18 @@ def dup_span_stats(
     rules, but against the CORPUS, not the document.
 
     Scale shape: Lee et al. build one giant suffix array on a single
-    machine; the engine-shaped equivalent is ONE shuffle of (gram_hash)
-    longs — md5 over the token window (engine-portable, 100% reproducible
-    by any system), counted with a map-side-combined groupBy, then joined
-    back to the doc's windows and reduced per doc. Token-scale shuffle
-    rows are the honest cost of exact-substring semantics; everything is
-    fixed-width past the hash."""
+    machine; the engine-shaped equivalent pre-aggregates at (doc, gram)
+    right after the explode — map-side combinable, one row per doc per
+    distinct gram — then sums corpus counts per gram and joins them back
+    (broadcast when the gram dictionary is small; AQE skew-join territory
+    for web-scale stop-grams — a window-per-gram would put every doc
+    containing a hot gram in ONE task, which a join never does). The
+    tokenize+explode subtree is derived twice in the lazy plan (count
+    side + join side; Spark 4's exchange reuse does not unify them —
+    verified on the final adaptive plan) — 2x map CPU, embarrassingly
+    parallel, the honest price for keeping the skew-safe join shape
+    without a caller-visible persist. md5 gram hashes keep the shuffle
+    fixed-width and engine-portable."""
     empty = F.array().cast("array<string>")
     d = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks"))
     n_grams = F.size(F.col("_toks")) - (k - 1)
@@ -328,18 +334,31 @@ def dup_span_stats(
             ),
         ).otherwise(empty).alias("_grams"),
     )
-    win = d.select("doc_id", F.explode_outer("_grams").alias("gram"))
-    counts = (
-        win.filter(F.col("gram").isNotNull())
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    # pre-aggregate at (doc, gram) BEFORE anything fans out: (a) shrinks the
+    # gram-keyed traffic to one row per doc per distinct gram, (b) makes the
+    # corpus-count side and the join's left side the SAME canonical subtree,
+    # so Spark's ReuseExchange evaluates the scan+tokenize+explode+agg once
+    # (the naive explode->groupBy->join-back shape re-derived it per use:
+    # 4 parquet scans, measured), (c) the per-(doc,gram) partial agg tames
+    # hot-gram skew before the gram shuffle; the residual skewed join is
+    # AQE's skew-join territory
+    base = (
+        d.select("doc_id", F.explode_outer("_grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("_c_dg"))
     )
-    joined = win.join(counts, "gram", "left")
+    # no isNotNull filter here: a pushed-down filter would make this subtree
+    # differ from the join's left side and defeat exchange reuse; the NULL
+    # gram group it admits can never match the equi-join key anyway
+    counts = base.groupBy("gram").agg(F.sum("_c_dg").alias("_c"))
+    joined = base.join(counts, "gram", "left")
     per_doc = joined.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("gram").isNotNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("gram").isNotNull(), F.col("_c_dg")).otherwise(0))
         .cast("long")
         .alias("n_grams"),
-        F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_grams"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c_dg")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_grams"),
     )
     return per_doc.select(
         "doc_id",
