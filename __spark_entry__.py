@@ -825,6 +825,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]}},
         )
 
+    def suggest_phrase_q(spark, sf):
+        # ES phrase suggester: two misspelled tokens -> combined phrase
+        # corrections, unigram-LM-minus-edit scoring, collated
+        from webindex.query import suggest_phrase
+
+        return suggest_phrase(_index(spark, sf), "merg slwo", size=3)
+
     def percolate_queries(spark, sf):
         # ES percolate: a stored-query registry matched AGAINST doc 0
         # (webindex/query.py percolate; the doc analyzed once, registry
@@ -1843,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_all_of": intervals_all_of,
         "intervals_all_of_unordered": intervals_all_of_unordered,
         "intervals_filtered": intervals_filtered,
+        "suggest_phrase": suggest_phrase_q,
         "percolate_queries": percolate_queries,
         "term_vectors_read": term_vectors_read,
         "intervals_any_of": intervals_any_of,
@@ -2220,6 +2228,46 @@ chain AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM chain GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # phrase suggester: per-token candidates (levenshtein <= 2, top-3 by
+    # dist asc / df desc / term asc — both inputs are absent from the
+    # vocabulary, so the missing-token branch applies), cross-combined,
+    # unigram-LM-minus-edit score, top-3, EXISTS collation
+    sql["suggest_phrase"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS tk FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+voc AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM tok)
+  GROUP BY term
+),
+c1 AS (
+  SELECT term, levenshtein(term, 'merg') AS dist, df,
+         row_number() OVER (ORDER BY levenshtein(term, 'merg') ASC, df DESC, term ASC) AS rn
+  FROM voc WHERE levenshtein(term, 'merg') <= 2
+),
+c2 AS (
+  SELECT term, levenshtein(term, 'slwo') AS dist, df,
+         row_number() OVER (ORDER BY levenshtein(term, 'slwo') ASC, df DESC, term ASC) AS rn
+  FROM voc WHERE levenshtein(term, 'slwo') <= 2
+),
+combos AS (
+  SELECT c1.term || ' ' || c2.term AS suggestion,
+         round(ln(c1.df / n.n_docs) - c1.dist
+               + ln(c2.df / n.n_docs) - c2.dist, 6) AS score,
+         c1.term AS t1, c2.term AS t2
+  FROM c1, c2, n WHERE c1.rn <= 3 AND c2.rn <= 3
+),
+top AS (
+  SELECT suggestion, score, t1, t2 FROM combos
+  ORDER BY score DESC, suggestion ASC LIMIT 3
+)
+SELECT suggestion, score,
+       EXISTS (SELECT 1 FROM tok
+               WHERE list_contains(tk, top.t1) AND list_contains(tk, top.t2))
+         AS matched
+FROM top ORDER BY score DESC, suggestion
 """
 
     sql["percolate_queries"] = f"""

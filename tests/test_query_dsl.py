@@ -244,3 +244,39 @@ def test_percolate_and_term_vectors(spark):
             want[(d, t)] = (len(ps), ps)
     assert got == want
     assert term_vectors(idx, []).collect() == []
+
+
+def test_suggest_phrase(spark):
+    """Phrase suggester: hand-computed scoring/ranking, dictionary tokens
+    kept verbatim, dead tokens kill the suggestion, collate flags."""
+    import math
+
+    import pandas as pd
+
+    from webindex.build import build_index
+    from webindex.query import suggest_phrase
+
+    texts = {
+        0: "the merge is slow today",
+        1: "merge the data slowly",
+        2: "a slow merge of data",
+        3: "spark data processing",
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "url": [f"u{i}" for i in texts],
+                        "text": list(texts.values())})
+    idx = build_index(spark, spark.createDataFrame(pdf), text_col="text",
+                      doc_id_method="provided", range_width=8)
+    n = 4.0
+
+    rows = suggest_phrase(idx, "merg slow", size=5).collect()
+    got = [(r["suggestion"], r["score"], r["matched"]) for r in rows]
+    # 'merg' -> merge(d1,df3); 'slow' in dictionary -> itself (df2)
+    want_top = ("merge slow", round(math.log(3 / n) - 1 + math.log(2 / n), 6), True)
+    assert got[0] == want_top
+    # collate: 'merge spark' shares no doc -> matched False
+    rows = suggest_phrase(idx, "mergo spark", size=5).collect()
+    by = {r["suggestion"]: r["matched"] for r in rows}
+    assert by.get("merge spark") is False
+
+    assert suggest_phrase(idx, "zzzzzzzzzz merge").collect() == []  # dead token
+    assert suggest_phrase(idx, "").collect() == []

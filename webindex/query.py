@@ -3631,3 +3631,91 @@ def term_vectors(index: Index, doc_ids: list[int]) -> DataFrame:
         .select("doc_id", "term", "tf", "positions")
         .orderBy("doc_id", "term")
     )
+
+
+def suggest_phrase(
+    index: Index,
+    text: str,
+    max_edits: int = 2,
+    per_term: int = 3,
+    size: int = 3,
+    collate: bool = True,
+    gram_index: DataFrame | None = None,
+) -> DataFrame:
+    """ES phrase suggester ("did you mean" over multi-term queries),
+    deterministic contract:
+
+      1. candidate sets — per input token (order + duplicates kept):
+         a dictionary token is its own sole candidate (distance 0); a
+         missing token takes suggest_terms' top `per_term` corrections
+         (distance asc, df desc, term asc). A token with NO candidate
+         kills the whole suggestion (ES emits none).
+      2. whole-phrase candidates = the cartesian combination of per-token
+         candidates, scored Σ_i (ln(df_i / n_docs) - distance_i) — the
+         unigram-LM-minus-edit-cost shape of ES's candidate scorer with
+         λ = 1 edit-penalty; round-6.
+      3. top `size` by (score desc, phrase asc).
+      4. collate=True marks each surviving phrase with matched = whether
+         ≥1 doc contains ALL its distinct terms (ES collate with an
+         operator=and match, prune=false: kept, flagged).
+
+    Output (suggestion, score, matched) ordered (score desc, suggestion).
+    Divergence from ES, documented: dictionary tokens are not re-weighed
+    against real-word alternatives (real_word_error_likelihood), and the
+    LM is unigram rather than the shingle-field bigram model.
+
+    Scale shape: candidate GENERATION is the distributed part and reuses
+    suggest_terms' pruned dictionary pass (length band / q-gram sidecar);
+    everything after is request-scale coordinator arithmetic over ≤
+    per_term^n_tokens rows — the same split ES has (shard-level candidate
+    generation, coordinator rescoring); collate adds ≤ `size`
+    intersection probes through the pruned match path."""
+    import itertools
+    import math
+
+    spark = index.term_stats.sparkSession
+    out_schema = "suggestion string, score double, matched boolean"
+    toks = tokenize(text)
+    if not toks:
+        return spark.createDataFrame([], out_schema)
+    uniq = sorted(set(toks))
+    known = {
+        r["term"]: int(r["df"])
+        for r in index.term_stats.filter(F.col("term").isin(uniq)).collect()
+    }
+    missing = [t for t in uniq if t not in known]
+    cand_of: dict[str, list[tuple[str, int, int]]] = {
+        t: [(t, 0, known[t])] for t in known
+    }
+    if missing:
+        sugg = suggest_terms(
+            index, " ".join(missing), max_edits=max_edits, size=per_term,
+            gram_index=gram_index,
+        ).collect()
+        for r in sugg:
+            cand_of.setdefault(r["input"], []).append(
+                (r["suggestion"], int(r["distance"]), int(r["df"]))
+            )
+    if any(t not in cand_of or not cand_of[t] for t in toks):
+        return spark.createDataFrame([], out_schema)
+    n_docs = float(index.n_docs)
+    combos = []
+    for combo in itertools.product(*[cand_of[t] for t in toks]):
+        phrase = " ".join(c[0] for c in combo)
+        score = sum(math.log(c[2] / n_docs) - c[1] for c in combo)
+        combos.append((phrase, round(score, 6)))
+    # dedupe identical phrases (different edit paths) keeping the best score
+    best: dict[str, float] = {}
+    for phrase, s in combos:
+        if phrase not in best or s > best[phrase]:
+            best[phrase] = s
+    ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+    rows = []
+    for phrase, s in ranked:
+        matched = False
+        if collate:
+            matched = bool(
+                topk_match(index, phrase, k=1, operator="and").limit(1).count()
+            )
+        rows.append((phrase, s, matched))
+    return spark.createDataFrame(rows, out_schema)
