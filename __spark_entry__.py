@@ -1460,6 +1460,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_stats(_docs(spark, sf), blocklist=["src3", "src7"])
 
+    def q_sample_mix(spark, sf):
+        # deterministic data-mixing sampler: per-source keep rates replayed
+        # bit-identically by the oracle (md5-uniform, salt 'mix')
+        from webindex.textstats import sample_mix
+
+        out = sample_mix(
+            _docs(spark, sf),
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        )
+        return out.select("doc_id", "source")
+
+    def q_pack_sequences(spark, sf):
+        # GPT-style concatenate-then-chunk packing into 512-token blocks,
+        # per-source shards
+        from webindex.textstats import pack_sequences
+
+        return pack_sequences(_docs(spark, sf), budget=512)
+
     def q_ccnet_ppl(spark, sf):
         # CCNet-style perplexity filter: score every doc under the TRAINED
         # en char-bigram distribution (lower pseudo_ppl = more en-like)
@@ -1831,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 1: first driver check happens this round --
         "lang_train_ngram": q_lang_train,
         "lang_id_model": q_lang_id_model,
+        "sample_mix": q_sample_mix,
+        "pack_sequences": q_pack_sequences,
         "ccnet_ppl": q_ccnet_ppl,
         "subtoken_count": q_subtoken_count,
         "dup_span_stats": q_dup_span_stats,
@@ -3501,6 +3521,32 @@ SELECT t.doc_id,
 FROM t
 JOIN chars USING (doc_id) JOIN g5 USING (doc_id)
 LEFT JOIN top USING (doc_id) LEFT JOIN runs USING (doc_id)
+"""
+
+    # sample_mix: the md5-uniform keep decision replayed bit-identically
+    # (('0x'||hex)::UBIGINT == Spark's conv(substring(md5,1,8),16,10))
+    sql["sample_mix"] = """
+SELECT doc_id, source FROM documents
+WHERE (('0x' || substring(md5('mix:' || doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+       / 4294967296.0)
+      < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                    WHEN 'src2' THEN 0.25 ELSE 0.0 END
+"""
+
+    sql["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, source AS shard, len({toks})::BIGINT AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       (start // 512)::BIGINT AS bin_id,
+       (start - (start // 512) * 512)::BIGINT AS bin_pos
+FROM c
 """
 
     # ccnet_ppl: the trained-model CTEs + a lang='en' slice; avg rounds

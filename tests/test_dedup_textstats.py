@@ -476,3 +476,39 @@ def test_char_ngram_logprob_and_subtokens(spark):
     assert got[1]["n_subtokens"] == 0 and got[1]["n_ws_tokens"] == 0
     assert got[2]["subtoken_ratio"] == 0.0
     assert got[3]["n_subtokens"] == 3 and got[3]["n_ws_tokens"] == 3
+
+
+def test_sample_mix_and_pack_sequences(spark):
+    import hashlib
+
+    from webindex.textstats import pack_sequences, sample_mix
+
+    rows = [(i, "tok " * (i % 7 + 1), "s" + str(i % 2)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = {r["doc_id"] for r in sample_mix(df, {"s0": 0.5, "s1": 0.0}).collect()}
+    # replay the contract in python
+    want = set()
+    for i, _, src in rows:
+        u = int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:8], 16) / 2**32
+        if src == "s0" and u < 0.5:
+            want.add(i)
+    assert kept == want and 0 < len(kept) < 100
+    # weight 1.0 keeps everything from that source; empty weights -> nothing
+    assert len(sample_mix(df, {"s0": 1.0}).collect()) == 100
+    assert sample_mix(df, {}).collect() == []
+    # a different salt re-draws
+    kept2 = {r["doc_id"] for r in sample_mix(df, {"s0": 0.5}, salt="epoch2").collect()}
+    assert kept2 != kept
+
+    got = {r["doc_id"]: r for r in pack_sequences(df, budget=10).collect()}
+    # replay: concatenate per shard in doc_id order, chunk at 10
+    for shard in ("s0", "s1"):
+        start = 0
+        for i, text, src in rows:
+            if src != shard:
+                continue
+            n = i % 7 + 1
+            r = got[i]
+            assert (r["shard"], r["n_tokens"]) == (shard, n)
+            assert r["bin_id"] == start // 10 and r["bin_pos"] == start % 10, i
+            start += n

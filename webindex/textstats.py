@@ -651,3 +651,82 @@ def subtoken_count(
             F.when(ws > 0, sub.cast("double") / ws).otherwise(F.lit(0.0)), 6
         ).alias("subtoken_ratio"),
     )
+
+
+def sample_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    salt: str = "mix",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic data-mixing sampler — the per-source rate sampling a
+    pretraining pipeline uses to hit a target corpus mixture: keep a doc
+    from source s iff frac(md5(salt || ':' || doc_id)) < weights[s]
+    (sources absent from `weights` are dropped; weight 1.0 keeps all).
+    frac() is the first 8 md5 hex digits as a 32-bit uniform — md5 keeps
+    the decision engine-portable (any system, incl. the oracle, replays
+    the exact same keep set; a seeded rand() would not survive an engine
+    swap or a repartition).
+
+    One scan, zero shuffle, zero Python; changing the salt re-draws the
+    sample without touching the data (epoch-level remixing)."""
+    if not weights:
+        return docs.filter(F.lit(False))
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double") / float(1 << 32)
+    )
+    rate = None
+    for s in sorted(weights):
+        cond = F.when(F.col(source_col) == s, F.lit(float(weights[s])))
+        rate = cond if rate is None else rate.when(F.col(source_col) == s, F.lit(float(weights[s])))
+    rate = rate.otherwise(F.lit(0.0))
+    return docs.filter(u < rate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Sequence packing for pretraining: assign docs to fixed-token-budget
+    blocks, GPT-style concatenate-then-chunk — (doc_id, shard, n_tokens,
+    bin_id, bin_pos). Deterministic contract: docs concatenate in doc_id
+    order WITHIN their shard into one virtual token stream; bin_id =
+    floor(start_offset / budget) is the fixed-size block holding the
+    doc's FIRST token, bin_pos the offset inside that block. Docs may
+    straddle block boundaries — exactly how causal-LM packing cuts a
+    concatenated stream into context windows (the cross-doc attention
+    mask is the trainer's concern, not the packer's).
+
+    Scale shape: real pipelines pack within shards, never globally — a
+    global doc order would serialize the corpus through one task. The
+    window is partitionBy(shard) orderBy(doc_id): one shuffle on the
+    shard key, cumsum inside each shard partition; shard count is the
+    parallelism (the caller picks shards accordingly — source, crawl
+    snapshot, bucket)."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(shard_col).alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("bin_id"),
+        (start - F.floor(start / budget) * budget).cast("long").alias("bin_pos"),
+    )
