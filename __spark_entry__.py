@@ -153,7 +153,9 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, query: str, k: int) -> DataFram
     return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
-def _bm25_score_subquery(terms: list[str], toks_sql: str = _TOKS_SQL) -> str:
+def _bm25_score_subquery(
+    terms: list[str], toks_sql: str = _TOKS_SQL, from_sql: str = "documents"
+) -> str:
     """(doc_id, score) over all docs containing any of `terms` — the shared
     BM25 math for single-query / batch / per-field oracles (same summation
     order as the engine: term-ascending per doc). toks_sql parameterizes the
@@ -161,7 +163,7 @@ def _bm25_score_subquery(terms: list[str], toks_sql: str = _TOKS_SQL) -> str:
     termlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
 WITH tok AS (
-  SELECT doc_id, {toks_sql} AS toks FROM documents
+  SELECT doc_id, {toks_sql} AS toks FROM {from_sql}
 ),
 d AS (SELECT doc_id, len(toks) AS dl FROM tok),
 c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
@@ -824,6 +826,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 {"match": {"terms": ["slow"]}},
             ]}},
         )
+
+    def multi_index_search(spark, sf):
+        # ES multi-index search: the corpus split into two indexes (even /
+        # odd doc ids), each scoring with ITS OWN stats (ES default
+        # query_then_fetch), k-row frames fan in to one TakeOrdered
+        from webindex.build import build_index
+        from webindex.query import topk_multi_index
+
+        halves = {}
+        for name, parity in (("even", 0), ("odd", 1)):
+            key = f"{sf}#half{parity}"
+            if key not in _INDEX_CACHE:
+                docs = (
+                    _docs(spark, sf)
+                    .filter(F.col("doc_id") % 2 == parity)
+                    .withColumn("url", F.col("doc_id").cast("string"))
+                )
+                _INDEX_CACHE[key] = build_index(
+                    spark, docs, text_col="text", doc_id_method="provided",
+                    range_width=1 << 18,
+                )
+            halves[name] = _INDEX_CACHE[key]
+        out = topk_multi_index(halves, "data merge", k=10)
+        return out.select("index", "doc_id", F.round("score", 4).alias("score"))
 
     def suggest_phrase_q(spark, sf):
         # ES phrase suggester: two misspelled tokens -> combined phrase
@@ -1870,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_all_of": intervals_all_of,
         "intervals_all_of_unordered": intervals_all_of_unordered,
         "intervals_filtered": intervals_filtered,
+        "multi_index_search": multi_index_search,
         "suggest_phrase": suggest_phrase_q,
         "percolate_queries": percolate_queries,
         "term_vectors_read": term_vectors_read,
@@ -2248,6 +2275,26 @@ chain AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_intervals
 FROM chain GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # multi-index: each half scores with its own stats (the from_sql
+    # parameter re-derives df/avgdl over just that half)
+    _half = lambda p: f"(SELECT * FROM documents WHERE doc_id % 2 = {p})"  # noqa: E731
+    sql["multi_index_search"] = f"""
+SELECT index, doc_id, round(score, 4) AS score FROM (
+  SELECT 'even' AS index, doc_id, score FROM (
+    SELECT doc_id, score
+    FROM ({_bm25_score_subquery(["data", "merge"], from_sql=_half(0))})
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+  )
+  UNION ALL
+  SELECT 'odd', doc_id, score FROM (
+    SELECT doc_id, score
+    FROM ({_bm25_score_subquery(["data", "merge"], from_sql=_half(1))})
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+  )
+  ORDER BY score DESC, index ASC, doc_id ASC LIMIT 10
+)
 """
 
     # phrase suggester: per-token candidates (levenshtein <= 2, top-3 by

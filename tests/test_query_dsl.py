@@ -280,3 +280,35 @@ def test_suggest_phrase(spark):
 
     assert suggest_phrase(idx, "zzzzzzzzzz merge").collect() == []  # dead token
     assert suggest_phrase(idx, "").collect() == []
+
+
+def test_multi_index_search(spark):
+    """Cross-index fan-out: per-index stats (ES query_then_fetch), global
+    TakeOrdered equals a hand-merge of per-index topk_wand results."""
+    import pandas as pd
+
+    from webindex.build import build_index
+    from webindex.query import topk_multi_index, topk_wand
+
+    texts = {i: f"data merge w{i % 5} spark {'data ' * (i % 3)}" for i in range(40)}
+    halves = {}
+    for name, parity in (("a", 0), ("b", 1)):
+        pdf = pd.DataFrame(
+            {"doc_id": [i for i in texts if i % 2 == parity],
+             "url": [f"u{i}" for i in texts if i % 2 == parity],
+             "text": [texts[i] for i in texts if i % 2 == parity]}
+        )
+        halves[name] = build_index(
+            spark, spark.createDataFrame(pdf), text_col="text",
+            doc_id_method="provided", range_width=8,
+        )
+    got = [(r["index"], r["doc_id"], round(r["score"], 9))
+           for r in topk_multi_index(halves, "data merge", 7).collect()]
+    merged = []
+    for name in ("a", "b"):
+        for r in topk_wand(halves[name], "data merge", 7).collect():
+            merged.append((name, r["doc_id"], round(r["score"], 9)))
+    merged.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert got == merged[:7]
+    with pytest.raises(ValueError):
+        topk_multi_index({}, "data")

@@ -3719,3 +3719,35 @@ def suggest_phrase(
             )
         rows.append((phrase, s, matched))
     return spark.createDataFrame(rows, out_schema)
+
+
+def topk_multi_index(
+    indexes: dict[str, Index], query: str, k: int = 10
+) -> DataFrame:
+    """Search SEVERAL indexes as one (ES multi-index search, `idx1,idx2` /
+    index patterns): (index, doc_id, score), global top-k. Semantics match
+    ES's DEFAULT query_then_fetch: every index scores with ITS OWN
+    statistics (df, avgdl) — scores are comparable only as ES makes them
+    (dfs_query_then_fetch, which globalizes stats, is a documented
+    non-goal). Ties (score, index asc, doc_id asc).
+
+    Scale shape: the ES shard fan-out argument — any global top-k hit is
+    inside its own index's local top-k, so each index runs its normal
+    pruned WAND top-k and only k-row frames union into one TakeOrdered.
+    Indexes are searched by the same Spark session in one job graph; no
+    cross-index shuffle, no stats exchange."""
+    if not indexes:
+        raise ValueError("multi-index search needs at least one index")
+    frames = []
+    for name in sorted(indexes):
+        frames.append(
+            topk_wand(indexes[name], query, k).select(
+                F.lit(name).alias("index"), "doc_id", "score"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy(
+        F.desc("score"), F.asc("index"), F.asc("doc_id")
+    ).limit(k)
