@@ -572,6 +572,12 @@ def test_intervals_matches_brute_force(pidx, corpus):
             {"match": {"terms": ["data", "merge"], "max_gaps": 2, "ordered": False}},
             {"match": {"terms": ["fast"]}},
         ]}},
+        # 3-child unordered all_of with a multi-term child
+        {"all_of": {"max_gaps": 10, "ordered": False, "intervals": [
+            {"match": {"terms": ["fast"]}},
+            {"match": {"terms": ["slow"]}},
+            {"match": {"terms": ["the", "data"], "max_gaps": 0, "ordered": True}},
+        ]}},
     ]
     any_hits = False
     for spec in specs:
