@@ -135,3 +135,167 @@ def test_random_corpus_compositions(spark, seed):
     rows = topk_synonyms(idx, f"{qt1} {qt2}", syn, k=10).collect()
     got = [(r["doc_id"], round(r["score"], 9)) for r in rows]
     assert got == [(d, round(s, 9)) for d, s in want], (qt1, qt2, syn)
+
+
+def _rand_interval_spec(rng, depth=0):
+    """Random intervals rule tree (ASCII terms only — the positional path)."""
+    ascii_words = ["the", "data", "spark", "x2", "42", "a", "zz"]
+    roll = rng.random()
+    if depth >= 2 or roll < 0.5:
+        n = rng.randint(1, 3)
+        spec = {"match": {
+            "terms": rng.choices(ascii_words, k=n),
+            "max_gaps": rng.randint(0, 4),
+            "ordered": rng.random() < 0.5,
+        }}
+    elif roll < 0.75:
+        spec = {"any_of": {"intervals": [
+            _rand_interval_spec(rng, depth + 1) for _ in range(rng.randint(2, 3))
+        ]}}
+    else:
+        spec = {"all_of": {
+            "max_gaps": rng.randint(0, 6),
+            "ordered": rng.random() < 0.5,
+            "intervals": [
+                _rand_interval_spec(rng, depth + 1) for _ in range(rng.randint(2, 3))
+            ],
+        }}
+    if depth == 0 and rng.random() < 0.4:
+        rule = rng.choice(["containing", "not_containing", "contained_by",
+                           "overlapping", "before", "after", "not_before",
+                           "not_after", "not_overlapping", "not_contained_by"])
+        spec[next(iter(spec))]["filter"] = {
+            rule: {"match": {"terms": [rng.choice(ascii_words)]}}
+        }
+    return spec
+
+
+def _brute_intervals(spec, toks):
+    def pos_of(w):
+        return [j for j, x in enumerate(toks) if x == w]
+
+    def ev(node):
+        kind, body = next(iter(node.items()))
+        if kind == "match":
+            terms, g, n = body["terms"], body.get("max_gaps", 0), len(body["terms"])
+            if n == 1:
+                spans = [(p, p) for p in pos_of(terms[0])]
+            elif body.get("ordered", True):
+                spans = []
+                for p0 in pos_of(terms[0]):
+                    cur, ok = p0, True
+                    for w in terms[1:]:
+                        nxt = [q for q in pos_of(w) if q > cur]
+                        if not nxt:
+                            ok = False
+                            break
+                        cur = min(nxt)
+                    if ok and cur - p0 + 1 - n <= g:
+                        spans.append((p0, cur))
+            else:
+                spans = []
+                for p0 in pos_of(terms[0]):
+                    ch, ok = [p0], True
+                    for w in terms[1:]:
+                        ps = pos_of(w)
+                        if not ps:
+                            ok = False
+                            break
+                        ch.append(min(ps, key=lambda q: (abs(q - p0), q)))
+                    if ok and max(ch) - min(ch) + 1 - n <= g:
+                        spans.append((min(ch), max(ch)))
+                spans = sorted(spans)
+        elif kind == "any_of":
+            spans = []
+            for c in body["intervals"]:
+                spans.extend(ev(c))
+            spans = sorted(spans)
+        else:
+            g = body.get("max_gaps", 0)
+            childs = [ev(c) for c in body["intervals"]]
+            spans = []
+            if body.get("ordered", True):
+                for s0, e0 in childs[0]:
+                    cur_end, gaps, ok = e0, 0, True
+                    for ch in childs[1:]:
+                        cands = sorted(sp for sp in ch if sp[0] > cur_end)
+                        if not cands:
+                            ok = False
+                            break
+                        s, e = cands[0]
+                        gaps += s - cur_end - 1
+                        cur_end = e
+                    if ok and gaps <= g:
+                        spans.append((s0, cur_end))
+            else:
+                for s0, e0 in childs[0]:
+                    env_s, env_e, lens, ok = s0, e0, e0 - s0 + 1, True
+                    for ch in childs[1:]:
+                        if not ch:
+                            ok = False
+                            break
+                        s, e = min(ch, key=lambda sp: (abs(sp[0] - s0), sp[0], sp[1]))
+                        env_s, env_e = min(env_s, s), max(env_e, e)
+                        lens += e - s + 1
+                    if ok and (env_e - env_s + 1) - lens <= g:
+                        spans.append((env_s, env_e))
+                spans = sorted(spans)
+        if "filter" in body:
+            rule, fspec = next(iter(body["filter"].items()))
+            neg = rule.startswith("not_")
+            base = rule[4:] if neg else rule
+            fsp = ev(fspec)
+
+            def rel(sp):
+                s, e = sp
+                if base == "containing":
+                    r = any(s <= fs and fe <= e for fs, fe in fsp)
+                elif base == "contained_by":
+                    r = any(fs <= s and e <= fe for fs, fe in fsp)
+                elif base == "overlapping":
+                    r = any(fs <= e and fe >= s for fs, fe in fsp)
+                elif base == "before":
+                    r = any(e < fs for fs, _ in fsp)
+                else:
+                    r = any(fe < s for _, fe in fsp)
+                return (not r) if neg else r
+
+            spans = [sp for sp in spans if rel(sp)]
+        return spans
+
+    return ev(spec)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_random_interval_specs_match_brute_force(spark, seed):
+    """Fuzz the intervals rule tree: random corpora × random nested specs
+    (combinators, gaps, both orders, filter rules) must equal the per-doc
+    brute force exactly — counts per doc, every doc."""
+    from webindex.query import intervals_docs
+    from webindex.textproc import tokenize
+
+    rng = random.Random(seed)
+    docs = _random_corpus(seed, 40)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "url": [f"u{i}" for i in docs],
+         "text": list(docs.values())}
+    )
+    idx = build_index(
+        spark, spark.createDataFrame(pdf), text_col="text",
+        doc_id_method="provided", range_width=8, positions=True,
+    )
+    n_specs, any_hits = 8, False
+    for _ in range(n_specs):
+        spec = _rand_interval_spec(rng)
+        got = {r["doc_id"]: r["n_intervals"]
+               for r in intervals_docs(idx, spec).collect()}
+        want = {}
+        for i, text in docs.items():
+            spans = _brute_intervals(spec, tokenize(text))
+            if spans:
+                want[i] = len(spans)
+        assert got == want, spec
+        any_hits = any_hits or bool(got)
+    assert any_hits
