@@ -268,6 +268,30 @@ def main() -> None:
             topk_synonyms(idx, "data merge", {"data": ["spark"]}, 10).collect()
             per.append(time.monotonic() - t0)
         extras["synonyms_query"] = min(per)
+        # round-5 families (informational): intervals rule tree over the
+        # positional index; cross-doc exact-substring duplication stats
+        from webindex.dedup import dup_span_stats
+        from webindex.query import intervals_docs
+
+        per = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            intervals_docs(
+                pidx,
+                {"all_of": {"max_gaps": 4, "ordered": True, "intervals": [
+                    {"match": {"terms": ["the", "data"], "max_gaps": 0,
+                               "ordered": True}},
+                    {"match": {"terms": ["merge"]}},
+                ]}},
+            ).count()
+            per.append(time.monotonic() - t0)
+        extras["intervals_query"] = min(per)
+        per = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            dup_span_stats(docs, k=5).count()
+            per.append(time.monotonic() - t0)
+        extras["dedup_exact_substr"] = min(per)
 
         total = sum(
             v
