@@ -184,6 +184,26 @@ def test_streaming_positional_compact_matches_batch(spark, tmp_path, oracle):
         assert _hits(topk_phrase(idx, p, 10)) == _hits(
             topk_phrase(batch, p, 10)
         ), p
+    # round-5 positional families must read the merged incremental index
+    # identically to the batch build (positions survive compaction)
+    from webindex.query import intervals_docs, span_near_docs
+
+    def spans(ix):
+        return [(r["doc_id"], r["n_spans"])
+                for r in span_near_docs(ix, ["the", "data"], 2, True).collect()]
+
+    assert spans(idx) == spans(batch) and spans(idx)
+
+    spec = {"any_of": {"intervals": [
+        {"match": {"terms": ["index", "query"], "max_gaps": 1, "ordered": True}},
+        {"match": {"terms": ["the", "data"], "max_gaps": 0, "ordered": True}},
+    ]}}
+
+    def ivs(ix):
+        return [(r["doc_id"], r["n_intervals"])
+                for r in intervals_docs(ix, spec).collect()]
+
+    assert ivs(idx) == ivs(batch) and ivs(idx)
 
 
 def test_phrase_block_prune_skips_disjoint_ranges(spark):
