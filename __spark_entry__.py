@@ -670,21 +670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES date_histogram with a CALENDAR interval (month) — the stored
         # timestamp derives deterministically from doc_id so the oracle
         # reconstructs it bit-identically (webindex/aggs.py
-        # date_histogram_agg)
-        from webindex.aggs import date_histogram_agg
-
-        stored = _docs(spark, sf).select("doc_id").withColumn(
-            "ts",
-            F.expr(
-                "timestamp '2025-01-01 00:00:00'"
-                " + make_interval(0, 0, 0, cast(doc_id % 365 as int), 0, 0, 0)"
-            ),
-        )
-        out = date_histogram_agg(
-            _index(spark, sf), stored, "data merge", "ts", "month"
-        )
-        # DATE bucket keys on both sides (hash-stable stringification)
-        return out.select(F.col("bucket").cast("date").alias("bucket"), "doc_count")
+        # date_histogram_agg); same derivation the pipeline-agg entries
+        # share, so there is exactly one copy of it
+        return _date_hist_parent(spark, sf)
 
     def agg_composite(spark, sf):
         # ES composite aggregation page 2: (lang, source) buckets strictly

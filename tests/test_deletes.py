@@ -271,3 +271,57 @@ def test_live_index_no_pending_deletes_is_plain_index(spark, tmp_path):
     live = ing.live_index()
     assert live.dead_ids is None
     assert _topk_list(live, "the data") == _topk_list(idx0, "the data")
+
+
+def test_live_index_bool_pinned_exclude_deleted(spark, tmp_path):
+    """Pending tombstones apply to EVERY query family on live_index(), not
+    just the WAND kernel: bool (scored, and the must_not-only match_all
+    path) and pinned must drop the dead doc before any compact."""
+    from webindex.query import topk_bool, topk_pinned
+
+    pdf = make_pages_pdf(0, 60)
+    wd = str(tmp_path / "wd")
+    ing = IncrementalIndexer(spark, wd, text_col="text")
+    idx0 = ing.upsert(spark.createDataFrame(pdf))
+    q = "the data"
+    before = [(r["doc_id"], round(r["score"], 9))
+              for r in topk_bool(idx0, must=q).collect()]
+    top_doc = before[0][0]
+    url = idx0.doc_stats.filter(F.col("doc_id") == top_doc).collect()[0]["url"]
+    ing.delete([url], compact_now=False)
+    live = ing.live_index()
+
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in topk_bool(live, must=q).collect()]
+    want = [(d, s) for d, s in
+            [(r["doc_id"], round(r["score"], 9))
+             for r in topk_bool(idx0, must=q, k=11).collect()]
+            if d != top_doc][:10]
+    assert got == want and all(d != top_doc for d, _ in got)
+
+    # must_not-only path enumerates doc_stats — dead doc must not appear
+    mn = [r["doc_id"] for r in
+          topk_bool(live, must_not="zzzabsent", k=1000).collect()]
+    assert top_doc not in mn and len(mn) == 59
+
+    # a pinned deleted doc must not be resurrected
+    pinned = [r["doc_id"] for r in topk_pinned(live, [top_doc], q).collect()]
+    assert top_doc not in pinned
+
+
+def test_delete_on_fresh_workdir_is_recorded_noop(spark, tmp_path):
+    """delete()/delete_by_query() before any ingest: the documented
+    recorded no-op — no crash compacting a corpus that does not exist, and
+    a LATER crawl outranks the early tombstone (batch order)."""
+    wd = str(tmp_path / "wd")
+    ing = IncrementalIndexer(spark, wd, text_col="text")
+    pdf = make_pages_pdf(0, 10)
+    url0 = pdf["url"].iloc[0]
+    assert ing.delete([url0]) is None  # compact_now=True: still a no-op
+    assert ing.delete_by_query("the data") is None
+    with pytest.raises(ValueError, match="no ingested pages"):
+        ing.compact()
+    # the tombstone is committed but the crawl is the LATER event: doc lives
+    idx = ing.upsert(spark.createDataFrame(pdf))
+    assert idx.n_docs == 10
+    assert lookup_url(idx, url0).count() == 1

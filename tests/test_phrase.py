@@ -663,3 +663,37 @@ def test_intervals_filter_rules(pidx, corpus):
             if n:
                 want[i] = n
         assert got == want, rule
+
+
+def test_intervals_oov_leaf(pidx, corpus):
+    """An out-of-vocabulary leaf yields no intervals — it must not empty
+    the whole query (ES semantics): an any_of sibling still matches, a
+    not_* filter with no spans keeps every positive span, an all_of child
+    kills only its own chain, and a fully-OOV query is empty."""
+    from webindex.query import intervals_docs
+
+    oov = {"match": {"terms": ["zzzabsentterm"]}}
+    spec_any = {"any_of": {"intervals": [{"match": {"terms": ["data"]}}, oov]}}
+    spec_all = {"all_of": {"max_gaps": 3, "ordered": True,
+                           "intervals": [{"match": {"terms": ["data"]}}, oov]}}
+    for spec in (spec_any, spec_all):
+        got = {r["doc_id"]: r["n_intervals"]
+               for r in intervals_docs(pidx, spec).collect()}
+        assert got == _iv_brute(corpus, spec), spec
+    got_any = {r["doc_id"]: r["n_intervals"]
+               for r in intervals_docs(pidx, spec_any).collect()}
+    assert got_any  # the present branch does match somewhere
+
+    # not_before vs an OOV filter keeps ALL positive spans...
+    pos = {"match": {"terms": ["the", "data"], "max_gaps": 3, "ordered": True}}
+    spec_not = {"match": {"terms": ["the", "data"], "max_gaps": 3,
+                          "ordered": True, "filter": {"not_before": oov}}}
+    got = {r["doc_id"]: r["n_intervals"]
+           for r in intervals_docs(pidx, spec_not).collect()}
+    assert got == _iv_brute(corpus, pos) and got
+    # ...and the positive relation against no filter spans matches nothing
+    spec_bef = {"match": {"terms": ["the", "data"], "max_gaps": 3,
+                          "ordered": True, "filter": {"before": oov}}}
+    assert intervals_docs(pidx, spec_bef).collect() == []
+    # fully-OOV query: no leaf exists anywhere -> empty
+    assert intervals_docs(pidx, oov).collect() == []

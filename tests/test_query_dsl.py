@@ -312,3 +312,27 @@ def test_multi_index_search(spark):
     assert got == merged[:7]
     with pytest.raises(ValueError):
         topk_multi_index({}, "data")
+
+
+def test_term_vectors_pre_round5_index_falls_back_unpruned(spark):
+    """An index loaded without the round-5 conf sidecar (id_space=None)
+    cannot map doc_id -> bucket; term_vectors must fall back to the
+    min/max-doc block prune instead of crashing in bucket_of."""
+    import dataclasses
+
+    import pandas as pd
+
+    from webindex.build import build_index
+    from webindex.query import term_vectors
+
+    texts = {0: "alpha beta alpha gamma", 1: "beta gamma gamma", 2: "delta alpha"}
+    pdf = pd.DataFrame({"doc_id": list(texts), "url": [f"u{i}" for i in texts],
+                        "text": list(texts.values())})
+    idx = build_index(spark, spark.createDataFrame(pdf), text_col="text",
+                      doc_id_method="provided", range_width=8, positions=True)
+    legacy = dataclasses.replace(idx, id_space=None, bucket_bits=None)
+    got = {(r["doc_id"], r["term"]): r["tf"]
+           for r in term_vectors(legacy, [0, 2]).collect()}
+    want = {(r["doc_id"], r["term"]): r["tf"]
+            for r in term_vectors(idx, [0, 2]).collect()}
+    assert got == want and got

@@ -502,6 +502,7 @@ def _bool_bucket_fn(
     k: int,
     n_required: int,
     msm: int,
+    dead: np.ndarray | None = None,
 ):
     """applyInPandas fn: one bucket's blocks (every clause term, all roles)
     -> local top-k under Lucene BooleanQuery semantics.
@@ -602,6 +603,15 @@ def _bool_bucket_fn(
         if not ok.any():
             return empty
         doc_ids, scores = doc_ids[ok], scores[ok]
+        if dead is not None and len(dead):
+            # live-docs filter (Index.dead_ids), same contract as the WAND
+            # kernel: must run BEFORE the local top-k cut. `dead` is sorted.
+            pos = np.searchsorted(dead, doc_ids)
+            pos[pos >= len(dead)] = len(dead) - 1
+            alive = dead[pos] != doc_ids
+            if not alive.any():
+                return empty
+            doc_ids, scores = doc_ids[alive], scores[alive]
         sel = np.lexsort((doc_ids, -scores))[:k]
         return pd.DataFrame({"doc_id": doc_ids[sel], "score": scores[sel]})
 
@@ -651,9 +661,15 @@ def topk_bool(
         from webindex.aggs import matching_doc_ids
 
         excluded = matching_doc_ids(index, must_not)
+        base = index.doc_stats.select("doc_id")
+        if index.dead_ids is not None and len(index.dead_ids):
+            # doc_stats keeps tombstoned rows until compaction; drop them so
+            # the match_all side honors live_index()'s delete visibility
+            base = base.filter(
+                ~F.col("doc_id").isin([int(d) for d in index.dead_ids])
+            )
         return (
-            index.doc_stats.select("doc_id")
-            .join(excluded, "doc_id", "left_anti")
+            base.join(excluded, "doc_id", "left_anti")
             .withColumn("score", F.lit(0.0))
             .orderBy(F.asc("doc_id"))
             .limit(k)
@@ -698,7 +714,7 @@ def topk_bool(
     hits = blocks.groupBy("bucket").applyInPandas(
         _bool_bucket_fn(
             idf_map, term_rank, roles, index.conf, index.avgdl, k,
-            len(required), msm,
+            len(required), msm, dead=index.dead_ids,
         ),
         schema=_HIT,
     )
@@ -2287,6 +2303,11 @@ def topk_pinned(
     final (score desc, doc_id asc) limit k does the sectioning."""
     spark = index.postings.sparkSession
     pins = [int(d) for d in pinned_ids[:k]]
+    if index.dead_ids is not None and len(index.dead_ids):
+        # doc_stats keeps tombstoned rows until compaction; a pinned deleted
+        # doc must not be resurrected on a live_index()
+        dead = set(int(d) for d in index.dead_ids)
+        pins = [d for d in pins if d not in dead]
     pinned_df = spark.createDataFrame(
         [(d, PIN_BASE / (1 + i)) for i, d in enumerate(pins)], _HIT
     ).join(index.doc_stats.select("doc_id"), "doc_id", "left_semi")
@@ -3259,9 +3280,13 @@ def intervals_docs(index: Index, spec: dict) -> DataFrame:
     out_schema = "doc_id long, n_intervals long"
     all_terms = leaf_terms(spec)
     stats = _query_terms(index, " ".join(all_terms))
-    if not all_terms or any(t not in stats for t in all_terms):
+    # ES semantics for an out-of-vocabulary leaf: it yields no intervals —
+    # an any_of sibling can still match and a not_* filter with no spans
+    # keeps everything. Only when NO leaf exists in the corpus can no rule
+    # produce a span, so only then is the whole query empty.
+    if not all_terms or all(t not in stats for t in all_terms):
         return spark.createDataFrame([], out_schema)
-    hash_of = {t: stats[t][2] for t in set(all_terms)}
+    hash_of = {t: stats[t][2] for t in set(all_terms) if t in stats}
     qn = index.conf.quantize_norms
     shift = np.int64(1) << np.int64(32)
     mask = shift - 1
@@ -3297,7 +3322,7 @@ def intervals_docs(index: Index, spec: dict) -> DataFrame:
 
         def term_spans(t: str) -> tuple[np.ndarray, np.ndarray]:
             """(skeys, ekeys): packed start/end keys, start == end."""
-            got = per_term.get(hash_of[t])
+            got = per_term.get(hash_of[t]) if t in hash_of else None
             if got is None:
                 z = np.empty(0, dtype=np.int64)
                 return z, z
@@ -3574,7 +3599,7 @@ def term_vectors(index: Index, doc_ids: list[int]) -> DataFrame:
         {int(r["bucket"]) for r in index.doc_stats.filter(
             F.col("doc_id").isin(ids)
         ).select(index.bucket_of(F.col("doc_id")).alias("bucket")).collect()}
-    ) if hasattr(index, "bucket_of") else None
+    ) if index.id_space is not None else None
 
     blocks = index.postings.filter(
         (F.col("min_doc") <= int(id_arr.max())) & (F.col("max_doc") >= int(id_arr.min()))

@@ -409,6 +409,12 @@ class IncrementalIndexer:
             [(int(batch_id), 0, 0, int(nbytes), float(time.monotonic() - t0), "done")],
             schema=schema.LINEAGE,
         ).write.mode("append").parquet(f"{self.workdir}/lineage")
+        if compact_now and not self._has_runs():
+            # tombstones on a never-ingested workdir: the recorded no-op the
+            # docstring promises — the tombstone batch is committed (a later
+            # crawl still outranks it by batch order) but there is no corpus
+            # to compact yet
+            return None
         return self.compact() if compact_now else None
 
     def delete_by_query(
@@ -422,10 +428,22 @@ class IncrementalIndexer:
         batch through delete()."""
         from webindex.aggs import matching_doc_ids
 
+        if not self._has_runs():
+            # never-ingested workdir: the snapshot match set is necessarily
+            # empty — ES _delete_by_query deletes nothing on an empty index
+            return None
         idx = self.compact()
         ids = matching_doc_ids(idx, query, msm)
         urls = idx.doc_stats.join(ids, "doc_id", "semi").select("url")
         return self.delete(urls, compact_now)
+
+    def _has_runs(self) -> bool:
+        """True once at least one page batch committed a runs partition —
+        the precondition for compact() (tombstone-only workdirs have
+        lineage but no corpus)."""
+        from webindex.fsutil import path_exists
+
+        return path_exists(self.spark, f"{self.workdir}/runs")
 
     def _new_tombstones(self, min_batch: int | None = None) -> DataFrame | None:
         """(doc_id, batch_id) tombstone events, optionally only those after
@@ -691,6 +709,12 @@ class IncrementalIndexer:
 
     def _compact_full(self, done: list[int]) -> Index:
         spark = self.spark
+        if not self._has_runs():
+            raise ValueError(
+                "compact() on a workdir with no ingested pages — ingest at "
+                "least one batch first (tombstone-only workdirs have no "
+                "corpus to compact)"
+            )
         runs = spark.read.parquet(f"{self.workdir}/runs")
         doc_urls = spark.read.parquet(f"{self.workdir}/doc_urls")
         runs_latest = self._latest_wins(runs, doc_urls)
