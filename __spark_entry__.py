@@ -1397,6 +1397,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sigs = minhash_signatures(_docs(spark, sf), n_hashes=8)
         return lsh_candidate_pairs(sigs, n_bands=4)
 
+    def q_dedup_clusters(spark, sf):
+        # pair -> cluster resolution: the step between LSH candidates and
+        # document dropping. Same pair definition as lsh_pairs; the oracle
+        # recomputes the components with a recursive min-label CTE.
+        from webindex.dedup import connected_components
+
+        sigs = minhash_signatures(_docs(spark, sf), n_hashes=8)
+        return connected_components(lsh_candidate_pairs(sigs, n_bands=4))
+
+    def q_dedup_canonical(spark, sf):
+        # full-corpus keep/drop assignment: singletons keep themselves,
+        # clustered docs keep only the component-min doc_id.
+        from webindex.dedup import resolve_duplicates
+
+        docs = _docs(spark, sf)
+        sigs = minhash_signatures(docs, n_hashes=8)
+        return resolve_duplicates(docs, lsh_candidate_pairs(sigs, n_bands=4))
+
     def q_ngram_jaccard(spark, sf):
         # LSH scale path (physical plan = equi-joins, no cartesian): 16
         # minhashes in 8 bands of 2. Every planted near-dup pair in the
@@ -1914,6 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_sig": q_minhash,
         "lsh_pairs": q_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "token_count": q_token_count,
@@ -2933,6 +2953,58 @@ bands AS (
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id
+"""
+    )
+
+    # LSH pairs -> connected components, as a recursive min-label fixpoint:
+    # the component minimum's label reaches every member (min < any other
+    # node, so the `lbl < v` propagation guard never blocks it) and no
+    # smaller label exists in the component, so min(lbl) per node IS the
+    # component min — exactly connected_components' cluster_id contract.
+    _cc_cte = (
+        shingle_cte.replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + """
+, sig AS (
+  SELECT doc_id,
+         [list_min(list_transform(shingles, s -> md5('0:' || s))),
+          list_min(list_transform(shingles, s -> md5('1:' || s))),
+          list_min(list_transform(shingles, s -> md5('2:' || s))),
+          list_min(list_transform(shingles, s -> md5('3:' || s))),
+          list_min(list_transform(shingles, s -> md5('4:' || s))),
+          list_min(list_transform(shingles, s -> md5('5:' || s))),
+          list_min(list_transform(shingles, s -> md5('6:' || s))),
+          list_min(list_transform(shingles, s -> md5('7:' || s)))] AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(sig[band*2+1 : band*2+2], '|')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+walk(id, lbl) AS (
+  SELECT u AS id, u AS lbl FROM (SELECT DISTINCT u FROM e) n
+  UNION
+  SELECT e.v AS id, w.lbl AS lbl
+  FROM walk w JOIN e ON e.u = w.id
+  WHERE w.lbl < e.v
+),
+cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+"""
+    )
+    sql["dedup_clusters"] = _cc_cte + "SELECT doc_id, cluster_id FROM cc"
+    sql["dedup_canonical"] = (
+        _cc_cte
+        + """
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id
 """
     )
 

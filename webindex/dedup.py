@@ -372,3 +372,126 @@ def dup_span_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 64
+) -> DataFrame:
+    """Resolve near-dup candidate PAIRS into duplicate CLUSTERS:
+    (a, b) edges -> (doc_id, cluster_id) where cluster_id is the minimum
+    doc_id of the connected component. This is the step every production
+    dedup pipeline runs between pair generation (LSH / SimHash /
+    embedding near-dup) and document dropping — near-duplication is
+    transitive in practice (A~B, B~C => one boilerplate family), so
+    keeping one survivor per PAIR over-deletes and per-component
+    resolution is required (the reference's own dedup merges whole
+    duplicate GROUPS, not pairs: reference src/nmr_FAIR_DOs/lib.py:502-527
+    set-merges every record sharing a PID in one group pass).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    standard shuffle-bounded CC for engines without in-memory graph
+    state. Each half-round is ONE groupBy + ONE equi-join over the edge
+    frame; the edge count never grows above |und| + |nodes|; convergence
+    is O(log^2 n) rounds on adversarial graphs and 2-4 rounds on real
+    near-dup graphs (components are small and star-like already: LSH
+    buckets are capped at MAX_BUCKET, so no component exceeds
+    bands * MAX_BUCKET before clustering). Plain min-label propagation
+    would need O(diameter) rounds with no bound on long chains; this is
+    diameter-independent.
+
+    Edges are kept canonical (a > b) throughout:
+      large-star  for each node u, every LARGER neighbor v is re-pointed
+                  at m(u) = min(neighborhood(u) + [u])
+      small-star  for each node u (over canonical edges, so its stored
+                  neighbors are all smaller), u and its smaller
+                  neighbors are re-pointed at m = min of those neighbors
+    Both emit strictly-downhill (v, m) edges, so canonical form is
+    preserved for free and a self-loop filter is the only cleanup.
+
+    Convergence = the canonical edge set reaches a fixpoint, checked with
+    two ANTI-join counts (cheap: the frames are star-forest-sized by
+    then). Each iteration is localCheckpoint'ed — without it the lazy
+    plan doubles per round and Catalyst analysis time dominates by
+    round ~8. Deterministic: min() under any partitioning.
+
+    Output covers every node present in `pairs` (component minima map to
+    themselves). Docs with no candidate pair are their own cluster by
+    definition — callers join survivors back (see resolve_duplicates).
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col("a").cast("long"), F.col("b").cast("long")).alias("a"),
+            F.least(F.col("a").cast("long"), F.col("b").cast("long")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # large-star over the undirected view
+        und = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = und.groupBy("a").agg(F.min("b").alias("_mn"))
+        mins = mins.select("a", F.least(F.col("_mn"), F.col("a")).alias("m"))
+        large = (
+            und.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star over canonical (a > b) edges: neighbors of a stored
+        # here are exactly its smaller neighbors
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(smins, "a")
+            .select(F.col("b").alias("a"), "m")
+            .union(smins.select("a", "m"))
+            .filter(F.col("a") != F.col("m"))
+            .select("a", F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if (
+            small.join(edges, ["a", "b"], "left_anti").isEmpty()
+            and edges.join(small, ["a", "b"], "left_anti").isEmpty()
+        ):
+            edges = small
+            break
+        edges = small
+    centers = edges.select(F.col("b").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return edges.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("cluster_id")
+    ).union(centers).distinct()
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-survivor resolution over near-dup clusters: every doc is
+    assigned its cluster (connected component of the candidate-pair
+    graph; singleton = own cluster) and flagged keep / drop — keep the
+    cluster's minimum doc_id (deterministic under any partitioning; a
+    quality-ranked winner is one orderBy swap away and callers that want
+    it pass pre-ranked ids). Output (doc_id, cluster_id, keep).
+
+    Scale shape: connected_components touches only docs that HAVE a
+    candidate pair (at web scale a few percent of the corpus); the final
+    assignment is one LEFT join of the full corpus against that small
+    mapping — AQE broadcasts it in every realistic regime."""
+    mapping = connected_components(pairs)
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    out = d.join(mapping, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
