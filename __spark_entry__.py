@@ -1879,6 +1879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tier 4 = remaining r4-green entries.
     return {
         # -- tier 1: first driver check happens this round --
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "lang_train_ngram": q_lang_train,
         "lang_id_model": q_lang_id_model,
         "sample_mix": q_sample_mix,
@@ -1932,8 +1934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_sig": q_minhash,
         "lsh_pairs": q_lsh_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonical": q_dedup_canonical,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "token_count": q_token_count,
