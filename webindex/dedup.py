@@ -13,6 +13,10 @@ family a 100 TB training-data pipeline needs:
                      (never the O(n^2) cross join at scale)
   simhash64          64-bit SimHash fingerprints + near-dup pairs by
                      Hamming distance
+  connected_components  candidate PAIRS -> duplicate CLUSTERS (component-min
+                     label) via alternating large-star/small-star
+  resolve_duplicates full-corpus keep/drop: one canonical survivor per
+                     cluster, singletons keep themselves
 
 Scale notes: every op is shuffle-minimal — exact dedup is one groupBy on a
 64-hex key; LSH shuffles (band, bucket-hash) pairs; the self-join is on
