@@ -843,8 +843,10 @@ def build_index(
     wins, content-hash tiebreak) — it costs one extra shuffle of the raw
     pages, so at 100 TB prefer deduplicating upstream in the crawl store.
 
-    Two jobs: (1) runs + stats (one tokenize pass, persisted so job 2 never
-    re-tokenizes), (2) the (term,bucket) shuffle into compressed blocks.
+    Job shape: (1) runs + stats (one tokenize pass, persisted so nothing
+    re-tokenizes), then (2) the (term,bucket) shuffle into compressed blocks
+    overlapped with the small dictionary/doc-table writes on a driver thread
+    pool (guide §2.6 — independent chains back-fill each other's tails).
     """
     if id_space is None:
         id_space = "hash" if doc_id_method == "hash" else "dense"
@@ -916,79 +918,128 @@ def build_index(
         # on Iceberg use WRITE ORDERED BY (term_hash, block_id) which samples
         # metadata, not the plan. All table writes go through io.write_table
         # (parquet here; Iceberg = WEBINDEX_TABLE_FORMAT=iceberg + a catalog).
-        from webindex.io import read_table, write_table
+        #
+        # Round-6 job overlap (optimization guide §2.6): once runs are on
+        # disk and the vocab aggregate is resolved, the remaining writes are
+        # FOUR independent chains — (postings), (term_stats -> term_grams),
+        # (doc_stats -> docid check -> url_index), (one-row sidecars). They
+        # used to run serially, so the small metadata chains added their
+        # full job latency to every build and the cluster idled through each
+        # one's tail. A 3-thread pool overlaps them: the small chains fill
+        # the postings shuffle's straggler tail instead of extending the
+        # build. Determinism is untouched (each chain's lineage is
+        # unchanged; FIFO scheduling just interleaves their tasks).
+        from concurrent.futures import ThreadPoolExecutor
 
-        write_table(postings, f"{out_dir}/postings", sort_cols=["term_hash", "block_id"])
-        postings = read_table(spark, f"{out_dir}/postings")
-        # term_stats doubles as the term dictionary: the vocab aggregate
-        # above yields (term, term_hash, df) together — cheaper than a
-        # separate dict distinct + postings-metadata agg + join. Keys are
-        # collision-free by construction (resolve_term_hashes ran pre-
-        # shuffle); the assert stays as a cheap invariant.
-        write_table(term_stats, f"{out_dir}/term_stats", sort_cols=["term"])
-        assert_no_hash_collisions(read_table(spark, f"{out_dir}/term_stats"))
-        # q-gram dictionary sidecar for fuzzy/suggest expansion, derived
-        # from the COMMITTED dictionary (a thin columnar re-scan beats
-        # re-running the vocab aggregate) and gram-clustered so a query
-        # word's IN(gram) probe prunes to its own row groups
-        write_table(
-            build_term_grams(read_table(spark, f"{out_dir}/term_stats")),
-            f"{out_dir}/term_grams",
-            sort_cols=["gram"],
-        )
-        write_table(doc_stats, f"{out_dir}/doc_stats", sort_cols=["doc_id"])
-        # derive everything below from the COMMITTED table: re-using the
-        # in-memory plan would re-execute the whole pages+runs join per
-        # consumer; the read-back is a thin columnar scan
-        doc_stats = assert_no_docid_collisions(
-            read_table(spark, f"{out_dir}/doc_stats")
-        )
-        # url-keyed reverse-lookup projection: doc_stats is doc_id-sorted
-        # (point lookups by id prune to one file), so a url probe would scan
-        # everything. This thin (url, doc_id) projection is partitioned by
-        # url_bucket = pmod(xxhash64(url), N_URL_BUCKETS) — a url lookup's
-        # bucket predicate constant-folds and Catalyst prunes to ONE
-        # directory — and url_hash-sorted within, so parquet row-group
-        # min/max stats prune inside the directory too. At 10^12 docs raise
-        # N_URL_BUCKETS (or use an Iceberg bucket(url) partition transform);
-        # the lookup code only relies on the pmod contract.
-        # repartition on the dir key first: without it every upstream task
-        # fans out into every url_bucket dir (tasks x buckets tiny files —
-        # measured as part of the 1.34x build regression, BENCH/ab_r3r4.jsonl);
-        # with it each bucket dir gets exactly one url_hash-sorted file
-        write_table(
-            url_index_projection(doc_stats).repartition(
-                N_URL_BUCKETS, F.col("url_bucket")
-            ),
-            f"{out_dir}/url_index",
-            sort_cols=["url_hash"],
-            partition_by="url_bucket",
-        )
-        write_table(
-            spark.createDataFrame([(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS),
+        from webindex.io import read_table, write_driver_table, write_table
+
+        # file-count target for the dictionary-shaped tables, derived from
+        # DATA size only (n_docs), never cluster size: sorted point/IN
+        # lookups want few, fat, fully key-sorted files (one at bench
+        # scales; ~2M docs' worth of rows per file at web scale — the
+        # hash-partitioned alternative leaves every file's key range
+        # overlapping, so nothing can be file-pruned).
+        dict_files = max(1, n_docs // 2_000_000)
+
+        def _write_postings() -> None:
+            write_table(
+                postings, f"{out_dir}/postings",
+                sort_cols=["term_hash", "block_id"],
+            )
+
+        def _write_terms() -> None:
+            # term_stats doubles as the term dictionary: the vocab aggregate
+            # above yields (term, term_hash, df) together. Keys are
+            # collision-free BY CONSTRUCTION — resolve_term_hashes ran
+            # pre-shuffle and raises on any unresolved clash — so the old
+            # assert_no_hash_collisions re-scan here was a provably
+            # redundant extra job, dropped in round 6.
+            write_table(
+                term_stats, f"{out_dir}/term_stats", sort_cols=["term"],
+                coalesce=dict_files,
+            )
+            # q-gram dictionary sidecar for fuzzy/suggest expansion, derived
+            # from the COMMITTED dictionary (a thin columnar re-scan beats
+            # re-running the vocab aggregate) and gram-clustered so a query
+            # word's IN(gram) probe prunes to its own row groups
+            write_table(
+                build_term_grams(read_table(spark, f"{out_dir}/term_stats")),
+                f"{out_dir}/term_grams",
+                sort_cols=["gram"],
+                coalesce=dict_files,
+            )
+
+        def _write_docs() -> DataFrame:
+            write_table(
+                doc_stats, f"{out_dir}/doc_stats", sort_cols=["doc_id"],
+                coalesce=dict_files,
+            )
+            # derive everything below from the COMMITTED table: re-using the
+            # in-memory plan would re-execute the whole pages+runs join per
+            # consumer; the read-back is a thin columnar scan
+            committed = assert_no_docid_collisions(
+                read_table(spark, f"{out_dir}/doc_stats")
+            )
+            # url-keyed reverse-lookup projection: doc_stats is doc_id-sorted
+            # (point lookups by id prune to one file), so a url probe would
+            # scan everything. This thin (url, doc_id) projection is
+            # partitioned by url_bucket = pmod(xxhash64(url), N_URL_BUCKETS)
+            # — a url lookup's bucket predicate constant-folds and Catalyst
+            # prunes to ONE directory — and url_hash-sorted within, so
+            # parquet row-group min/max stats prune inside the directory
+            # too. At 10^12 docs raise N_URL_BUCKETS (or use an Iceberg
+            # bucket(url) partition transform); the lookup code only relies
+            # on the pmod contract.
+            # repartition on the dir key first: without it every upstream
+            # task fans out into every url_bucket dir (tasks x buckets tiny
+            # files — measured as part of the 1.34x build regression,
+            # BENCH/ab_r3r4.jsonl); with it each bucket dir gets exactly one
+            # url_hash-sorted file
+            write_table(
+                url_index_projection(committed).repartition(
+                    N_URL_BUCKETS, F.col("url_bucket")
+                ),
+                f"{out_dir}/url_index",
+                sort_cols=["url_hash"],
+                partition_by="url_bucket",
+            )
+            return committed
+
+        # one-row sidecars are driver-side writes (no Spark job; see
+        # write_driver_table). conf: layout facts baked into the blocks
+        # (k1/b feed max_impact; quantize_norms changes the doc_lens byte
+        # format) — load_index restores them so an index is always queried
+        # with the conf it was built with.
+        write_driver_table(
+            spark, [(n_docs, avgdl, -1)], schema.CORPUS_STATS,
             f"{out_dir}/corpus_stats",
         )
-        # conf sidecar: layout facts baked into the blocks (k1/b feed
-        # max_impact; quantize_norms changes the doc_lens byte format) —
-        # load_index restores them so an index is always queried with the
-        # conf it was built with.
-        write_table(
-            spark.createDataFrame(
-                [(
-                    conf.k1, conf.b, conf.block_size, conf.quantize_norms,
-                    range_width, id_space,
-                )],
-                schema=schema.INDEX_CONF,
-            ),
+        write_driver_table(
+            spark,
+            [(
+                conf.k1, conf.b, conf.block_size, conf.quantize_norms,
+                range_width, id_space,
+            )],
+            schema.INDEX_CONF,
             f"{out_dir}/conf",
         )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_post = pool.submit(_write_postings)
+            f_terms = pool.submit(_write_terms)
+            f_docs = pool.submit(_write_docs)
+            f_post.result()
+            f_terms.result()
+            doc_stats = f_docs.result()
+        postings = read_table(spark, f"{out_dir}/postings")
         term_stats = read_table(spark, f"{out_dir}/term_stats")
         _vocab_handle.unpersist()
     else:
-        # materialize the index once — queries must never re-run the build
+        # materialize the index once — queries must never re-run the build.
+        # (assert_no_hash_collisions dropped here too: resolve_term_hashes
+        # ran pre-shuffle and already guarantees a collision-free dict.)
         postings = postings.persist()
         postings.count()
-        term_stats = assert_no_hash_collisions(term_stats.persist())
+        term_stats = term_stats.persist()
         doc_stats = doc_stats.persist()
         term_stats.count()
         assert_no_docid_collisions(doc_stats)

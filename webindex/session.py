@@ -37,6 +37,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE coalesce shuffles UNDER persisted frames too (off by
+        # default): the build's vocab aggregate is persisted, and without
+        # this every consumer pass over the cache schedules the full
+        # spark.sql.shuffle.partitions task count (256 tasks per pass at
+        # any data size — pure fixed overhead on small/medium corpora)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
