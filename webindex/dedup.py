@@ -136,15 +136,26 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     ).filter(F.col("bucket") != F.md5(F.lit("")))
-    sized = bands.withColumn(
-        "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bsize") <= max_bucket)
-    a = sized.select("band", "bucket", F.col("doc_id").alias("a"))
-    b = sized.select("band", "bucket", F.col("doc_id").alias("b"))
+    # Round-6 shape (VERDICT r5 #7): ONE groupBy collects each bucket's
+    # member list, the size cap is a plain array-size filter, and the a<b
+    # pairs are expanded JVM-side with nested explodes — replacing the old
+    # Window.partitionBy(band, bucket) count (a FULL SORT of the exploded
+    # n_docs x n_bands frame) plus bucket self-join plus its exchange. The
+    # per-group state is bounded by max_bucket (<= ~32 KB of int64s), and a
+    # doc appears at most once per (band, bucket) (one bucket per band), so
+    # every unordered pair is emitted exactly once per bucket; the final
+    # distinct (unchanged) dedups across bands. Same rows as the join shape.
+    sized = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    lhs = sized.select(F.explode("ids").alias("a"), F.col("ids"))
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        lhs.select(
+            "a",
+            F.explode(F.filter(F.col("ids"), lambda y: y > F.col("a"))).alias("b"),
+        )
         .distinct()
     )
 
