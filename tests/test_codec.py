@@ -119,3 +119,53 @@ def test_encode_blocks_quantized_layout_and_soundness():
         # quantized dl <= exact dl => impact bound >= exact impact bound
         assert qb["max_impact"] >= eb["max_impact"]
         off += qb["n_docs"]
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0,
+        max_size=600,
+    ),
+    st.booleans(),
+    st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=100, deadline=None)
+def test_batched_decode_equals_per_block(raw_ids, qn, block_size):
+    """decode_blocks_concat / decode_ids_concat are bit-identical to the
+    per-block decode_block path — including full-signed-range hash ids,
+    where the concatenated cumsum wraps int64 and relies on exact mod-2^64
+    difference arithmetic (round-6 batched decode)."""
+    ids = np.unique(np.array(raw_ids, dtype=np.int64))
+    rng = np.random.default_rng(0)
+    tfs = rng.integers(1, 40, size=ids.size)
+    dls = rng.integers(1, 4000, size=ids.size)
+    blocks = codec.encode_blocks(
+        ids, tfs, dls, 120.0, 1.2, 0.75, block_size=block_size, quantize_norms=qn
+    )
+    per_i, per_t, per_d = [], [], []
+    for b in blocks:
+        i, t, d = codec.decode_block(b["doc_ids"], b["tfs"], b["doc_lens"], qn)
+        per_i.append(i)
+        per_t.append(t)
+        per_d.append(d)
+    counts = [b["n_docs"] for b in blocks]
+    bi, bt, bd, starts = codec.decode_blocks_concat(
+        [b["doc_ids"] for b in blocks],
+        [b["tfs"] for b in blocks],
+        [b["doc_lens"] for b in blocks],
+        counts,
+        qn,
+    )
+    exp_i = np.concatenate(per_i) if per_i else np.empty(0, dtype=np.int64)
+    exp_t = np.concatenate(per_t) if per_t else np.empty(0, dtype=np.int64)
+    exp_d = np.concatenate(per_d) if per_d else np.empty(0, dtype=np.int64)
+    assert np.array_equal(bi, exp_i)
+    assert np.array_equal(bt, exp_t)
+    assert np.array_equal(bd, exp_d)
+    assert np.array_equal(
+        starts, np.concatenate(([0], np.cumsum(counts)))[:-1] if counts else starts
+    )
+    oi, ostarts = codec.decode_ids_concat([b["doc_ids"] for b in blocks], counts)
+    assert np.array_equal(oi, exp_i)
+    assert np.array_equal(ostarts, starts)

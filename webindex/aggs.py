@@ -51,13 +51,14 @@ def ids_for_hashes(index: Index, hashes: list[int], msm: int = 1) -> DataFrame:
     qn = index.conf.quantize_norms
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids_all = []
-        for dbuf, tbuf, lbuf in zip(pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]):
-            ids, _, _ = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
-            ids_all.append(ids)
-        if not ids_all:
+        if not len(pdf):
             return pd.DataFrame({"doc_id": np.array([], dtype=np.int64)})
-        ids = np.concatenate(ids_all)
+        # batched ids-only decode (codec.decode_ids_concat): one vectorized
+        # pass over the bucket's concatenated doc_id streams, and the unused
+        # tfs/doc_lens streams are never decoded at all
+        ids, _ = codec.decode_ids_concat(
+            pdf["doc_ids"], pdf["n_docs"].to_numpy(dtype=np.int64)
+        )
         if msm > 1:
             # one row per (term, doc): multiplicity == distinct matching terms
             u, c = np.unique(ids, return_counts=True)
@@ -85,16 +86,15 @@ def ids_with_counts(index: Index, hashes: list[int]) -> DataFrame:
     qn = index.conf.quantize_norms
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids_all = []
-        for dbuf, tbuf, lbuf in zip(pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]):
-            ids, _, _ = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
-            ids_all.append(ids)
-        if not ids_all:
+        if not len(pdf):
             return pd.DataFrame(
                 {"doc_id": np.array([], dtype=np.int64),
                  "n_matched": np.array([], dtype=np.int32)}
             )
-        u, c = np.unique(np.concatenate(ids_all), return_counts=True)
+        ids, _ = codec.decode_ids_concat(
+            pdf["doc_ids"], pdf["n_docs"].to_numpy(dtype=np.int64)
+        )
+        u, c = np.unique(ids, return_counts=True)
         return pd.DataFrame({"doc_id": u, "n_matched": c.astype(np.int32)})
 
     blocks = index.postings.filter(F.col("term_hash").isin(hashes))
@@ -170,55 +170,59 @@ def significant_terms(
             [], "term string, fg_count long, score double"
         )
 
+    _empty = pd.DataFrame(
+        {
+            "term_hash": np.array([], dtype=np.int64),
+            "doc_id": np.array([], dtype=np.int64),
+        }
+    )
+
     def pairs(batches):
+        # batched ids-only decode per Arrow batch (codec.decode_ids_concat);
+        # the sampled path keeps the block-range prune, vectorized over the
+        # batch's min/max metadata before any decode
         for pdf in batches:
-            th_o, id_o = [], []
-            rows = zip(
-                pdf["term_hash"],
-                pdf["doc_ids"],
-                pdf["tfs"],
-                pdf["doc_lens"],
-                pdf["min_doc"],
-                pdf["max_doc"],
-            )
-            for th, dbuf, tbuf, lbuf, mn, mx in rows:
-                if sample_arr is not None:
-                    # block-range prune: any sampled id inside [mn, mx]?
-                    lo = np.searchsorted(sample_arr, int(mn), side="left")
-                    if lo >= len(sample_arr) or sample_arr[lo] > int(mx):
-                        continue
-                ids, _, _ = codec.decode_block(
-                    bytes(dbuf), bytes(tbuf), bytes(lbuf), qn
-                )
-                if sample_arr is not None:
-                    ids = ids[
-                        sample_arr[
-                            np.clip(
-                                np.searchsorted(sample_arr, ids),
-                                0,
-                                len(sample_arr) - 1,
-                            )
-                        ]
-                        == ids
-                    ]
-                    if len(ids) == 0:
-                        continue
-                th_o.append(np.full(len(ids), int(th), dtype=np.int64))
-                id_o.append(ids)
-            if sample_arr is not None and th_o:
-                # batch-local partial aggregate: (term_hash, count) only
-                th_all = np.concatenate(th_o)
-                u, c = np.unique(th_all, return_counts=True)
+            if not len(pdf):
+                yield _empty
+                continue
+            if sample_arr is None:
+                counts = pdf["n_docs"].to_numpy(dtype=np.int64)
+                ids, _ = codec.decode_ids_concat(pdf["doc_ids"], counts)
                 yield pd.DataFrame(
-                    {"term_hash": u, "doc_id": c.astype(np.int64)}
+                    {
+                        "term_hash": np.repeat(
+                            pdf["term_hash"].to_numpy(dtype=np.int64), counts
+                        ),
+                        "doc_id": ids,
+                    }
                 )
                 continue
-            yield pd.DataFrame(
-                {
-                    "term_hash": np.concatenate(th_o) if th_o else np.array([], dtype=np.int64),
-                    "doc_id": np.concatenate(id_o) if id_o else np.array([], dtype=np.int64),
-                }
+            mn = pdf["min_doc"].to_numpy(dtype=np.int64)
+            mx = pdf["max_doc"].to_numpy(dtype=np.int64)
+            lo = np.searchsorted(sample_arr, mn, side="left")
+            keep = (lo < len(sample_arr)) & (
+                sample_arr[np.clip(lo, 0, len(sample_arr) - 1)] <= mx
             )
+            sub = pdf.iloc[np.nonzero(keep)[0]]
+            if not len(sub):
+                yield _empty
+                continue
+            counts = sub["n_docs"].to_numpy(dtype=np.int64)
+            ids, _ = codec.decode_ids_concat(sub["doc_ids"], counts)
+            th_all = np.repeat(sub["term_hash"].to_numpy(dtype=np.int64), counts)
+            m = (
+                sample_arr[
+                    np.clip(np.searchsorted(sample_arr, ids), 0, len(sample_arr) - 1)
+                ]
+                == ids
+            )
+            th_all = th_all[m]
+            if not len(th_all):
+                yield _empty
+                continue
+            # batch-local partial aggregate: (term_hash, count) only
+            u, c = np.unique(th_all, return_counts=True)
+            yield pd.DataFrame({"term_hash": u, "doc_id": c.astype(np.int64)})
 
     blocks = index.postings
     if sample_arr is not None:

@@ -703,38 +703,100 @@ def build_postings(
         schema.with_positions(schema.POSTINGS) if positional else schema.POSTINGS
     )
 
-    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term_hash, bucket = key
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dls = pdf["doc_len"].to_numpy()[order]
-        blocks = codec.encode_blocks(
-            ids, tfs, dls, avgdl, k1, b, block_size, quantize_norms=qnorms
+    def _encode_spans(th, bk, ids, tfs, dls, pos, gstarts, gends) -> pd.DataFrame:
+        """Encode a run of COMPLETE (term_hash, bucket) groups given as
+        slices of already (key, doc_id)-sorted arrays. Block bytes are a
+        pure function of each group's sorted postings (codec.encode_blocks
+        is called with the exact same inputs as the old per-group path), so
+        the emitted blocks are byte-identical at any parallelism."""
+        th_o, bk_o, bid_o = [], [], []
+        ids_o, tfs_o, dls_o, nd_o, mn_o, mx_o, mi_o, pos_o = (
+            [], [], [], [], [], [], [], []
         )
-        base = int(bucket) << _BLOCK_SHIFT
+        for g in range(len(gstarts)):
+            s, e = gstarts[g], gends[g]
+            blocks = codec.encode_blocks(
+                ids[s:e], tfs[s:e], dls[s:e], avgdl, k1, b, block_size,
+                quantize_norms=qnorms,
+            )
+            bucket = int(bk[s])
+            base = bucket << _BLOCK_SHIFT
+            th_o.extend([int(th[s])] * len(blocks))
+            bk_o.extend([bucket] * len(blocks))
+            for blk in blocks:
+                bid_o.append(base | blk["block_id"])
+                ids_o.append(blk["doc_ids"])
+                tfs_o.append(blk["tfs"])
+                dls_o.append(blk["doc_lens"])
+                nd_o.append(blk["n_docs"])
+                mn_o.append(blk["min_doc"])
+                mx_o.append(blk["max_doc"])
+                mi_o.append(blk["max_impact"])
+            if positional:
+                pos_g = pos[s:e]
+                pos_o.extend(
+                    b"".join(
+                        bytes(x)
+                        for x in pos_g[i * block_size : (i + 1) * block_size]
+                    )
+                    for i in range(len(blocks))
+                )
         out = {
-            "term_hash": np.full(len(blocks), int(term_hash), dtype=np.int64),
-            "bucket": np.full(len(blocks), int(bucket), dtype=np.int64),
-            "block_id": np.asarray(
-                [base | blk["block_id"] for blk in blocks], dtype=np.int64
-            ),
-            "doc_ids": [blk["doc_ids"] for blk in blocks],
-            "tfs": [blk["tfs"] for blk in blocks],
-            "doc_lens": [blk["doc_lens"] for blk in blocks],
-            "n_docs": np.asarray([blk["n_docs"] for blk in blocks], dtype=np.int32),
-            "min_doc": np.asarray([blk["min_doc"] for blk in blocks], dtype=np.int64),
-            "max_doc": np.asarray([blk["max_doc"] for blk in blocks], dtype=np.int64),
-            "max_impact": np.asarray([blk["max_impact"] for blk in blocks], dtype=np.float64),
-            "avgdl0": np.full(len(blocks), float(avgdl), dtype=np.float64),
+            "term_hash": np.asarray(th_o, dtype=np.int64),
+            "bucket": np.asarray(bk_o, dtype=np.int64),
+            "block_id": np.asarray(bid_o, dtype=np.int64),
+            "doc_ids": ids_o,
+            "tfs": tfs_o,
+            "doc_lens": dls_o,
+            "n_docs": np.asarray(nd_o, dtype=np.int32),
+            "min_doc": np.asarray(mn_o, dtype=np.int64),
+            "max_doc": np.asarray(mx_o, dtype=np.int64),
+            "max_impact": np.asarray(mi_o, dtype=np.float64),
+            "avgdl0": np.full(len(bid_o), float(avgdl), dtype=np.float64),
         }
         if positional:
-            pos = pdf["positions"].to_numpy()[order]
-            out["positions"] = [
-                b"".join(bytes(x) for x in pos[i * block_size : (i + 1) * block_size])
-                for i in range(len(blocks))
-            ]
+            out["positions"] = pos_o
         return pd.DataFrame(out)
+
+    def _stream_encode(batches):
+        """mapInPandas fn over a partition whose rows arrive sorted by
+        (term_hash, bucket, doc_id): encode every complete group, carrying
+        the trailing (possibly batch-spanning) group into the next batch.
+        Replaces groupBy().applyInPandas(encode_group), which materialized
+        one Arrow batch + one pandas frame PER (term, bucket) GROUP —
+        ~0.2 ms of fixed overhead times |vocab|-scale group counts dominated
+        the encode stage (guide §4: batch the Python boundary). The sort
+        also makes each group's rows arrive doc_id-ascending, so the old
+        per-group argsort is gone."""
+        carry: list | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [
+                pdf["term_hash"].to_numpy(dtype=np.int64),
+                pdf["bucket"].to_numpy(dtype=np.int64),
+                pdf["doc_id"].to_numpy(dtype=np.int64),
+                pdf["tf"].to_numpy(dtype=np.int64),
+                pdf["doc_len"].to_numpy(dtype=np.int64),
+                pdf["positions"].to_numpy() if positional else None,
+            ]
+            if carry is not None:
+                arrs = [
+                    None if a is None else np.concatenate((c, a))
+                    for c, a in zip(carry, arrs)
+                ]
+            th, bk = arrs[0], arrs[1]
+            change = np.nonzero((th[1:] != th[:-1]) | (bk[1:] != bk[:-1]))[0] + 1
+            if change.size == 0:
+                carry = arrs  # whole batch continues one group
+                continue
+            cut = int(change[-1])  # trailing group may span into next batch
+            gstarts = np.concatenate(([0], change[:-1]))
+            gends = change
+            yield _encode_spans(*arrs[:6], gstarts, gends)
+            carry = [None if a is None else a[cut:] for a in arrs]
+        if carry is not None and len(carry[0]):
+            yield _encode_spans(*carry[:6], np.asarray([0]), np.asarray([len(carry[0])]))
 
     if "term_hash" not in runs.columns:
         keep = ["doc_id", "tf", "doc_len"] + (["positions"] if positional else [])
@@ -749,9 +811,14 @@ def build_postings(
     bucketed = runs.withColumn(
         "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, id_space, bucket_bits)
     )
-    return bucketed.groupBy("term_hash", "bucket").applyInPandas(
-        encode_group, schema=out_schema
+    # one hash shuffle on (term_hash, bucket) exactly as before (repartition
+    # by expression; AQE sizes/coalesces the reduce side), then an in-
+    # partition sort that BOTH contiguates each group for the streaming
+    # encoder and hands it its rows doc_id-ascending
+    keyed = bucketed.repartition(F.col("term_hash"), F.col("bucket")).sortWithinPartitions(
+        "term_hash", "bucket", "doc_id"
     )
+    return keyed.mapInPandas(_stream_encode, schema=out_schema)
 
 
 def decode_postings_to_runs(

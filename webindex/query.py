@@ -80,27 +80,25 @@ def _decode_contribs_iter(idf_map: dict[int, float], conf, avgdl: float):
 
     def fn(batches):
         for pdf in batches:
-            hashes_out, ids_out, contribs_out = [], [], []
-            for th, dbuf, tbuf, lbuf in zip(
-                pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
-            ):
-                ids, tfs, dls = codec.decode_block(
-                    bytes(dbuf), bytes(tbuf), bytes(lbuf), qn
-                )
-                contrib = idf_map[int(th)] * codec.bm25_impact(tfs, dls, avgdl, k1, b)
-                hashes_out.append(np.full(len(ids), th, dtype=np.int64))
-                ids_out.append(ids)
-                contribs_out.append(contrib)
-            if ids_out:
-                yield pd.DataFrame(
-                    {
-                        "term_hash": np.concatenate(hashes_out),
-                        "doc_id": np.concatenate(ids_out),
-                        "contrib": np.concatenate(contribs_out),
-                    }
-                )
-            else:
+            if not len(pdf):
                 yield pd.DataFrame({"term_hash": [], "doc_id": [], "contrib": []})
+                continue
+            counts = pdf["n_docs"].to_numpy(dtype=np.int64)
+            ids, tfs, dls, _ = codec.decode_blocks_concat(
+                pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"], counts, qn
+            )
+            contribs = np.repeat(
+                pdf["term_hash"].map(idf_map).to_numpy(dtype=np.float64), counts
+            ) * codec.bm25_impact(tfs, dls, avgdl, k1, b)
+            yield pd.DataFrame(
+                {
+                    "term_hash": np.repeat(
+                        pdf["term_hash"].to_numpy(dtype=np.int64), counts
+                    ),
+                    "doc_id": ids,
+                    "contrib": contribs,
+                }
+            )
 
     return fn
 
@@ -224,25 +222,28 @@ def _score_bucket_fn(
                 return empty
             bounds, interval_keep, keep_mask = pruned
 
-        ids_all, terms_all, contribs_all = [], [], []
         if _probe is not None:
             _probe["blocks_total"] = _probe.get("blocks_total", 0) + len(pdf)
-        rows = zip(pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"])
-        for bi, (th, dbuf, tbuf, lbuf) in enumerate(rows):
-            if keep_mask is not None and not keep_mask[bi]:
-                continue
-            if _probe is not None:
-                _probe["blocks_decoded"] = _probe.get("blocks_decoded", 0) + 1
-            th = int(th)
-            ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
-            ids_all.append(ids)
-            terms_all.append(np.full(len(ids), term_rank[th], dtype=np.int32))
-            contribs_all.append(idf_map[th] * codec.bm25_impact(tfs, dls, avgdl, k1, b))
-        if not ids_all:
+        sub = pdf if keep_mask is None else pdf.iloc[np.nonzero(keep_mask)[0]]
+        if not len(sub):
             return empty
-        ids = np.concatenate(ids_all)
-        terms = np.concatenate(terms_all)
-        contribs = np.concatenate(contribs_all)
+        if _probe is not None:
+            _probe["blocks_decoded"] = _probe.get("blocks_decoded", 0) + len(sub)
+        # batched decode (codec.decode_blocks_concat): three vectorized
+        # passes over the kept blocks' concatenated streams instead of a
+        # Python call per block row — bit-identical values, and the per-doc
+        # float64 ops below are unchanged (same contrib = idf * impact
+        # multiply, same (doc_id, term-rank-asc) summation order)
+        counts = sub["n_docs"].to_numpy(dtype=np.int64)
+        ids, tfs, dls, _ = codec.decode_blocks_concat(
+            sub["doc_ids"], sub["tfs"], sub["doc_lens"], counts, qn
+        )
+        terms = np.repeat(
+            sub["term_hash"].map(term_rank).to_numpy(dtype=np.int32), counts
+        )
+        contribs = np.repeat(
+            sub["term_hash"].map(idf_map).to_numpy(dtype=np.float64), counts
+        ) * codec.bm25_impact(tfs, dls, avgdl, k1, b)
         if dead is not None and len(dead):
             # live-docs filter (Index.dead_ids): must run BEFORE the local
             # top-k cut — a dead doc in a bucket's local k would displace a
@@ -551,33 +552,37 @@ def _bool_bucket_fn(
         if not interval_keep.any():
             return empty
 
-        ids_all, ranks_all, contribs_all = [], [], []
-        req_all, shd_all, exc_all = [], [], []
-        rows = zip(pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"])
-        for bi, (th, dbuf, tbuf, lbuf) in enumerate(rows):
-            if not interval_keep[lo[bi] : hi[bi] + 1].any():
-                continue
-            th = int(th)
-            required, scored, excluded, should = roles[th]
-            ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
-            ids_all.append(ids)
-            ranks_all.append(np.full(len(ids), term_rank[th], dtype=np.int32))
-            contribs_all.append(
-                idf_map[th] * codec.bm25_impact(tfs, dls, avgdl, k1, b)
-                if scored
-                else np.zeros(len(ids), dtype=np.float64)
-            )
-            req_all.append(np.full(len(ids), np.int32(required)))
-            shd_all.append(np.full(len(ids), np.int32(should)))
-            exc_all.append(np.full(len(ids), np.int32(excluded)))
-        if not ids_all:
+        keep_mask = np.fromiter(
+            (interval_keep[lo[bi] : hi[bi] + 1].any() for bi in range(len(th_arr))),
+            dtype=bool,
+            count=len(th_arr),
+        )
+        if not keep_mask.any():
             return empty
-        ids = np.concatenate(ids_all)
-        ranks = np.concatenate(ranks_all)
-        contribs = np.concatenate(contribs_all)
-        reqf = np.concatenate(req_all)
-        shdf = np.concatenate(shd_all)
-        excf = np.concatenate(exc_all)
+        sub = pdf.iloc[np.nonzero(keep_mask)[0]]
+        # batched decode (codec.decode_blocks_concat) — same values and the
+        # same float64 contrib arithmetic as the per-block loop: unscored
+        # blocks get an exact 0.0 idf factor, and 0.0 * impact is +0.0
+        # elementwise, identical to the old np.zeros fill
+        counts = sub["n_docs"].to_numpy(dtype=np.int64)
+        ids, tfs, dls, _ = codec.decode_blocks_concat(
+            sub["doc_ids"], sub["tfs"], sub["doc_lens"], counts, qn
+        )
+        sub_th = sub["term_hash"].to_numpy(dtype=np.int64)
+        role_rows = np.asarray([roles[int(t)] for t in sub_th], dtype=np.int32)
+        ranks = np.repeat(
+            sub["term_hash"].map(term_rank).to_numpy(dtype=np.int32), counts
+        )
+        idf_per_block = np.asarray(
+            [idf_map[int(t)] if role_rows[i, 1] else 0.0 for i, t in enumerate(sub_th)],
+            dtype=np.float64,
+        )
+        contribs = np.repeat(idf_per_block, counts) * codec.bm25_impact(
+            tfs, dls, avgdl, k1, b
+        )
+        reqf = np.repeat(role_rows[:, 0], counts)
+        shdf = np.repeat(role_rows[:, 3], counts)
+        excf = np.repeat(role_rows[:, 2], counts)
         iv = np.searchsorted(bounds, ids, side="right") - 1
         doc_keep = (iv >= 0) & (iv < n_int)
         doc_keep[doc_keep] &= interval_keep[iv[doc_keep]]
@@ -953,20 +958,25 @@ def topk_batch(
             q_blocks[qid] = sel
             q_iv[qid] = (bounds, interval_keep)
 
-        # ---- decode each needed block ONCE ---------------------------------
+        # ---- decode each needed block ONCE (batched: one vectorized pass
+        # over the concatenated streams, bit-identical to per-block decode;
+        # per-block views are slices of the shared arrays) -------------------
         dec_ids: dict[int, np.ndarray] = {}
         dec_contribs: dict[int, np.ndarray] = {}
-        for bi in np.nonzero(need)[0]:
-            ids, tfs, dls = codec.decode_block(
-                bytes(pdf["doc_ids"].iloc[bi]),
-                bytes(pdf["tfs"].iloc[bi]),
-                bytes(pdf["doc_lens"].iloc[bi]),
-                qn,
+        need_idx = np.nonzero(need)[0]
+        if need_idx.size:
+            sub = pdf.iloc[need_idx]
+            counts = sub["n_docs"].to_numpy(dtype=np.int64)
+            all_ids, all_tfs, all_dls, starts_d = codec.decode_blocks_concat(
+                sub["doc_ids"], sub["tfs"], sub["doc_lens"], counts, qn
             )
-            dec_ids[bi] = ids
-            dec_contribs[bi] = idf_map[block_terms[bi]] * codec.bm25_impact(
-                tfs, dls, avgdl, k1, b
-            )
+            all_contribs = np.repeat(
+                sub["term_hash"].map(idf_map).to_numpy(dtype=np.float64), counts
+            ) * codec.bm25_impact(all_tfs, all_dls, avgdl, k1, b)
+            ends_d = np.concatenate((starts_d[1:], [all_ids.size]))
+            for j, bi in enumerate(need_idx):
+                dec_ids[int(bi)] = all_ids[starts_d[j] : ends_d[j]]
+                dec_contribs[int(bi)] = all_contribs[starts_d[j] : ends_d[j]]
 
         # ---- per-query assembly (same order-determinism as topk_exact) -----
         out_q, out_d, out_s, out_r = [], [], [], []
@@ -1608,19 +1618,15 @@ def _dismax_bucket_fn(idf_map: dict[int, float], conf, avgdl: float, k: int):
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids_all, contribs_all = [], []
-        for th, dbuf, tbuf, lbuf in zip(
-            pdf["term_hash"], pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"]
-        ):
-            ids, tfs, dls = codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
-            ids_all.append(ids)
-            contribs_all.append(
-                idf_map[int(th)] * codec.bm25_impact(tfs, dls, avgdl, k1, b)
-            )
-        if not ids_all:
+        if not len(pdf):
             return empty
-        ids = np.concatenate(ids_all)
-        contribs = np.concatenate(contribs_all)
+        counts = pdf["n_docs"].to_numpy(dtype=np.int64)
+        ids, tfs, dls, _ = codec.decode_blocks_concat(
+            pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"], counts, qn
+        )
+        contribs = np.repeat(
+            pdf["term_hash"].map(idf_map).to_numpy(dtype=np.float64), counts
+        ) * codec.bm25_impact(tfs, dls, avgdl, k1, b)
         order = np.argsort(ids, kind="stable")
         ids, contribs = ids[order], contribs[order]
         starts = np.concatenate(([0], np.nonzero(ids[1:] != ids[:-1])[0] + 1))
@@ -2860,21 +2866,31 @@ def topk_synonyms(
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded: dict[int, list[tuple]] = {}
-        for dbuf, tbuf, lbuf, th in zip(
-            pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"], pdf["term_hash"]
-        ):
-            decoded.setdefault(int(th), []).append(
-                codec.decode_block(bytes(dbuf), bytes(tbuf), bytes(lbuf), qn)
-            )
+        if not len(pdf):
+            return empty
+        # batched decode once for the whole bucket; per-group views are
+        # row-slices of the shared arrays. Concatenation order within a
+        # group changed from hash-sorted to row order, which cannot change
+        # results: tf pooling is an exact integer sum in float64, a doc's
+        # dl is identical on every row, and the per-doc contrib is computed
+        # AFTER pooling.
+        counts = pdf["n_docs"].to_numpy(dtype=np.int64)
+        aids, atfs, adls, bstarts = codec.decode_blocks_concat(
+            pdf["doc_ids"], pdf["tfs"], pdf["doc_lens"], counts, qn
+        )
+        bends = np.concatenate((bstarts[1:], [aids.size]))
+        th_rows = pdf["term_hash"].to_numpy(dtype=np.int64)
         ids_all, gr_all, contribs_all = [], [], []
         for g, (gidf, hashes) in enumerate(groups):
-            parts = [p for h in sorted(hashes) for p in decoded.get(h, [])]
-            if not parts:
+            rows = np.nonzero(np.isin(th_rows, np.asarray(sorted(hashes), dtype=np.int64)))[0]
+            if not rows.size:
                 continue
-            ids = np.concatenate([p[0] for p in parts])
-            tfs = np.concatenate([p[1] for p in parts]).astype(np.float64)
-            dls = np.concatenate([p[2] for p in parts])
+            sel = np.concatenate(
+                [np.arange(bstarts[i], bends[i]) for i in rows]
+            )
+            ids = aids[sel]
+            tfs = atfs[sel].astype(np.float64)
+            dls = adls[sel]
             order = np.argsort(ids, kind="stable")
             ids, tfs, dls = ids[order], tfs[order], dls[order]
             starts = np.concatenate(
