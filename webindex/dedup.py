@@ -399,9 +399,11 @@ def connected_components(
     embedding near-dup) and document dropping — near-duplication is
     transitive in practice (A~B, B~C => one boilerplate family), so
     keeping one survivor per PAIR over-deletes and per-component
-    resolution is required (the reference's own dedup merges whole
-    duplicate GROUPS, not pairs: reference src/nmr_FAIR_DOs/lib.py:502-527
-    set-merges every record sharing a PID in one group pass).
+    resolution is required (the reference's own dedup likewise merges at
+    group granularity — src/nmr_FAIR_DOs/lib.py:502-527 merges every
+    record keyed by an identical PID, exact-key grouping rather than
+    transitive set-merging; the transitive closure here is the near-dup
+    generalization of that shape).
 
     Algorithm: alternating large-star / small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — the
@@ -443,6 +445,7 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         # large-star over the undirected view
         und = edges.union(
@@ -473,8 +476,17 @@ def connected_components(
             and edges.join(small, ["a", "b"], "left_anti").isEmpty()
         ):
             edges = small
+            converged = True
             break
         edges = small
+    if not converged:
+        # unreachable in practice (O(log^2 n) rounds vs max_iter=64), but a
+        # silent exit here could emit a doc as both member and center —
+        # fail loud instead (ADVICE r5 #1)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations — raise max_iter"
+        )
     centers = edges.select(F.col("b").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
@@ -494,6 +506,12 @@ def resolve_duplicates(
     cluster's minimum doc_id (deterministic under any partitioning; a
     quality-ranked winner is one orderBy swap away and callers that want
     it pass pre-ranked ids). Output (doc_id, cluster_id, keep).
+
+    PRECONDITION (ADVICE r5 #2): `pairs` must reference only ids present
+    in `docs` — the intended pipeline derives pairs FROM docs, so this
+    holds by construction. If a pair id outside docs is its component's
+    minimum, that cluster's surviving members all get keep=False (the
+    survivor is the absent id).
 
     Scale shape: connected_components touches only docs that HAVE a
     candidate pair (at web scale a few percent of the corpus); the final
