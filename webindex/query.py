@@ -1200,17 +1200,47 @@ def _phrase_match_bucket(
     cache: dict[int, tuple] = {}
     col_doc, col_tf = pdf["doc_ids"], pdf["tfs"]
     col_dl, col_pos = pdf["doc_lens"], pdf["positions"]
+    ndocs_arr = pdf["n_docs"].to_numpy(dtype=np.int64)
 
-    def dec(ri: int) -> tuple:
-        got = cache.get(ri)
-        if got is None:
-            ids, tfs, dls = codec.decode_block(
-                bytes(col_doc.iloc[ri]), bytes(col_tf.iloc[ri]),
-                bytes(col_dl.iloc[ri]), qn,
+    def dec_many(rr) -> list[tuple]:
+        """Decode the not-yet-cached blocks of `rr` in ONE batched pass
+        (ids/tfs/dls via codec.decode_blocks_concat; positions via the same
+        grouped delta-decode with per-DOC groups — each doc's first position
+        gap is absolute, value counts per doc are its tf). Per-block cache
+        entries are slices of the shared arrays; values are bit-identical
+        to the old per-block decode_block + decode_positions path, and the
+        decode-on-demand contract of the chunked θ-prune is kept (only
+        blocks a chunk actually needs are ever decoded)."""
+        missing = [int(ri) for ri in rr if int(ri) not in cache]
+        if missing:
+            counts = ndocs_arr[missing]
+            ids, tfs, dls, bstarts = codec.decode_blocks_concat(
+                [col_doc.iloc[ri] for ri in missing],
+                [col_tf.iloc[ri] for ri in missing],
+                [col_dl.iloc[ri] for ri in missing],
+                counts, qn,
             )
-            pos, _ = codec.decode_positions(bytes(col_pos.iloc[ri]), tfs)
-            got = cache[ri] = (ids, dls, np.repeat(ids, tfs), pos.astype(np.int64))
-        return got
+            bends = np.concatenate((bstarts[1:], [ids.size]))
+            gaps = codec.varint_decode(
+                b"".join(bytes(col_pos.iloc[ri]) for ri in missing)
+            )
+            pdocs = np.repeat(ids, tfs)
+            if gaps.size:
+                dstarts = np.zeros(tfs.size, dtype=np.int64)
+                np.cumsum(tfs[:-1], out=dstarts[1:])
+                cs = np.cumsum(gaps)
+                prev = np.zeros(tfs.size, dtype=np.int64)
+                prev[1:] = cs[dstarts[1:] - 1]
+                pos = cs - np.repeat(prev, tfs)
+            else:
+                pos = gaps
+            tf_cum = np.zeros(tfs.size + 1, dtype=np.int64)
+            np.cumsum(tfs, out=tf_cum[1:])
+            for j, ri in enumerate(missing):
+                s, e = bstarts[j], bends[j]
+                ps, pe = tf_cum[s], tf_cum[e]
+                cache[ri] = (ids[s:e], dls[s:e], pdocs[ps:pe], pos[ps:pe])
+        return [cache[int(ri)] for ri in rr]
 
     out: dict = {}
     for qid, slot_hashes, sum_idf, slop in queries:
@@ -1264,7 +1294,7 @@ def _phrase_match_bucket(
                 if len(rr) == 0:
                     empty_term = True
                     break
-                parts = [dec(int(ri)) for ri in rr]
+                parts = dec_many(rr)
                 docs = np.concatenate([p[0] for p in parts])
                 dls = np.concatenate([p[1] for p in parts])
                 pdocs = np.concatenate([p[2] for p in parts])
