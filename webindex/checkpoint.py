@@ -87,9 +87,16 @@ def build_runs_checkpointed(
                 "(or use a fresh workdir to re-bucket)"
             )
     else:
-        spark.createDataFrame(
-            [(int(n_buckets),)], "n_buckets int"
-        ).write.mode("overwrite").parquet(meta_path)
+        from pyspark.sql import types as T
+
+        from webindex.io import write_driver_table
+
+        write_driver_table(
+            spark,
+            [(int(n_buckets),)],
+            T.StructType([T.StructField("n_buckets", T.IntegerType(), False)]),
+            meta_path,
+        )
     pages = assign_doc_ids(pages, doc_id_method).withColumn(
         "build_bucket", bucket_col(F.col("doc_id"), n_buckets)
     )
@@ -215,64 +222,94 @@ def build_index_resumable(
     # collision resolution BEFORE the postings shuffle and the term_stats
     # table — a clash costs a remap, never a post-hoc abort after paying for
     # the whole build.
-    from webindex.build import (
-        _with_idf,
-        assert_no_hash_collisions,
-        resolve_term_hashes,
-        term_hash_expr,
-    )
+    from webindex.build import _with_idf, resolve_term_hashes, term_hash_expr
 
     _, hash_remap = resolve_term_hashes(vocab_df, primary_fn=hash_primary_fn)
-    # hash-sorted-within-partition write (see build.build_index for why not
-    # repartitionByRange): row-group pruning on term_hash IN (...) filters
-    build_postings(
-        runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space,
-        hash_remap=hash_remap, hash_primary_fn=hash_primary_fn,
-    ).sortWithinPartitions("term_hash", "block_id").write.mode("overwrite").parquet(
-        f"{out}/postings"
-    )
-    _with_idf(
-        vocab_df.withColumn(
-            "term_hash", term_hash_expr(F.col("term"), hash_remap, hash_primary_fn)
-        ),
-        n_docs,
-    ).sortWithinPartitions("term").write.mode("overwrite").parquet(
-        f"{out}/term_stats"
-    )
-    _vocab_handle.unpersist()
-    assert_no_hash_collisions(spark.read.parquet(f"{out}/term_stats"))
-    # q-gram dictionary sidecar (same contract as build_index): derived
-    # from the committed dictionary, gram-clustered for IN(gram) pruning
-    from webindex.build import build_term_grams
+    # round-6 tail: the same overlapped write chains as build.build_index
+    # (guide §2.6) — (postings), (term_stats -> term_grams),
+    # (doc_stats -> url_index), driver-side one-row sidecars; dictionary
+    # tables coalesced to a data-derived file target; the redundant
+    # assert_no_hash_collisions re-scan dropped (resolve_term_hashes above
+    # already guarantees a collision-free dict or raises).
+    from concurrent.futures import ThreadPoolExecutor
 
-    build_term_grams(
-        spark.read.parquet(f"{out}/term_stats")
-    ).sortWithinPartitions("gram").write.mode("overwrite").parquet(
-        f"{out}/term_grams"
-    )
-    doc_stats.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
-        f"{out}/doc_stats"
-    )
-    # url reverse-lookup projection — the shared helper IS the contract.
-    # repartition on the dir key: one url_hash-sorted file per bucket dir
-    # instead of a tasks-x-buckets small-file fan-out (see build.build_index)
-    from webindex.build import N_URL_BUCKETS, url_index_projection
+    from webindex.build import N_URL_BUCKETS, build_term_grams, url_index_projection
+    from webindex.io import write_driver_table, write_table
 
-    url_index_projection(doc_stats).repartition(
-        N_URL_BUCKETS, F.col("url_bucket")
-    ).sortWithinPartitions("url_hash").write.mode("overwrite").partitionBy(
-        "url_bucket"
-    ).parquet(f"{out}/url_index")
-    spark.createDataFrame([(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS).write.mode(
-        "overwrite"
-    ).parquet(f"{out}/corpus_stats")
+    dict_files = max(1, n_docs // 2_000_000)
+
+    def _write_postings() -> None:
+        # hash-sorted-within-partition write (see build.build_index for why
+        # not repartitionByRange): row-group pruning on term_hash IN (...)
+        write_table(
+            build_postings(
+                runs, avgdl, conf, range_width, n_docs=n_docs, id_space=id_space,
+                hash_remap=hash_remap, hash_primary_fn=hash_primary_fn,
+            ),
+            f"{out}/postings",
+            sort_cols=["term_hash", "block_id"],
+        )
+
+    def _write_terms() -> None:
+        write_table(
+            _with_idf(
+                vocab_df.withColumn(
+                    "term_hash",
+                    term_hash_expr(F.col("term"), hash_remap, hash_primary_fn),
+                ),
+                n_docs,
+            ),
+            f"{out}/term_stats",
+            sort_cols=["term"],
+            coalesce=dict_files,
+        )
+        # q-gram dictionary sidecar (same contract as build_index): derived
+        # from the committed dictionary, gram-clustered for IN(gram) pruning
+        write_table(
+            build_term_grams(spark.read.parquet(f"{out}/term_stats")),
+            f"{out}/term_grams",
+            sort_cols=["gram"],
+            coalesce=dict_files,
+        )
+
+    def _write_docs() -> None:
+        write_table(
+            doc_stats, f"{out}/doc_stats", sort_cols=["doc_id"],
+            coalesce=dict_files,
+        )
+        # url reverse-lookup projection — the shared helper IS the contract.
+        # repartition on the dir key: one url_hash-sorted file per bucket dir
+        # instead of a tasks-x-buckets small-file fan-out (build.build_index)
+        write_table(
+            url_index_projection(doc_stats).repartition(
+                N_URL_BUCKETS, F.col("url_bucket")
+            ),
+            f"{out}/url_index",
+            sort_cols=["url_hash"],
+            partition_by="url_bucket",
+        )
+
+    write_driver_table(
+        spark, [(n_docs, avgdl, -1)], schema.CORPUS_STATS, f"{out}/corpus_stats"
+    )
     # conf sidecar (same contract as build_index): load_index restores the
     # conf the blocks were encoded with
-    spark.createDataFrame(
+    write_driver_table(
+        spark,
         [(conf.k1, conf.b, conf.block_size, conf.quantize_norms, range_width,
           id_space)],
-        schema=schema.INDEX_CONF,
-    ).write.mode("overwrite").parquet(f"{out}/conf")
+        schema.INDEX_CONF,
+        f"{out}/conf",
+    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(_write_postings),
+            pool.submit(_write_terms),
+            pool.submit(_write_docs),
+        ]
+        for f in futs:
+            f.result()
+    _vocab_handle.unpersist()
 
     from webindex.build import hash_bucket_bits
 
