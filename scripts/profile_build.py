@@ -1,7 +1,9 @@
 """Phase-level timing of build_index + per-query job breakdown (guide §1).
 
-Replicates build_index's internal sequence with timers around each Spark
-action so the fixed-overhead structure is visible. Usage:
+Replicates build_index's PRE-round-6 serial sequence with timers around
+each Spark action so the fixed-overhead structure is visible (this is the
+profile that motivated the round-6 overlapped tail; build_index itself now
+runs the chains concurrently). Usage:
     python scripts/profile_build.py [sf_dir] [n_synth]
 """
 
