@@ -81,8 +81,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<string>) — sig[i] = min over shingles of
     md5(i || ':' || shingle). md5-hex min is a valid uniform min-hash and is
-    bit-reproducible in any engine (the DuckDB oracle recomputes it)."""
-    sh = shingles_col(text_col, shingle).alias("shingles")
+    bit-reproducible in any engine (the DuckDB oracle recomputes it).
+
+    Round 6: shingles are deduplicated per doc BEFORE the n_hashes md5
+    transforms — min over a multiset equals min over its distinct set (the
+    hash depends only on the shingle value), so signatures are
+    bit-identical while repeated shingles (boilerplate, repeated phrases)
+    stop paying n_hashes md5 calls per repeat."""
+    sh = F.array_distinct(shingles_col(text_col, shingle)).alias("shingles")
     base = docs.select(F.col(id_col).alias("doc_id"), sh)
 
     def _minhash(i: int) -> F.Column:
