@@ -2716,11 +2716,19 @@ def topk_rescore(
             "build_index(..., positions=True)"
         )
     spark = index.postings.sparkSession
-    base = topk_wand(index, query, window).collect()
+    # the phrase-term dictionary probe is independent of the base query's
+    # result — overlap the two driver-synchronous jobs (guide §2.6) instead
+    # of paying their latencies back to back. Results are unchanged: both
+    # reads are side-effect-free and joined before anything downstream runs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        stats_fut = pool.submit(_query_terms, index, rescore_phrase)
+        base = topk_wand(index, query, window).collect()
+        stats = stats_fut.result()
     if not base:
         return spark.createDataFrame([], _HIT)
     ids = np.array([r["doc_id"] for r in base], dtype=np.int64)
-    stats = _query_terms(index, rescore_phrase)
     toks = tokenize(rescore_phrase)
     ph: dict[int, float] = {}
     if toks and all(t in stats for t in toks):
