@@ -155,3 +155,48 @@ def read_table(spark, dest: str, fmt: str | None = None) -> DataFrame:
     if fmt == "iceberg":
         return spark.read.table(dest)
     raise ValueError(f"unknown table format: {fmt}")
+
+
+def append_driver_rows(
+    spark,
+    rows: list[tuple],
+    schema,
+    dest: str,
+    fmt: str | None = None,
+) -> None:
+    """Append a metadata-scale (few-row) batch WITHOUT a Spark job.
+
+    The streaming sidecars (lineage, _epoch_map, compactions) append one row
+    per micro-batch through createDataFrame + a single-task write job —
+    pure fixed job latency on the ingest path. For local parquet the driver
+    appends a uniquely-named file with pyarrow (same arrow-schema derivation
+    as write_driver_table, so spark.read.parquet sees one coherent table);
+    iceberg / remote filesystems keep the ordinary Spark append. The
+    single-writer workdir contract makes the non-transactional file add safe.
+
+    `schema` may be a StructType or a DDL string ("a long, b string")."""
+    fmt = fmt or table_format()
+    scheme_remote = "://" in dest and not dest.startswith("file://")
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if fmt != "parquet" or scheme_remote:
+        spark.createDataFrame(rows, schema=schema).write.mode("append").parquet(dest)
+        return
+    if dest.startswith("file://"):
+        dest = dest[len("file://"):]
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    cols = [
+        pa.array([r[i] for r in rows], type=arrow_schema.field(i).type)
+        for i in range(len(arrow_schema))
+    ]
+    table = pa.Table.from_arrays(cols, schema=arrow_schema)
+    os.makedirs(dest, exist_ok=True)
+    pq.write_table(table, os.path.join(dest, f"part-{uuid.uuid4().hex}.parquet"))

@@ -267,10 +267,15 @@ class IncrementalIndexer:
             return
         our_id = self._next_batch_id()
         self._ingest_pages(batch_df, our_id)
-        self.spark.createDataFrame(
+        from webindex.io import append_driver_rows
+
+        append_driver_rows(
+            self.spark,
             [(qid, int(epoch_id), int(our_id))],
             "qid string, epoch long, batch_id long",
-        ).write.mode("append").parquet(f"{self.workdir}/_epoch_map")
+            f"{self.workdir}/_epoch_map",
+            fmt="parquet",
+        )
 
     def _ingest_pages(self, batch_df: DataFrame, batch_id: int) -> None:
         """Tokenize one batch of pages and commit runs + urls + lineage
@@ -325,7 +330,10 @@ class IncrementalIndexer:
         nbytes = dir_bytes(
             spark, f"{self.workdir}/runs/batch_id={batch_id}"
         ) + dir_bytes(spark, f"{self.workdir}/doc_urls/batch_id={batch_id}")
-        spark.createDataFrame(
+        from webindex.io import append_driver_rows
+
+        append_driver_rows(
+            spark,
             [
                 (
                     int(batch_id),
@@ -336,8 +344,10 @@ class IncrementalIndexer:
                     "done",
                 )
             ],
-            schema=schema.LINEAGE,
-        ).write.mode("append").parquet(f"{self.workdir}/lineage")
+            schema.LINEAGE,
+            f"{self.workdir}/lineage",
+            fmt="parquet",
+        )
 
     def start(self, source_dir: str, trigger_available_now: bool = True):
         """Stream pages parquet files from source_dir into the runs table."""
@@ -405,10 +415,15 @@ class IncrementalIndexer:
         from webindex.fsutil import dir_bytes
 
         nbytes = dir_bytes(spark, f"{self.workdir}/deletes/batch_id={batch_id}")
-        spark.createDataFrame(
+        from webindex.io import append_driver_rows
+
+        append_driver_rows(
+            spark,
             [(int(batch_id), 0, 0, int(nbytes), float(time.monotonic() - t0), "done")],
-            schema=schema.LINEAGE,
-        ).write.mode("append").parquet(f"{self.workdir}/lineage")
+            schema.LINEAGE,
+            f"{self.workdir}/lineage",
+            fmt="parquet",
+        )
         if compact_now and not self._has_runs():
             # tombstones on a never-ingested workdir: the recorded no-op the
             # docstring promises — the tombstone batch is committed (a later
@@ -506,8 +521,15 @@ class IncrementalIndexer:
     def _write_state(
         self, max_batch: int, bits: int, range_width: int, n_docs: int, sum_dl: float
     ) -> None:
+        # one-row sidecar: driver-side pyarrow write (no Spark job) with the
+        # arrow schema derived from the same StructType — bit-identical
+        # round-trip, ~0.5-1s of fixed job latency saved per compact
+        # (round 6, same as build_index's corpus_stats/conf sidecars)
+        from webindex.io import write_driver_table
+
         c = self.conf
-        self.spark.createDataFrame(
+        write_driver_table(
+            self.spark,
             [
                 (
                     int(max_batch),
@@ -522,8 +544,10 @@ class IncrementalIndexer:
                     bool(self.positions),
                 )
             ],
-            schema=schema.COMPACT_STATE,
-        ).write.mode("overwrite").parquet(f"{self.workdir}/index/_state")
+            schema.COMPACT_STATE,
+            f"{self.workdir}/index/_state",
+            fmt="parquet",
+        )
 
     def _latest_wins(self, runs: DataFrame, doc_urls: DataFrame) -> DataFrame:
         """Keep only each doc's rows from its newest batch (re-crawl collapse
@@ -759,46 +783,69 @@ class IncrementalIndexer:
         # stats in ONE map-side-combined pass (vocab_and_corpus_agg above),
         # with pre-shuffle hash-collision resolution (a fresh full compact
         # may re-key; only the incremental path must preserve committed keys)
-        from webindex.build import (
-            _with_idf,
-            assert_no_hash_collisions,
-            resolve_term_hashes,
-            term_hash_expr,
-        )
+        from webindex.build import _with_idf, resolve_term_hashes, term_hash_expr
 
         _, remap = resolve_term_hashes(vocab_df, primary_fn=self.hash_primary_fn)
-        self._write_postings(
-            build_postings(
-                runs_latest,
-                avgdl,
-                self.conf,
-                range_width,
-                n_docs=n_docs,
-                id_space="hash",
-                bucket_bits=bits,
-                hash_remap=remap,
-                hash_primary_fn=self.hash_primary_fn,
+        # round-6 tail, same as build.build_index / checkpoint (guide §2.6):
+        # the three table writes are independent chains — overlap them so a
+        # chain's task tail back-fills the others. The dictionary coalesces
+        # to a data-derived file target (guide §6 small-files: live_index's
+        # per-query dictionary probe pays per-file open cost); the post-write
+        # assert_no_hash_collisions re-scan is dropped because
+        # resolve_term_hashes above already raised on any unresolved clash
+        # BEFORE the shuffle (same proof as build_index, round 6).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from webindex.io import write_driver_table
+
+        dict_files = max(1, n_docs // 2_000_000)
+
+        def _w_postings() -> None:
+            self._write_postings(
+                build_postings(
+                    runs_latest,
+                    avgdl,
+                    self.conf,
+                    range_width,
+                    n_docs=n_docs,
+                    id_space="hash",
+                    bucket_bits=bits,
+                    hash_remap=remap,
+                    hash_primary_fn=self.hash_primary_fn,
+                )
             )
+
+        def _w_terms() -> None:
+            _with_idf(
+                vocab_df.withColumn(
+                    "term_hash",
+                    term_hash_expr(F.col("term"), remap, self.hash_primary_fn),
+                ),
+                n_docs,
+            ).coalesce(dict_files).sortWithinPartitions("term").write.mode(
+                "overwrite"
+            ).parquet(f"{out}/term_stats")
+
+        def _w_docs() -> None:
+            doc_stats.withColumn(
+                "bucket",
+                bucket_expr(F.col("doc_id"), n_docs, range_width, "hash", bits),
+            ).sortWithinPartitions("doc_id").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(f"{out}/doc_stats")
+
+        write_driver_table(
+            spark, [(n_docs, avgdl, -1)], schema.CORPUS_STATS,
+            f"{out}/corpus_stats", fmt="parquet",
         )
-        _with_idf(
-            vocab_df.withColumn(
-                "term_hash",
-                term_hash_expr(F.col("term"), remap, self.hash_primary_fn),
-            ),
-            n_docs,
-        ).sortWithinPartitions("term").write.mode("overwrite").parquet(
-            f"{out}/term_stats"
-        )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [
+                pool.submit(_w_postings),
+                pool.submit(_w_terms),
+                pool.submit(_w_docs),
+            ]:
+                fut.result()
         vocab_handle.unpersist()
-        assert_no_hash_collisions(spark.read.parquet(f"{out}/term_stats"))
-        doc_stats.withColumn(
-            "bucket", bucket_expr(F.col("doc_id"), n_docs, range_width, "hash", bits)
-        ).sortWithinPartitions("doc_id").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(f"{out}/doc_stats")
-        spark.createDataFrame(
-            [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
-        ).write.mode("overwrite").parquet(f"{out}/corpus_stats")
         self._write_state(max(done) if done else -1, bits, range_width, n_docs, n_docs * avgdl)
         # a full compact rebuilds every table and stat from the runs history,
         # so it clears any interrupted-incremental fence (the recovery route
@@ -950,17 +997,53 @@ class IncrementalIndexer:
             )
         )
         staging = f"{out}/_postings_staging"
-        build_postings(
-            merged,
-            avgdl,
-            self.conf,
-            range_width,
-            n_docs=n_docs,
-            id_space="hash",
-            bucket_bits=bits,
-        ).sortWithinPartitions("bucket", "term_hash", "block_id").write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(staging)
+        ds_staging = f"{out}/_doc_stats_staging"
+        # doc_stats delta frame (old kept - recrawled + delta); both staging
+        # writes read only COMMITTED tables + persisted deltas, so they are
+        # independent jobs — overlap them (guide §2.6, round 6) and only
+        # then raise the commit fence and swap. This also SHRINKS the fence
+        # window: previously the doc_stats staging write ran inside it.
+        delta_urls = doc_urls.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))),
+        ).filter(F.col("rn") == 1).select("doc_id", "url")
+        delta_stats = delta_docs.join(delta_urls, "doc_id").select(
+            "doc_id", "url", F.col("doc_len").cast("int").alias("doc_len")
+        )
+        kept_old = (
+            old_doc_stats.filter(F.col("bucket").isin(buckets))
+            .join(removal, "doc_id", "left_anti")
+            .select("doc_id", "url", "doc_len")
+        )
+
+        def _stage_postings() -> None:
+            build_postings(
+                merged,
+                avgdl,
+                self.conf,
+                range_width,
+                n_docs=n_docs,
+                id_space="hash",
+                bucket_bits=bits,
+            ).sortWithinPartitions("bucket", "term_hash", "block_id").write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(staging)
+
+        def _stage_doc_stats() -> None:
+            kept_old.unionByName(delta_stats).withColumn(
+                "bucket", bcol
+            ).sortWithinPartitions("doc_id").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(ds_staging)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [
+                pool.submit(_stage_postings),
+                pool.submit(_stage_doc_stats),
+            ]:
+                fut.result()
         old_rows.unpersist()
         # commit fence: from the first table swap to the state write the
         # committed tables and the state counts can disagree; a crash inside
@@ -975,24 +1058,6 @@ class IncrementalIndexer:
         # swap touched dirs; a touched bucket with no output (all its docs
         # re-crawled to empty) gets its stale dir dropped
         _swap_partition_dirs(spark, staging, f"{out}/postings", set(buckets))
-
-        # ---- doc_stats: same staged swap with (old kept - recrawled + delta)
-        delta_urls = doc_urls.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))),
-        ).filter(F.col("rn") == 1).select("doc_id", "url")
-        delta_stats = delta_docs.join(delta_urls, "doc_id").select(
-            "doc_id", "url", F.col("doc_len").cast("int").alias("doc_len")
-        )
-        kept_old = (
-            old_doc_stats.filter(F.col("bucket").isin(buckets))
-            .join(removal, "doc_id", "left_anti")
-            .select("doc_id", "url", "doc_len")
-        )
-        ds_staging = f"{out}/_doc_stats_staging"
-        kept_old.unionByName(delta_stats).withColumn("bucket", bcol).sortWithinPartitions(
-            "doc_id"
-        ).write.mode("overwrite").partitionBy("bucket").parquet(ds_staging)
         # same stale set as the postings swap: a touched bucket whose every
         # doc was deleted produces no staged doc_stats dir, and keeping the
         # old dir would leave ghost rows that double-decrement n_docs/sum_dl
@@ -1006,9 +1071,12 @@ class IncrementalIndexer:
         # term_dict was resolved pre-merge (existing keys preserved, delta
         # collisions remapped) — unique over the union by construction
         self._finish_tables(n_docs, term_dict)
-        spark.createDataFrame(
-            [(n_docs, avgdl, -1)], schema=schema.CORPUS_STATS
-        ).write.mode("overwrite").parquet(f"{out}/corpus_stats")
+        from webindex.io import write_driver_table
+
+        write_driver_table(
+            spark, [(n_docs, avgdl, -1)], schema.CORPUS_STATS,
+            f"{out}/corpus_stats", fmt="parquet",
+        )
         self._write_state(max(done), bits, range_width, n_docs, sum_dl)
         fence_fs.delete(fence, True)  # tables and state agree again
         self._log_compaction(
@@ -1026,7 +1094,12 @@ class IncrementalIndexer:
     def _log_compaction(
         self, batches: list[int], kind: str, *, delta_rows: int, old_rows: int, touched: int
     ) -> None:
-        self.spark.createDataFrame(
+        from webindex.io import append_driver_rows
+
+        append_driver_rows(
+            self.spark,
             [(kind, ",".join(map(str, batches)), int(delta_rows), int(old_rows), int(touched))],
             "kind string, batches string, delta_rows long, decoded_old_rows long, touched_buckets long",
-        ).write.mode("append").parquet(f"{self.workdir}/compactions")
+            f"{self.workdir}/compactions",
+            fmt="parquet",
+        )
