@@ -602,9 +602,16 @@ class IncrementalIndexer:
         # old table ASIDE, rename staging in, then drop the old copy.
         spark, out = self.spark, f"{self.workdir}/index"
         staging = f"{out}/_term_stats_staging"
+        # data-derived file target (round 6, same as the batch/full-compact
+        # dictionaries): without it every incremental compact re-fragments
+        # the dictionary into shuffle-partition-many overlapping-range files
+        # and live queries pay per-file open cost on every stats probe
+        dict_files = max(1, n_docs // 2_000_000)
         term_stats_from_postings(
             spark.read.parquet(f"{out}/postings"), n_docs, term_dict
-        ).sortWithinPartitions("term").write.mode("overwrite").parquet(staging)
+        ).coalesce(dict_files).sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).parquet(staging)
         fs, jvm = _hadoop_fs(spark, out)
         Path = jvm.org.apache.hadoop.fs.Path
         final = Path(f"{out}/term_stats")
